@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are tuned for the test environment (single JVM, `local[32]`)
+  * but every knob is the one you would also set on a real cluster:
+  * AQE on (runtime re-planning, skew-join handling), shuffle partitions
+  * sized to cores rather than the 200 default, UTC session time zone
+  * (oracle parity), and nanosecond-parquet reading enabled because the
+  * `events` table carries TIMESTAMP(NANOS).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with `n` executor threads. */
+  def local(n: Int = 32): SparkSession = {
+    val s = builder(s"local[$n]", n).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    tune(s)
+    s
+  }
+
+  /** Apply runtime-settable tuning to an externally created session
+    * (e.g. the driver's). Safe to call repeatedly.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num._
+import graft.operators.{AsOfJoin, Sessionize}
+import graft.tables.Tables
+
+/** Event-stream processing surface, batch-expressed over the `events`
+  * table. These are the go-fish capabilities (SURVEY §2.3-2.6) recast as
+  * Catalyst plans:
+  *   - decode-dispatch    → from_json / get_json_object on `props`
+  *   - keyed enrichment   → AsOfJoin (the s2s KV-join pattern)
+  *   - windowed keyed agg → time-bucketed groupBy
+  *   - interval flush     → sessionization / tumbling windows
+  * The same transforms run under Structured Streaming via graft.streaming.
+  */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  // ---- q20: per-type stats incl. JSON prop extraction (decode-dispatch) ----
+  def q20TypeStats(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k")
+      )
+      .orderBy("event_type")
+
+  val q20Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---- q21: tumbling-window aggregation (hourly) ---------------------------
+  def q21Hourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val q21Sql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  // ---- q22: as-of enrichment (the go-fish s2s KV join, flagship) ------------
+  // Every purchase is enriched with the latest signup of the same user at or
+  // before the purchase time (left outer: purchases before any signup keep null).
+  def q22AsOfEnrich(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("ts_us").as("signup_ts_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("signup_k")
+      )
+    AsOfJoin(
+      left = purchases,
+      right = signups,
+      key = "user_id",
+      leftTime = "ts_us",
+      rightTime = "ts_us",
+      rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
+      tieBreak = "event_id"
+    )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("value").as("purchase_value"),
+        col("signup_ts_us"),
+        col("signup_k")
+      )
+      .orderBy("event_id")
+  }
+
+  val q22Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, value, event_type, props,
+      |         epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_type IN ('signup', 'purchase')),
+      |seq AS (
+      |  SELECT event_id, user_id, value, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+      |      OVER w AS signup_ts_us,
+      |    LAST_VALUE(CASE WHEN event_type = 'signup'
+      |                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END IGNORE NULLS)
+      |      OVER w AS signup_k
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY ts_us, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, value AS purchase_value, signup_ts_us, signup_k
+      |FROM seq WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // ---- q23: sessionization (gap-based) ---------------------------------------
+  def q23Sessions(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600L * 1000000L // 1 hour
+    Sessionize(ev(s, dir), key = "user_id", timeUs = "ts_us", tieBreak = "event_id", gapUs = gapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        dsum(col("value")).as("session_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  val q23Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w <= 3600000000 THEN 0 ELSE 1 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts_us) AS session_start_us,
+      |  MAX(ts_us) AS session_end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- q24: per-user funnel (pivot-style conditional counts) ------------------
+  def q24Funnel(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", lit(1))).as("n_view"),
+        count(when(col("event_type") === "click", lit(1))).as("n_click"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("purchase_value")
+      )
+      .orderBy("user_id")
+
+  val q24Sql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+      |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+      |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_event_type_stats" -> (q20TypeStats _),
+    "q21_event_hourly" -> (q21Hourly _),
+    "q22_asof_enrich" -> (q22AsOfEnrich _),
+    "q23_sessions" -> (q23Sessions _),
+    "q24_funnel" -> (q24Funnel _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_event_type_stats" -> q20Sql,
+    "q21_event_hourly" -> q21Sql,
+    "q22_asof_enrich" -> q22Sql,
+    "q23_sessions" -> q23Sql,
+    "q24_funnel" -> q24Sql
+  )
+}

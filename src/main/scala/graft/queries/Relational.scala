@@ -1,0 +1,491 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Num._
+import graft.tables.Tables
+
+/** The relational operator surface (SURVEY §2.8): aggregation, joins of
+  * every flavor, window functions, rollup/cube/grouping sets, set ops,
+  * sorts/top-k, scalar string/date functions — each as a catalogued query
+  * with a DuckDB oracle. All are plain Catalyst plans: filters and
+  * projections push into the parquet scan, small dimensions broadcast,
+  * doubles aggregate through exact decimals (see graft.functions.Num).
+  *
+  * Every query ends in a deterministic ORDER BY over a unique key set so
+  * results are row-order stable across engines and partitionings.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // ---- q01: full-table aggregation (TPC-H Q1 shape) --------------------
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= expr("timestamp_ntz'2000-12-01 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(COUNT(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q02: filter + projection (pushdown showcase) --------------------
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= expr("timestamp_ntz'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp_ntz'1997-01-01 00:00:00'") &&
+          col("l_quantity") < 10
+      )
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q03: multi-way join + aggregation (broadcast dims) --------------
+  def q03RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(
+        col("o_orderdate") >= expr("timestamp_ntz'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp_ntz'1998-01-01 00:00:00'")
+      )
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("n_name"))
+  }
+
+  val q03Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---- q04: semi join ---------------------------------------------------
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q05: anti join ---------------------------------------------------
+  // Customers with no order in 1996 (the plain no-orders-at-all variant is
+  // empty on this corpus, which would make a weak test).
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= expr("timestamp_ntz'1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("timestamp_ntz'1997-01-01 00:00:00'")
+    )
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |                    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q06: top-k (sort + limit) ----------------------------------------
+  def q06TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val q06Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---- q07: ranking window function --------------------------------------
+  def q07TopPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- q08: running / analytic window functions ---------------------------
+  def q08RunningSupplier(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        sum(dec(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double")
+          .as("running_qty"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        row_number().over(w).as("rn")
+      )
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q08Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_qty,
+      |  LAG(l_quantity, 1) OVER w AS prev_qty,
+      |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  // ---- q09: rollup --------------------------------------------------------
+  def q09Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"),
+        col("sum_qty")
+      )
+      .orderBy("returnflag", "linestatus")
+
+  val q09Sql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |       COALESCE(l_linestatus, '(all)') AS linestatus,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---- q10: cube ----------------------------------------------------------
+  def q10Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("n"),
+        col("sum_price")
+      )
+      .orderBy("orderstatus", "orderpriority")
+
+  val q10Sql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
+      |       COALESCE(o_orderpriority, '(all)') AS orderpriority,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  // ---- q11: distinct -------------------------------------------------------
+  def q11Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  val q11Sql: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey
+      |FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  // ---- q12: set operations (intersect + except) ----------------------------
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def buyersIn(year: Int) =
+      o.filter(
+          col("o_orderdate") >= expr(s"timestamp_ntz'$year-01-01 00:00:00'") &&
+            col("o_orderdate") < expr(s"timestamp_ntz'${year + 1}-01-01 00:00:00'")
+        )
+        .select(col("o_custkey").as("custkey"))
+        .distinct()
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("custkey"))
+    buyersIn(1996).intersect(buyersIn(1997)).except(machinery).orderBy("custkey")
+  }
+
+  val q12Sql: String =
+    """SELECT custkey FROM (
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  EXCEPT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |) x ORDER BY custkey""".stripMargin
+
+  // ---- q13: string functions ------------------------------------------------
+  def q13StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%re%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled")
+      )
+      .orderBy("p_partkey")
+
+  val q13Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  SUBSTRING(p_type, 1, 3) AS type3,
+      |  p_brand || '#' || p_type AS brand_type,
+      |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+      |  REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled
+      |FROM part
+      |WHERE p_name LIKE '%re%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---- q14: date functions ----------------------------------------------------
+  def q14DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month")
+      )
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year", "o_month")
+
+  val q14Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+      |       CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY o_year, o_month""".stripMargin
+
+  // ---- q15: count distinct ------------------------------------------------------
+  def q15CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("o_orderpriority")
+
+  val q15Sql: String =
+    """SELECT o_orderpriority,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q16: conditional aggregation ------------------------------------------------
+  def q16ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice"))).otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double")
+          .as("returned_value"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"),
+        count(lit(1)).as("n_total"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty")
+      )
+      .orderBy("l_linestatus")
+
+  val q16Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_value,
+      |  CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---- q17: join against aggregate (above-average orders) ---------------------------
+  // The predicate is multiplied through to avoid division: totalprice > 1.5 * avg
+  // ⟺ totalprice * cnt > 1.5 * sum — all-decimal, hence engine-exact.
+  def q17AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val per = o
+      .groupBy(col("o_custkey").as("k"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("sum_tp"),
+        count(lit(1)).cast(DecimalType(10, 0)).as("cnt")
+      )
+    o.join(per, col("o_custkey") === col("k"))
+      .filter(dec(col("o_totalprice")) * col("cnt") > col("sum_tp") * lit(BigDecimal("1.5")).cast(DecimalType(2, 1)))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |JOIN (SELECT o_custkey AS k,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_tp,
+      |             CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt
+      |      FROM orders GROUP BY o_custkey) per
+      |  ON o_custkey = k
+      |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * cnt > sum_tp * CAST(1.5 AS DECIMAL(2,1))
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q18: grouping sets (SQL surface) ------------------------------------------------
+  def q18GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT COALESCE(c_mktsegment, '(all)') AS seg,
+        |       COALESCE(CAST(c_nationkey AS STRING), '(all)') AS nk,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY seg, nk""".stripMargin
+    )
+  }
+
+  val q18Sql: String =
+    """SELECT COALESCE(c_mktsegment, '(all)') AS seg,
+      |       COALESCE(CAST(c_nationkey AS VARCHAR), '(all)') AS nk,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY seg, nk""".stripMargin
+
+  // ---- q19: join with inequality (range) condition ---------------------------------------
+  def q19RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    su.join(broadcast(n), col("s_nationkey") === col("n_nationkey") && col("s_acctbal") > 9000.0)
+      .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val q19Sql: String =
+    """SELECT s_suppkey, s_name, n_name, s_acctbal
+      |FROM supplier JOIN nation
+      |  ON s_nationkey = n_nationkey AND s_acctbal > 9000.0
+      |ORDER BY s_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_revenue_by_nation" -> (q03RevenueByNation _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_topk" -> (q06TopK _),
+    "q07_top_per_customer" -> (q07TopPerCustomer _),
+    "q08_running_supplier" -> (q08RunningSupplier _),
+    "q09_rollup" -> (q09Rollup _),
+    "q10_cube" -> (q10Cube _),
+    "q11_distinct" -> (q11Distinct _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_string_funcs" -> (q13StringFuncs _),
+    "q14_date_funcs" -> (q14DateFuncs _),
+    "q15_count_distinct" -> (q15CountDistinct _),
+    "q16_conditional_agg" -> (q16ConditionalAgg _),
+    "q17_above_avg" -> (q17AboveAvg _),
+    "q18_grouping_sets" -> (q18GroupingSets _),
+    "q19_range_join" -> (q19RangeJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_revenue_by_nation" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_anti_join" -> q05Sql,
+    "q06_topk" -> q06Sql,
+    "q07_top_per_customer" -> q07Sql,
+    "q08_running_supplier" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q10_cube" -> q10Sql,
+    "q11_distinct" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_date_funcs" -> q14Sql,
+    "q15_count_distinct" -> q15Sql,
+    "q16_conditional_agg" -> q16Sql,
+    "q17_above_avg" -> q17Sql,
+    "q18_grouping_sets" -> q18Sql,
+    "q19_range_join" -> q19Sql
+  )
+}
