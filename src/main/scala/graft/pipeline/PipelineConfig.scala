@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The JSON pipeline DSL — same five keys as the reference
+  * (pipeline.go:21-28): eventFolder (schema-registry reference), rules
+  * ({source, plugin, state?, sink?}, rule.go:24-29), states
+  * ({type: KV|Count}), sources ({type, *_config}, input/input.go:14-19)
+  * and sinks ({type, *_config}, output/output.go:7-11).
+  *
+  * `plugin` names a rule in graft's rule registry instead of a compiled
+  * .so file; `state` maps onto a per-rule state/checkpoint key-space
+  * rather than a BoltDB file.
+  */
+final case class RuleConfig(
+    source: String,
+    plugin: String,
+    state: Option[String],
+    sink: Option[String]
+)
+
+final case class StateConfig(`type`: String)
+
+final case class SourceConfig(
+    `type`: String,
+    path: Option[String],
+    format: Option[String]
+)
+
+final case class SinkConfig(`type`: String, path: Option[String])
+
+final case class PipelineConfig(
+    eventFolder: String,
+    rules: Map[String, RuleConfig],
+    states: Map[String, StateConfig],
+    sources: Map[String, SourceConfig],
+    sinks: Map[String, SinkConfig]
+)
+
+object PipelineConfig {
+
+  /** Parse the JSON DSL (reference: pipeline.go:30-35). Accepts both
+    * graft-native source/sink configs ({type, path}) and the reference's
+    * nested `file_config`/`kafka_config` blocks.
+    */
+  def parse(raw: String): Either[String, PipelineConfig] =
+    try {
+      val j = JsonMethods.parse(raw)
+      def str(v: JValue): Option[String] = v match {
+        case JString(s) => Some(s)
+        case _          => None
+      }
+      def objMap(v: JValue): Map[String, JValue] = v match {
+        case JObject(fields) => fields.toMap
+        case _               => Map.empty
+      }
+      val root = objMap(j)
+
+      val rules = objMap(root.getOrElse("rules", JObject())).map { case (name, rv) =>
+        val o = objMap(rv)
+        name -> RuleConfig(
+          source = str(o.getOrElse("source", JNothing)).getOrElse(""),
+          plugin = str(o.getOrElse("plugin", JNothing)).getOrElse(""),
+          state = str(o.getOrElse("state", JNothing)).filter(_.nonEmpty),
+          sink = str(o.getOrElse("sink", JNothing)).filter(_.nonEmpty)
+        )
+      }
+      val states = objMap(root.getOrElse("states", JObject())).map { case (name, sv) =>
+        name -> StateConfig(str(objMap(sv).getOrElse("type", JNothing)).getOrElse(""))
+      }
+      val sources = objMap(root.getOrElse("sources", JObject())).map { case (name, sv) =>
+        val o = objMap(sv)
+        val nested = objMap(o.getOrElse("file_config", JNothing))
+        name -> SourceConfig(
+          `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
+          path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing))),
+          format = str(o.getOrElse("format", JNothing))
+        )
+      }
+      val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>
+        val o = objMap(sv)
+        val nested = objMap(o.getOrElse("file_config", JNothing))
+        name -> SinkConfig(
+          `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
+          path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing)))
+        )
+      }
+      Right(
+        PipelineConfig(
+          eventFolder = str(root.getOrElse("eventFolder", JNothing)).getOrElse(""),
+          rules = rules,
+          states = states,
+          sources = sources,
+          sinks = sinks
+        )
+      )
+    } catch {
+      case e: Exception => Left(s"config parse error: ${e.getMessage}")
+    }
+
+  /** All checks of the reference's validateConfig (pipeline.go:37-87):
+    * rule sources/sinks/states must exist, names must be globally
+    * unique, each state is owned by exactly one rule, and the rule's
+    * plugin must exist in the registry (replacing the .so stat check).
+    */
+  def validate(c: PipelineConfig, ruleRegistry: Set[String]): Either[String, PipelineConfig] = {
+    val stateUsage = scala.collection.mutable.Map.empty[String, Int]
+    for ((ruleName, rule) <- c.rules) {
+      if (!c.sources.contains(rule.source) && !c.rules.contains(rule.source))
+        return Left(s"Invalid source for rule $ruleName: ${rule.source}")
+      rule.sink.foreach { snk =>
+        if (!c.sinks.contains(snk) && !c.rules.contains(snk))
+          return Left(s"Invalid sink for rule $ruleName: $snk")
+      }
+      rule.state.foreach { st =>
+        if (!c.states.contains(st))
+          return Left(s"Invalid state for rule $ruleName: $st")
+        stateUsage(st) = stateUsage.getOrElse(st, 0) + 1
+      }
+      if (!ruleRegistry.contains(rule.plugin))
+        return Left(s"Invalid plugin for rule $ruleName: ${rule.plugin}")
+    }
+
+    val allKeys =
+      c.sources.keys.toSeq ++ c.rules.keys.toSeq ++ c.sinks.keys.toSeq ++ c.states.keys.toSeq
+    val dups = allKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    if (dups.nonEmpty)
+      return Left(s"Invalid configuration, duplicate keys: ${dups.mkString(",")}")
+
+    stateUsage.find(_._2 > 1).foreach { case (st, _) =>
+      return Left(s"Invalid rule configuration, only one rule can use each state but found multiple use state: $st")
+    }
+    Right(c)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{EventSchemas, Level}
+import graft.operators.AsOfJoin
+
+/** Principal-name derivation (reference: cloudTrail_s2s_join.go:98-130
+  * and cloudTrail_agg.go:98-115 — two variants of the same switch).
+  */
+object Principal {
+
+  /** Arms common to both variants. `ui` is the userIdentity struct. */
+  private def common(ui: Column): PartialFunction[String, Column] = {
+    case "IAMUser"       => concat(lit("user/"), ui.getField("userName"))
+    case "AWSAccount"    => concat(lit("account/"), ui.getField("accountId"))
+    case "FederatedUser" => concat(lit("user/"), ui.getField("sessionContext").getField("sessionIssuer").getField("userName"))
+    case "AWSService"    => concat(lit("service/"), ui.getField("invokedBy"))
+  }
+
+  private def switchOn(ui: Column)(arms: (String, Column)*): Column =
+    arms
+      .foldLeft(when(lit(false), lit(null.asInstanceOf[String]))) { case (acc, (t, v)) =>
+        acc.when(ui.getField("type") === t, v)
+      }
+      .otherwise("unknown")
+
+  /** Aggregation-rule variant: AssumedRole resolves statically to
+    * `role/<sessionIssuer.userName>`, Root to the literal "Root"
+    * (reference: cloudTrail_agg.go:98-115).
+    */
+  def aggVariant(ui: Column): Column = {
+    val c = common(ui)
+    switchOn(ui)(
+      "IAMUser" -> c("IAMUser"),
+      "AWSAccount" -> c("AWSAccount"),
+      "AssumedRole" -> concat(lit("role/"), ui.getField("sessionContext").getField("sessionIssuer").getField("userName")),
+      "FederatedUser" -> c("FederatedUser"),
+      "AWSService" -> c("AWSService"),
+      "Root" -> lit("Root")
+    )
+  }
+
+  /** S2S-join variant: AssumedRole resolves through the KV lookup
+    * (`resolved`, supplied by the join; falls back to the raw
+    * principalId on miss — reference: cloudTrail_s2s_join.go:124-130);
+    * Root prefers the user name, falling back to the account id
+    * (reference: cloudTrail_s2s_join.go:116-122).
+    */
+  def s2sVariant(ui: Column, resolved: Column): Column = {
+    val c = common(ui)
+    switchOn(ui)(
+      "IAMUser" -> c("IAMUser"),
+      "AWSAccount" -> c("AWSAccount"),
+      "AssumedRole" -> coalesce(Rules.nonEmpty(resolved), ui.getField("principalId")),
+      "FederatedUser" -> c("FederatedUser"),
+      "AWSService" -> c("AWSService"),
+      "Root" -> concat(
+        lit("account/"),
+        coalesce(Rules.nonEmpty(ui.getField("userName")), ui.getField("accountId"))
+      )
+    )
+  }
+}
+
+/** Stream-to-stream enrichment join (reference:
+  * cloudTrail_s2s_join.go:37-130; golden expectation
+  * integration_test.go:185-276).
+  *
+  * Build side: AssumeRole events write assumedRoleId → principal.
+  * Probe side: CreateUser events resolve their principalId against the
+  * latest preceding build row (as-of, last-write-wins, no TTL) and emit
+  * a "UserCreated" OutputEvent.
+  *
+  * Batch form uses graft.operators.AsOfJoin (one shuffle, no KV store);
+  * the streaming form is graft.streaming.StatefulEnrichment.
+  */
+object CloudTrailS2SJoinRule extends Rule {
+  val name = "cloudTrailS2SJoin"
+
+  /** Input: decoded CloudTrail records (Decode.ofType output, `_raw` kept). */
+  def apply(ct: DataFrame): DataFrame = {
+    val assumeRole = ct
+      .filter(col("eventName") === "AssumeRole")
+      .select(
+        // Branch re-decode of the open-typed responseElements from raw JSON
+        // (reference keeps it as interface{} and mapstructure-decodes).
+        from_json(col("_raw"), EventSchemas.assumeRoleResponse)
+          .getField("responseElements")
+          .getField("assumedRoleUser")
+          .getField("assumedRoleId")
+          .as("principalId"),
+        Principal.s2sVariant(col("userIdentity"), lit(null).cast("string")).as("principal"),
+        col("eventTime").cast("long").as("t_sec"),
+        col("eventID")
+      )
+      .filter(col("principalId").isNotNull)
+
+    val createUser = ct
+      .filter(col("eventName") === "CreateUser")
+      .select(
+        col("userIdentity"),
+        col("userIdentity").getField("principalId").as("principalId"),
+        col("eventTime"),
+        col("eventTime").cast("long").as("t_sec"),
+        col("eventID"),
+        col("sourceIPAddress"),
+        col("recipientAccountId"),
+        element_at(col("requestParameters"), "userName").as("userCreated")
+      )
+
+    val enriched = AsOfJoin(
+      left = createUser,
+      right = assumeRole,
+      key = "principalId",
+      leftTime = "t_sec",
+      rightTime = "t_sec",
+      rightVals = Seq("principal" -> "resolvedPrincipal"),
+      tieBreak = "eventID"
+    )
+
+    enriched.select(
+      Rules.outputEvent(
+        source = lit("CloudTrail"),
+        eventTime = col("eventTime"),
+        eventType = lit("UserCreated"),
+        name = lit("IAMUserCreated"),
+        level = lit(Level.Warn),
+        eventId = col("eventID"),
+        entity = Principal.s2sVariant(col("userIdentity"), col("resolvedPrincipal")),
+        sourceIP = col("sourceIPAddress"),
+        body = map(
+          lit("AccountID"), col("recipientAccountId"),
+          lit("UserCreated"), col("userCreated")
+        ),
+        occurrences = lit(1)
+      ): _*
+    )
+  }
+}
+
+/** Keyed count with windowed flush (reference: cloudTrail_agg.go:30-96;
+  * golden expectation Occurrences=3, integration_test.go:319-416).
+  *
+  * Filter no-MFA events, key by principal, keep the FIRST event's fields
+  * and count occurrences. Batch form: groupBy + first-by-time; the
+  * interval-flush streaming form is graft.streaming.IntervalFlushAgg.
+  */
+object CloudTrailNoMfaAggRule extends Rule {
+  val name = "cloudTrailNoMfaAgg"
+  override def flushIntervalSec: Int = 2
+
+  def apply(ct: DataFrame): DataFrame = {
+    val noMfa = ct
+      .filter(
+        col("userIdentity.sessionContext.attributes.mfaAuthenticated") === "false"
+      )
+      .withColumn("principal", Principal.aggVariant(col("userIdentity")))
+    val w = Window.partitionBy(col("principal")).orderBy(col("eventTime"), col("eventID"))
+    noMfa
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("principal"))))
+      .filter(col("_rn") === 1)
+      .select(
+        Rules.outputEvent(
+          source = lit("CloudTrail"),
+          eventTime = col("eventTime"),
+          eventType = lit("NoMFA"),
+          name = lit("NoMFA"),
+          level = lit(Level.Warn),
+          eventId = col("eventID"),
+          entity = col("principal"),
+          sourceIP = col("sourceIPAddress"),
+          body = map(lit("AccountID"), col("recipientAccountId")),
+          occurrences = col("_n").cast("int")
+        ): _*
+      )
+  }
+}

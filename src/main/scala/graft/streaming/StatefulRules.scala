@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming forms of the two stateful go-fish patterns. Both ride
+  * Spark's state store (checkpointed, exactly-once — a strict upgrade
+  * over the reference's at-most-once BoltDB KV, SURVEY §2.6), and both
+  * shuffle by key exactly once: state lives on the executors, so key
+  * cardinality scales out with the cluster instead of a single
+  * process's disk.
+  */
+object StatefulRules {
+
+  /** A record on the wire of a keyed enrichment: `side` 0 = build
+    * (writes the KV), 1 = probe (reads it). `payload` is opaque to the
+    * state machine (typically an OutputEvent precursor as JSON).
+    */
+  case class KeyedMsg(key: String, tSec: Long, side: Int, payload: String)
+
+  case class Enriched(key: String, tSec: Long, payload: String, resolved: Option[String])
+
+  /** Streaming as-of enrichment (reference: cloudTrail_s2s_join.go:68-78
+    * build / 37-57 probe): per key, remember the latest build payload;
+    * each probe is answered with the value visible at its arrival.
+    * Last-write-wins, unbounded state, no TTL — exactly the reference's
+    * KV semantics. Within a micro-batch, rows are replayed in
+    * (time, side) order so build rows precede probes at equal time.
+    */
+  def enrichment(msgs: Dataset[KeyedMsg]): Dataset[Enriched] = {
+    import msgs.sparkSession.implicits._
+    msgs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[KeyedMsg], state: GroupState[String]) => {
+          var latest = state.getOption
+          val out = Vector.newBuilder[Enriched]
+          it.toVector.sortBy(m => (m.tSec, m.side)).foreach { m =>
+            if (m.side == 0) latest = Some(m.payload)
+            else out += Enriched(key, m.tSec, m.payload, latest)
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+        }
+      )
+  }
+
+  case class CountedState(firstPayload: String, n: Int)
+
+  case class Flushed(key: String, payload: String, occurrences: Int)
+
+  /** Interval flush with emit-and-clear (reference: window.go:19-49 +
+    * cloudTrail_agg.go:36-96): per key, keep the FIRST payload and an
+    * occurrence count; `intervalMs` after the key last saw data, emit
+    * one record and clear the state — the reference's `Window()`
+    * ForEach+Delete flush, expressed as a ProcessingTimeTimeout instead
+    * of a ticker goroutine.
+    */
+  def intervalFlushCount(
+      msgs: Dataset[(String, String)],
+      intervalMs: Long
+  ): Dataset[Flushed] = {
+    import msgs.sparkSession.implicits._
+    msgs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (key: String, it: Iterator[(String, String)], state: GroupState[CountedState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Flushed(key, s.firstPayload, s.n))
+          } else {
+            val batch = it.toVector
+            if (batch.nonEmpty) {
+              val cur = state.getOption.getOrElse(CountedState(batch.head._2, 0))
+              state.update(cur.copy(n = cur.n + batch.size))
+            }
+            if (state.exists) state.setTimeoutDuration(intervalMs)
+            Iterator.empty
+          }
+        }
+      )
+  }
+
+  /** Memory-sink runner for tests and local smoke: starts the query,
+    * waits for all available input, returns the collected table.
+    */
+  def runToMemory[T](spark: SparkSession, ds: Dataset[T], name: String): Unit = {
+    val q = ds.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+  }
+}
