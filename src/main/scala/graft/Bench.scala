@@ -1,19 +1,39 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Perf harness: one JSON line with per-query wall seconds at the
+  * SPARK_GRAFT_SF_DIR scale factor.
+  *
+  * Measurement honesty:
+  *   - results go to the `noop` sink, not `.count()` — count() lets the
+  *     optimizer prune every computed column and can reduce a query to
+  *     a bare scan;
+  *   - a warmup query runs first so JVM/codegen/scan-cache startup cost
+  *     is not charged to whichever query happens to run first;
+  *   - queries run in sorted name order (deterministic across runs).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // Warmup: a representative mid-size query, result discarded.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    runOne(names.head)
+
+    val results = names.map(n => n -> runOne(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Documents, Events, Relational, Vectors}
+import graft.queries.{Documents, Events, Multimodal, Relational, TextPipeline, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val raw = Relational.queries ++ Events.queries ++ Documents.queries ++ Vectors.queries
+    val raw = Relational.queries ++ Events.queries ++ Documents.queries ++ Vectors.queries ++
+      TextPipeline.queries ++ Multimodal.queries
     raw.map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
         GraftSession.tune(s)
@@ -38,5 +39,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ Documents.oracles ++ Vectors.oracles
+    Relational.oracles ++ Events.oracles ++ Documents.oracles ++ Vectors.oracles ++
+      TextPipeline.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,231 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-heavy dedup kernels.
+  *
+  * The declarative forms in graft.operators.Dedup (nested array
+  * higher-order functions) are semantically exact but evaluate
+  * interpreted — per-element lambda dispatch outside whole-stage
+  * codegen. These expressions compute the identical values (same md5,
+  * same universal-hash constants — oracle SQL stays valid, equality is
+  * property-tested in DedupKernelSpec) in one JVM kernel call per row,
+  * and participate in whole-stage codegen via defineCodeGen.
+  *
+  * This is the build brief's tier (b): a custom Expression where
+  * composition of built-ins can't hit the required speed.
+  */
+object HashKernels {
+
+  val P: Long = 1073741789L // largest prime < 2^30, matches Dedup.HashP
+
+  private def md5(bytes: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(bytes)
+
+  /** First 15 hex digits of md5 as an integer, mod P — identical to
+    * `conv(substr(md5(s), 1, 15), 16, 10) % P`.
+    */
+  def baseHash(s: UTF8String): Long = {
+    val d = md5(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((d(7) & 0xf0L) >> 4) // 15th hex digit = high nibble of byte 7
+    v % P
+  }
+
+  /** MinHash signature over a shingle array: one md5 per shingle, n
+    * universal hashes h_i = ((2i+1)·x + i²+i+7) mod P, min per i.
+    * Empty input → null (callers filter empties; mirrors array_min's
+    * null on empty arrays in the declarative form).
+    */
+  def minhashSig(shingles: ArrayData, n: Int): GenericArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val mins = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val x = baseHash(shingles.getUTF8String(j))
+      var i = 0
+      while (i < n) {
+        val h = ((2L * i + 1) * x + (i.toLong * i + i + 7)) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 16-bit SimHash over a token array: bit j set iff more tokens have
+    * the top bit of md5 hex digit j set than not — identical to the
+    * declarative simhash16FromHashes ∘ tokenMd5s.
+    */
+  def simhash16(tokens: ArrayData): Int = {
+    val counts = new Array[Int](16)
+    val m = tokens.numElements()
+    var t = 0
+    while (t < m) {
+      val d = md5(tokens.getUTF8String(t).getBytes)
+      var j = 0
+      while (j < 16) {
+        // hex digit j = high nibble of byte j/2 (j even) else low nibble
+        val nibble = if ((j & 1) == 0) (d(j >> 1) & 0xf0) >> 4 else d(j >> 1) & 0x0f
+        counts(j) += (if (nibble >= 8) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var v = 0
+    var j = 0
+    while (j < 16) { if (counts(j) > 0) v |= 1 << j; j += 1 }
+    v
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5hex(s: String): String = {
+    val d = md5(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) & 0xf0) >> 4)
+      out(2 * i + 1) = hexDigits(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. '03): md5 each ordered
+    * k-gram, slide a window of `w` hashes, keep each window's
+    * lexicographic min, distinct in first-occurrence order — identical
+    * to the declarative Dedup.winnowFingerprints. O(n·w) with w small;
+    * the declarative form materializes a slice per window and is
+    * unusable at scale.
+    */
+  def winnow(tokens: ArrayData, k: Int, w: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val nGrams = m - k + 1
+    val kh = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      kh(i) = md5hex(sb.toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    if (nGrams < w) {
+      var min = kh(0)
+      var t = 1
+      while (t < nGrams) { if (kh(t).compareTo(min) < 0) min = kh(t); t += 1 }
+      seen.add(min)
+    } else {
+      var start = 0
+      while (start <= nGrams - w) {
+        var min = kh(start)
+        var t = start + 1
+        while (t < start + w) { if (kh(t).compareTo(min) < 0) min = kh(t); t += 1 }
+        seen.add(min)
+        start += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct ordered k-gram shingles of a token array, joined with
+    * single spaces, first-occurrence order — identical to
+    * `array_distinct(transform(...array_join(slice(toks,i+1,k))...))`.
+    */
+  def shingleSet(tokens: ArrayData, k: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - k) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class MinHashSigExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.minhashSig($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "simhash16"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class ShingleSetExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleSet(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.shingleSet($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.winnow(input.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Column-level API for the kernel expressions. */
+object TextHashExprs {
+  def minhashSig(shingles: Column, n: Int): Column =
+    GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(shingles), n))
+  def simhash16(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(tokens)))
+  def shingleSet(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleSetExpr(GraftSqlBridge.expression(tokens), k))
+  def winnow(tokens: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowExpr(GraftSqlBridge.expression(tokens), k, w))
+}

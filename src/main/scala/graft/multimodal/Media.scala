@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract stages.
+  *
+  * The Spark-side plumbing is real and tested — schema, partition-wise
+  * batched processing, stage signatures; only the codec itself is a
+  * STUB (`FakeCodec`), because media libraries are not available in
+  * this environment. Swap `Codec` for a JNI/library-backed
+  * implementation and nothing else changes.
+  *
+  * Scale design: decode runs as `mapPartitions` over the binary column
+  * — one codec instance per partition (amortized init, the same shape
+  * as a pandas-UDF batch), no driver involvement, and the binary
+  * payload is projected out as early as possible so only the narrow
+  * feature columns shuffle.
+  */
+object Media {
+
+  /** Typed metadata accompanying every media payload. */
+  case class MediaMeta(mediaId: Long, kind: String, uri: String, sizeBytes: Long)
+
+  case class MediaRecord(mediaId: Long, kind: String, uri: String, payload: Array[Byte])
+
+  /** Decoded-frame features: what a real image/audio decode would emit. */
+  case class MediaFeatures(
+      mediaId: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      meanIntensity: Double,
+      payloadBytes: Long
+  )
+
+  /** The codec seam. A real implementation wraps e.g. libjpeg/ffmpeg;
+    * instances are created once per partition, never serialized.
+    */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double)
+  }
+
+  /** STUB codec: deterministic fake decode so the pipeline shape is
+    * testable without media libraries. "Dimensions" derive from payload
+    * length, "intensity" from a byte sum — stable across runs/engines.
+    */
+  object FakeCodec extends Codec {
+    def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double) = {
+      val n = payload.length
+      val width = math.max(1, n % 1024)
+      val height = math.max(1, (n / 1024) % 1024)
+      val channels = if (kind == "audio") 1 else 3
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += payload(i) & 0xff; i += 1 }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      (width, height, channels, mean)
+    }
+  }
+
+  /** Decode stage: binary payloads → typed features, batched per
+    * partition with one codec instance each (the mapInPandas shape).
+    */
+  def decodeFeatures(records: Dataset[MediaRecord], codec: Codec = FakeCodec): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // one codec per partition — this is where a real codec would init
+      it.map { r =>
+        val (w, h, c, mean) = codec.decode(r.payload, r.kind)
+        MediaFeatures(r.mediaId, r.kind, w, h, c, mean, r.payload.length.toLong)
+      }
+    }
+  }
+
+  /** Frame-sampling stage for video-like payloads: deterministic stride
+    * sampling of `frames` chunks from the payload, each chunk becoming
+    * its own decodable record — the flatMap shape of video → frames.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frames: Int, frameBytes: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val n = r.payload.length
+      if (n == 0) Iterator.empty
+      else {
+        val stride = math.max(1, n / frames)
+        (0 until frames).iterator
+          .map(_ * stride)
+          .takeWhile(_ < n)
+          .zipWithIndex
+          .map { case (off, idx) =>
+            r.copy(
+              mediaId = r.mediaId * 1000 + idx,
+              payload = r.payload.slice(off, math.min(n, off + frameBytes))
+            )
+          }
+      }
+    }
+  }
+
+  /** Build a media table from any DataFrame with an id and a string
+    * column, treating the UTF-8 bytes as the opaque payload — the test
+    * harness's stand-in for reading real media files.
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String, kind: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("mediaId"),
+      lit(kind).as("kind"),
+      concat(lit("synthetic://"), col(idCol).cast("string")).as("uri"),
+      encode(col(textCol), "UTF-8").as("payload")
+    )
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large text corpora: MinHash + LSH,
+  * SimHash, n-gram Jaccard, and winnowing fingerprints.
+  *
+  * Everything is built from codegen'd Catalyst expressions (array
+  * higher-order functions over md5) — no UDFs, no driver-side loops —
+  * and all hashing is engine-portable (md5 of UTF-8 text, compared
+  * lexicographically), so every stage can be verified against an
+  * external SQL oracle bit-for-bit.
+  *
+  * Scale design (the point of the exercise):
+  *   - signatures are one narrow projection per doc — map-side only;
+  *   - LSH banding turns the O(n²) pair space into groupBy(band, hash)
+  *     buckets — one shuffle of (doc_id, band_hash), pairs only form
+  *     inside buckets (standard MinHash-LSH, Broder '97 / MMDS ch.3);
+  *   - the verify stage joins candidate pairs back to shingle sets —
+  *     two hash joins, each a fraction of the corpus.
+  *
+  * go-fish has no dedup surface at all (SURVEY §2.8); this is part of
+  * the training-data-pipeline extension mandated by the build brief.
+  */
+object Dedup {
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Ordered k-gram shingles (with duplicates — winnowing needs order). */
+  def orderedShingles(toks: Column, k: Int): Column =
+    when(
+      size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i => array_join(slice(toks, i + 1, lit(k)), " "))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Distinct k-gram shingle set (the MinHash/Jaccard universe). */
+  def shingles(toks: Column, k: Int): Column = array_distinct(orderedShingles(toks, k))
+
+  /** Prime modulus for the universal-hash family (largest prime < 2^30,
+    * so a*x+b stays well under 2^63 on any engine).
+    */
+  val HashP: Long = 1073741789L
+
+  /** Base shingle hash: the first 15 hex digits of md5 (60 bits) reduced
+    * mod [[HashP]]. ONE md5 per shingle — the `n` MinHash functions are
+    * then derived with cheap integer arithmetic ([[minhashSignature]]),
+    * the classic universal-hashing construction (h_i = a_i·x+b_i mod p).
+    * Engine-portable: md5 + hex→int + mod exist everywhere.
+    */
+  def baseHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => conv(md5(s).substr(1, 15), 16, 10).cast("long") % HashP)
+
+  /** MinHash signature over pre-computed base hashes: element i is
+    * min over shingles of (a_i·x + b_i) mod p with a_i = 2i+1 (odd),
+    * b_i = i² + i + 7 — fixed, engine-portable constants.
+    *
+    * IMPORTANT: materialize `baseHashes` in its own projection (its own
+    * `select`) before calling this, or Catalyst's CollapseProject will
+    * inline the md5 pass once per hash function.
+    */
+  def minhashSignature(baseHashCol: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), lit(n - 1)),
+      i => array_min(transform(baseHashCol, x => ((lit(2L) * i + 1) * x + (i * i + i + 7)) % HashP))
+    )
+
+  /** LSH band hashes: split the signature into `bands` equal bands and
+    * hash each band; docs sharing any (band_index, band_hash) become
+    * candidate pairs. rows = signature length / bands.
+    */
+  def bandHashes(signature: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        md5(
+          concat(
+            b.cast("string"),
+            lit("|"),
+            array_join(transform(slice(signature, b * rows + 1, lit(rows)), _.cast("string")), ",")
+          )
+        )
+    )
+
+  /** Docs → (id, band, band_hash) long form, one row per band — the
+    * shuffle-side of LSH bucketing.
+    */
+  def explodeBands(df: DataFrame, idCol: String, textCol: String, k: Int, numHashes: Int, bands: Int): DataFrame = {
+    // Kernel expressions (graft.expressions, codegen'd single-call-per-row)
+    // compute the same values as the declarative shingles/baseHashes/
+    // minhashSignature composition — equality is property-tested.
+    // Docs with no shingles have no signature (min of an empty set) and
+    // must not bucket together — drop them before banding.
+    df.select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(
+        col(idCol),
+        posexplode(
+          bandHashes(graft.expressions.TextHashExprs.minhashSig(col("_sh"), numHashes), bands, numHashes / bands)
+        ).as(Seq("band", "band_hash"))
+      )
+  }
+
+  /** Candidate pairs (id1 < id2) from LSH bucket collisions.
+    *
+    * Shape matters here: a naive self-join of the bands relation would
+    * execute the whole signature pipeline twice (Spark only reuses
+    * common subplans across join sides at identical exchanges, which
+    * aliasing defeats). Instead, ONE shuffle groups ids per (band,
+    * band_hash) bucket and pairs are exploded from each bucket's sorted
+    * id list — signatures are computed exactly once, and the output is
+    * identical to the join form.
+    */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    bandsDf
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("ids"),
+              (x, i) => transform(slice(col("ids"), i + 2, size(col("ids"))), y => array(x, y))
+            )
+          )
+        ).as("p")
+      )
+      .select(element_at(col("p"), 1).as("id1"), element_at(col("p"), 2).as("id2"))
+      .distinct()
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(s1: Column, s2: Column): Column =
+    when(
+      size(array_union(s1, s2)) > 0,
+      size(array_intersect(s1, s2)).cast("double") / size(array_union(s1, s2))
+    ).otherwise(lit(0.0))
+
+  /** Full MinHash-LSH near-dup pipeline: candidate pairs with their
+    * exact Jaccard, at or above `threshold`. One narrow map stage, one
+    * bucket shuffle, two verify joins — no O(n²) stage anywhere.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.0
+  ): DataFrame = {
+    // Shingle sets feed three consumers (banding, both verify sides) —
+    // persist so tokenization+shingling runs once. MEMORY_AND_DISK:
+    // spills instead of OOMing when the corpus outgrows executor memory.
+    val sh = df
+      .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sh
+      .select(
+        col(idCol),
+        posexplode(
+          bandHashes(graft.expressions.TextHashExprs.minhashSig(col("sh"), numHashes), bands, numHashes / bands)
+        ).as(Seq("band", "band_hash"))
+      )
+    val pairs = candidatePairs(bandsDf, idCol)
+    pairs
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-token md5 array — materialize this in its own projection, then
+    * feed [[simhash16FromHashes]], so each token is hashed once instead
+    * of once per bit.
+    */
+  def tokenMd5s(toks: Column): Column = transform(toks, t => md5(t))
+
+  /** 16-bit SimHash over pre-hashed tokens: bit j is set iff the count
+    * of tokens whose j-th md5 hex digit has its top bit set exceeds the
+    * count of those that don't (Charikar '02, hex-digit form so the
+    * same expression runs on any engine with md5 + substring).
+    * Tokens carry multiplicity, matching the weighted original.
+    */
+  def simhash16FromHashes(hs: Column): Column = {
+    val bits = transform(
+      sequence(lit(0), lit(15)),
+      j =>
+        when(
+          aggregate(
+            hs,
+            lit(0),
+            (acc, h) => acc + when(h.substr(j + 1, lit(1)) >= "8", 1).otherwise(-1)
+          ) > 0,
+          1
+        ).otherwise(0)
+    )
+    aggregate(zip_with(bits, sequence(lit(0), lit(15)), (b, j) => (b * pow(lit(2.0), j)).cast("int")), lit(0), _ + _)
+  }
+
+  /** One-expression convenience form (tests, tiny inputs); production
+    * paths should stage [[tokenMd5s]] separately.
+    */
+  def simhash16(toks: Column): Column = simhash16FromHashes(tokenMd5s(toks))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03): hash every
+    * ordered k-gram, slide a window of `w` hashes, keep each window's
+    * min — the classic local document fingerprint set.
+    */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column = {
+    val kh = transform(orderedShingles(toks, k), s => md5(s))
+    when(
+      size(kh) >= w,
+      array_distinct(transform(sequence(lit(0), size(kh) - w), i => array_min(slice(kh, i + 1, lit(w)))))
+    ).otherwise(array_distinct(when(size(kh) > 0, array(array_min(kh))).otherwise(array().cast("array<string>"))))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, all shuffle-conscious:
+  *   - `bruteForceTopK`: broadcast the (small) query set, map-side dot
+  *     products over the candidate corpus, per-query top-k via window.
+  *     Exact; the correctness baseline. Scales linearly in corpus size —
+  *     right up to the point the query set stops being broadcastable.
+  *   - `cellTopK` (IVF-style): both sides are pre-partitioned into
+  *     coarse cells; search only within the query's cell. One co-located
+  *     join on the cell key instead of a cross join — the 100 TB path.
+  *   - `signLshBuckets`: random-hyperplane signature (Charikar '02)
+  *     with hyperplanes derived deterministically from md5, so bucket
+  *     assignment is reproducible across engines and runs. Collisions
+  *     in any signature band become candidates, like Dedup's LSH.
+  *
+  * Dot products use zip_with + a sequential aggregate fold, in array
+  * order — bit-deterministic for a given row, independent of
+  * partitioning.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Float embedding → double array (widen before any arithmetic). */
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries  (qid, qemb) — must be small enough to broadcast
+    * @param corpus   (nid, nemb)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = corpus
+      .join(broadcast(queries), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style cell-restricted top-k: join on the cell key (one
+    * co-located shuffle join), rank within the cell. Recall depends on
+    * the cell assignment; with a trained quantizer this is classic IVF,
+    * with a semantic partition key (here: label) it is blocked ANN.
+    *
+    * @param queries (qid, qemb, cell)
+    * @param corpus  (nid, nemb, cell)
+    */
+  def cellTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = corpus
+      .join(queries, Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("cell"), col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim d): +1 if the first hex digit of md5("j:d") has its top bit
+    * set, else -1. Computed ONCE on the driver and shipped as a
+    * literal matrix — the hyperplanes are row-independent, so hashing
+    * per row would be pure waste. Engine-portable (the md5 formula is
+    * reproducible in any SQL oracle) and needs no RNG state.
+    */
+  def planeComponent(j: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(s"$j:$d".getBytes("UTF-8"))
+    // top bit of the first hex digit == top bit of the first byte
+    if ((digest(0) & 0x80) != 0) 1.0 else -1.0
+  }
+
+  /** `planes`-bit sign-LSH signature of an embedding (double array):
+    * bit j = sign of the dot product with pseudo-random hyperplane j.
+    * `dims` is the embedding dimensionality (plane matrix size).
+    */
+  def signLshSignature(emb: Column, planes: Int, dims: Int): Column = {
+    val planeRows: Seq[Seq[Double]] =
+      (0 until planes).map(j => (0 until dims).map(d => planeComponent(j, d)))
+    val bits = transform(
+      sequence(lit(0), lit(planes - 1)),
+      j =>
+        when(
+          aggregate(
+            zip_with(emb, element_at(typedLit(planeRows), j + 1), (x, c) => x * c),
+            lit(0.0),
+            (acc, x) => acc + x
+          ) > 0,
+          1
+        ).otherwise(0)
+    )
+    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, j) => (b * pow(lit(2.0), j)).cast("int")), lit(0), _ + _)
+  }
+
+  /** Bucket a corpus by sign-LSH signature: vectors sharing a bucket
+    * are the candidate set for each other. Increase `planes` for
+    * precision, lower it (or search neighboring buckets) for recall.
+    */
+  def signLshBuckets(df: DataFrame, idCol: String, embCol: String, planes: Int, dims: Int): DataFrame =
+    df.select(col(idCol), signLshSignature(col(embCol), planes, dims).as("bucket"))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: language
+  * identification, quality scoring, token counting, and document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs),
+  * all deterministic and engine-portable.
+  */
+object TextAnalysis {
+
+  /** Indicator stopwords per language — the classic cheap language-ID
+    * heuristic: score = number of tokens found in each language's
+    * closed-class word list, argmax wins. (A production system would
+    * use char-n-gram profiles; the harness — per-language score columns,
+    * deterministic argmax with alphabetic tie-break — is identical.)
+    */
+  val indicators: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men")
+  )
+
+  /** Number of tokens contained in `words`. */
+  def indicatorHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language: argmax of indicator hits, ties broken by
+    * alphabetic language order; no hits at all → "und" (undetermined,
+    * the BCP-47 convention).
+    */
+  def langId(toks: Column): Column = {
+    val scored = indicators.map { case (lang, words) => (lang, indicatorHits(toks, words)) }
+    val best = scored
+      .map(_._2)
+      .reduce((a, b) => when(a >= b, a).otherwise(b)) // max, first-wins ⇒ alphabetic tie-break
+    scored.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+      when(score > 0 && score === best, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Canonical content fingerprint: md5 of the whitespace-normalized,
+    * lower-cased token stream. Detects reformatted exact duplicates
+    * that raw-byte hashing misses.
+    */
+  def canonicalFingerprint(text: Column): Column =
+    md5(array_join(Dedup.tokens(text), " "))
+
+  /** Positional rolling hash (order-sensitive, unlike a bag-of-words
+    * hash): fold over (token, index), h = (h * 31 + tokHash(t, i)) mod p
+    * with p < 2^30 so every intermediate fits in a long on any engine.
+    */
+  def rollingHash(toks: Column): Column = {
+    val p = lit(1073741789L) // largest prime < 2^30
+    // per-token value: first 7 hex digits of md5 → 28-bit int, position-salted
+    val tokVal = (t: Column, i: Column) => conv(md5(concat(i.cast("string"), lit("@"), t)).substr(1, 7), 16, 10).cast("long")
+    aggregate(
+      zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) => tokVal(t, i)),
+      lit(0L),
+      (acc, v) => pmod(acc * 31L + v, p)
+    )
+  }
+
+  /** BPE-ish subword count: word tokens plus punctuation runs, the
+    * standard cheap proxy for tokenizer cost before a real BPE pass.
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[a-z0-9])(?![a-z0-9])|(?<![a-z0-9])(?=[a-z0-9])"), t => length(trim(t)) > 0))
+}

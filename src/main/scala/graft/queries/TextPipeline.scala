@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.tables.Tables
+
+/** Training-data text pipeline, part 2: near-dup detection (MinHash+LSH,
+  * SimHash, winnowing) and text analysis (language-ID, fingerprints) —
+  * every stage oracle-checked bit-for-bit because all hashing is
+  * engine-portable md5.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  // ---- q35: MinHash + LSH near-duplicate candidate pairs --------------------
+  // 8 hash functions, 4 bands of 2 rows: collision prob J^2 per band — low
+  // threshold so the synthetic corpus (shared vocabulary, no true dups)
+  // still produces candidates to verify. Output: every candidate pair with
+  // its exact Jaccard over 3-gram shingle sets.
+  def q35MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
+      .orderBy("id1", "id2")
+
+  val q35Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN LEN(toks) >= 3
+      |              THEN list_distinct(list_transform(range(0, LEN(toks) - 2),
+      |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |              ELSE [] END AS sh
+      |       FROM d),
+      |xs AS (SELECT doc_id,
+      |         list_transform(sh, s -> list_reduce(list_transform(range(1, 16),
+      |           ii -> CAST(strpos('0123456789abcdef', substr(md5(s), ii, 1)) - 1 AS BIGINT)),
+      |           (a, x) -> a * 16 + x) % 1073741789) AS xs
+      |       FROM sh WHERE LEN(sh) > 0),
+      |sig AS (SELECT doc_id,
+      |          list_transform(range(0, 8), i -> list_aggregate(
+      |            list_transform(xs, x -> ((2*i + 1) * x + (i*i + i + 7)) % 1073741789), 'min')) AS sig
+      |        FROM xs),
+      |exploded AS (SELECT doc_id, band,
+      |               md5(band || '|' || array_to_string(sig[band*2+1 : band*2+2], ',')) AS band_hash
+      |             FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |          FROM exploded a JOIN exploded b USING (band, band_hash)
+      |          WHERE a.doc_id < b.doc_id)
+      |SELECT id1, id2,
+      |  CASE WHEN LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) > 0
+      |       THEN CAST(LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+      |            / (LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))))
+      |       ELSE 0.0 END AS jaccard
+      |FROM pairs JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
+  // ---- q36: SimHash document fingerprint -------------------------------------
+  def q36Simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      // kernel expression: one codegen'd call per row (values identical
+      // to the declarative Dedup.simhash16, property-tested)
+      .select(col("doc_id"), graft.expressions.TextHashExprs.simhash16(Dedup.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  val q36Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        list_transform(range(0, 16), j ->
+      |          CASE WHEN list_reduce(list_prepend(0, list_transform(toks,
+      |                 t -> CASE WHEN substr(md5(t), j+1, 1) >= '8' THEN 1 ELSE -1 END)),
+      |                 (a, x) -> a + x) > 0
+      |               THEN 1 ELSE 0 END) AS bits
+      |      FROM d)
+      |SELECT doc_id,
+      |  CAST(list_reduce(list_prepend(0, list_transform(list_zip(bits, range(0, 16)),
+      |         p -> p[1] * (1 << p[2]))), (a, x) -> a + x) AS INTEGER) AS simhash
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q37: winnowing fingerprints (k-gram=3, window=4) ----------------------
+  def q37Winnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.expressions.TextHashExprs.winnow(Dedup.tokens(col("text")), k = 3, w = 4)
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(fps).as("n_fingerprints"),
+        array_min(fps).as("min_fp"),
+        array_max(fps).as("max_fp")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q37Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |kh AS (SELECT doc_id,
+      |         CASE WHEN LEN(toks) >= 3
+      |              THEN list_transform(list_transform(range(0, LEN(toks) - 2),
+      |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), s -> md5(s))
+      |              ELSE [] END AS kh
+      |       FROM d),
+      |fp AS (SELECT doc_id,
+      |         CASE WHEN LEN(kh) >= 4
+      |              THEN list_distinct(list_transform(range(0, LEN(kh) - 3),
+      |                     i -> list_aggregate(kh[i+1 : i+4], 'min')))
+      |              WHEN LEN(kh) > 0 THEN [list_aggregate(kh, 'min')]
+      |              ELSE [] END AS fps
+      |       FROM kh)
+      |SELECT doc_id,
+      |  CAST(LEN(fps) AS INTEGER) AS n_fingerprints,
+      |  list_aggregate(fps, 'min') AS min_fp,
+      |  list_aggregate(fps, 'max') AS max_fp
+      |FROM fp
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q38: language identification (indicator-word heuristic) ----------------
+  def q38LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val scoreCols = TextAnalysis.indicators.map { case (lang, words) =>
+      TextAnalysis.indicatorHits(toks, words).as(s"score_$lang")
+    }
+    docs(s, dir)
+      .select(Seq(col("doc_id"), col("lang"), TextAnalysis.langId(toks).as("lang_pred")) ++ scoreCols: _*)
+      .orderBy("doc_id")
+  }
+
+  val q38Sql: String = {
+    val scoreExprs = TextAnalysis.indicators
+      .map { case (lang, words) =>
+        s"CAST(LEN(list_filter(toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS INTEGER) AS score_$lang"
+      }
+      .mkString(",\n        ")
+    val best = TextAnalysis.indicators.map { case (l, _) => s"score_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = TextAnalysis.indicators
+      .map { case (l, _) => s"WHEN score_$l > 0 AND score_$l = $best THEN '$l'" }
+      .mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks FROM documents),
+       |scored AS (SELECT doc_id, lang,
+       |        $scoreExprs
+       |      FROM d)
+       |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred,
+       |       score_de, score_en, score_es, score_fr, score_zh
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q39: document fingerprints (canonical md5 + positional rolling hash) ---
+  def q39Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("canon_fp"),
+        TextAnalysis.rollingHash(toks).as("rolling_hash")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q39Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |v AS (SELECT doc_id, array_to_string(toks, ' ') AS canon,
+      |        list_transform(list_zip(toks, range(0, LEN(toks))), p ->
+      |          list_reduce(list_transform(range(1, 8), ii ->
+      |            CAST(strpos('0123456789abcdef', substr(md5(p[2] || '@' || p[1]), ii, 1)) - 1 AS BIGINT)),
+      |            (a, x) -> a * 16 + x)) AS vals
+      |      FROM d)
+      |SELECT doc_id, md5(canon) AS canon_fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |    (acc, x) -> (acc * 31 + x) % 1073741789) AS rolling_hash
+      |FROM v
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_minhash_lsh" -> (q35MinhashLsh _),
+    "q36_simhash" -> (q36Simhash _),
+    "q37_winnow" -> (q37Winnow _),
+    "q38_lang_id" -> (q38LangId _),
+    "q39_fingerprints" -> (q39Fingerprints _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q35_minhash_lsh" -> q35Sql,
+    "q36_simhash" -> q36Sql,
+    "q37_winnow" -> q37Sql,
+    "q38_lang_id" -> q38Sql,
+    "q39_fingerprints" -> q39Sql
+  )
+}

@@ -94,13 +94,82 @@ object Vectors {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  // ---- q42: IVF-style cell-restricted ANN ------------------------------------
+  // The 100 TB path: instead of a cross join against the whole corpus, both
+  // sides carry a coarse cell key (here the label partition) and search is
+  // one co-located equi-join within the cell. graft.operators.Similarity
+  // provides the same shape with trained/LSH cells.
+  def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      col("label").as("cell"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("cell"), col("e").as("qemb"))
+    val c = e.select(col("vec_id").as("nid"), col("cell"), col("e").as("nemb"))
+    graft.operators.Similarity
+      .cellTopK(q, c, k = 3)
+      .select("qid", "cell", "rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  val q42Sql: String =
+    """WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS qid, cell, emb AS qemb FROM e WHERE vec_id < 8),
+      |pairs AS (
+      |  SELECT q.cell AS cell, qid, e.vec_id AS nid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, emb), p -> p[1] * p[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, qemb), p -> p[1] * p[2])), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(emb, emb),  p -> p[1] * p[2])), (a, b) -> a + b))) AS cosine
+      |  FROM e JOIN q ON e.cell = q.cell AND e.vec_id <> qid),
+      |ranked AS (
+      |  SELECT cell, qid, nid, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rank
+      |  FROM pairs)
+      |SELECT qid, cell, rank, nid, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
+  // ---- q43: sign-LSH bucket assignment -----------------------------------------
+  // Random-hyperplane signatures with md5-derived deterministic planes: the
+  // scale path for similarity self-join (vectors sharing a bucket are each
+  // other's candidate set). 8 planes → 256 buckets.
+  def q43SignLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    graft.operators.Similarity
+      .signLshBuckets(e, idCol = "vec_id", embCol = "e", planes = 8, dims = 64)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy("bucket")
+  }
+
+  val q43Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |  CAST(list_reduce(list_prepend(0, list_transform(range(0, 8), j ->
+      |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(emb, range(0, LEN(emb))), p ->
+      |           p[1] * CASE WHEN substr(md5(j || ':' || p[2]), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)),
+      |           (a, x) -> a + x) > 0
+      |         THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS INTEGER) AS bucket
+      |  FROM e)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(vec_id) AS min_vec_id
+      |FROM sig
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute_force" -> (q40KnnBruteForce _),
-    "q41_norm_stats" -> (q41NormStats _)
+    "q41_norm_stats" -> (q41NormStats _),
+    "q42_ann_ivf" -> (q42AnnIvf _),
+    "q43_sign_lsh" -> (q43SignLsh _)
   )
 
   val oracles: Map[String, String] = Map(
     "q40_knn_brute_force" -> q40Sql,
-    "q41_norm_stats" -> q41Sql
+    "q41_norm_stats" -> q41Sql,
+    "q42_ann_ivf" -> q42Sql,
+    "q43_sign_lsh" -> q43Sql
   )
 }

@@ -1,0 +1,48 @@
+package graft.decode
+
+import org.apache.spark.sql.functions._
+
+import graft.{Fixtures, SparkSpec}
+import graft.model.EventSchemas
+
+class DecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dispatch(lines: String*) =
+    Decode.dispatch(lines.toDF("value"), EventSchemas.registry)
+
+  test("CloudTrail records are claimed by the CloudTrail type") {
+    val d = dispatch(Fixtures.assumeRoleEvent, Fixtures.createUserEvent)
+    d.select("_event_type").as[String].collect().toSeq shouldBe Seq("CloudTrail", "CloudTrail")
+  }
+
+  test("certstream records dispatch to certStream, not CloudTrail") {
+    val d = dispatch(Fixtures.certStreamEvent)
+    d.select("_event_type").as[String].head() shouldBe "certStream"
+  }
+
+  test("non-JSON records are dead-lettered, not dropped silently") {
+    val d = dispatch("not json at all", Fixtures.assumeRoleEvent)
+    Decode.deadLetter(d).as[String].collect().toSeq shouldBe Seq("not json at all")
+    Decode.ofType(d, "CloudTrail").count() shouldBe 1
+  }
+
+  test("ofType flattens the claimed schema and keeps _raw") {
+    val ct = Decode.ofType(dispatch(Fixtures.createUserEvent), "CloudTrail")
+    ct.columns should contain allOf ("_raw", "eventName", "userIdentity", "eventTime")
+    ct.select("eventName").as[String].head() shouldBe "CreateUser"
+    ct.select(col("userIdentity.sessionContext.attributes.mfaAuthenticated"))
+      .as[String]
+      .head() shouldBe "false"
+  }
+
+  test("eventTime parses as a UTC instant") {
+    val ct = Decode.ofType(dispatch(Fixtures.createUserEvent), "CloudTrail")
+    ct.select(col("eventTime").cast("long")).as[Long].head() shouldBe 1479144345L // 2016-11-14T17:25:45Z
+  }
+
+  test("JSON that matches no required fields is unclaimed") {
+    val d = dispatch("""{"foo": 1}""")
+    d.select("_event_type").as[Option[String]].head() shouldBe None
+  }
+}

@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The codegen'd kernels must compute EXACTLY the declarative values —
+  * the oracle SQL was written against the declarative forms, so any
+  * divergence silently breaks the correctness gate.
+  */
+class TextHashExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val docGen: Gen[String] = Gen.listOf(wordGen).map(_.mkString(" "))
+
+  test("kernel shingleSet == declarative shingles (property)") {
+    val docsGen = Gen.listOfN(20, docGen)
+    val prop = forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df.select(
+        TextHashExprs.shingleSet(Dedup.tokens(col("text")), 3).as("fast"),
+        Dedup.shingles(Dedup.tokens(col("text")), 3).as("slow")
+      )
+      both.as[(Seq[String], Seq[String])].collect().forall { case (f, s) => f == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kernel minhashSig == declarative baseHashes∘minhashSignature (property)") {
+    val docsGen = Gen.listOfN(10, docGen.suchThat(_.split("\\s+").length >= 3))
+    val prop = forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val staged = df
+        .select(Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+        .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+      val both = staged
+        .select(TextHashExprs.minhashSig(col("sh"), 8).as("fast"), Dedup.baseHashes(col("sh")).as("xs"))
+        .select(col("fast"), Dedup.minhashSignature(col("xs"), 8).as("slow"))
+      both.as[(Seq[Long], Seq[Long])].collect().forall { case (f, s) => f == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kernel simhash16 == declarative simhash16 (property)") {
+    val docsGen = Gen.listOfN(20, docGen)
+    val prop = forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df.select(
+        TextHashExprs.simhash16(Dedup.tokens(col("text"))).as("fast"),
+        Dedup.simhash16(Dedup.tokens(col("text"))).as("slow")
+      )
+      both.as[(Int, Int)].collect().forall { case (f, s) => f == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kernel winnow == declarative winnowFingerprints (property)") {
+    val docsGen = Gen.listOfN(15, docGen)
+    val prop = forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df.select(
+        TextHashExprs.winnow(Dedup.tokens(col("text")), 3, 4).as("fast"),
+        Dedup.winnowFingerprints(Dedup.tokens(col("text")), 3, 4).as("slow")
+      )
+      both.as[(Seq[String], Seq[String])].collect().forall { case (f, s) => f == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("baseHash matches conv(substr(md5, 1, 15), 16, 10) % P") {
+    val df = Seq("hello world", "x", "").toDF("s")
+    val both = df.select(
+      expr(s"conv(substr(md5(s), 1, 15), 16, 10) % ${HashKernels.P}").cast("long").as("sql"),
+      udf((s: String) => HashKernels.baseHash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        .apply(col("s"))
+        .as("kernel")
+    )
+    both.as[(Long, Long)].collect().foreach { case (a, b) => a shouldBe b }
+  }
+
+  test("kernels survive whole-stage codegen (plan contains no fallback)") {
+    // spark.range keeps the projection non-foldable so a real codegen
+    // stage is produced (a local Seq would constant-fold away).
+    val df = spark
+      .range(5)
+      .select(col("id"), concat(lit("alpha beta gamma delta "), col("id").cast("string")).as("text"))
+    val out = df.select(
+      TextHashExprs.simhash16(Dedup.tokens(col("text"))).as("sh"),
+      TextHashExprs.minhashSig(TextHashExprs.shingleSet(Dedup.tokens(col("text")), 3), 8).as("sig")
+    )
+    out.collect().length shouldBe 5
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("*(1) Project")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(
+      left: Seq[(String, String, Long)], // (id, key, t)
+      right: Seq[(String, Long, String)] // (key, t, value)
+  ): Map[String, Option[String]] = {
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("k", "t", "v")
+    AsOfJoin(l, r, key = "k", leftTime = "t", rightTime = "t", rightVals = Seq("v" -> "v"), tieBreak = "id")
+      .select("id", "v")
+      .as[(String, Option[String])]
+      .collect()
+      .toMap
+  }
+
+  test("latest right row at or before left time wins") {
+    val out = run(
+      left = Seq(("p1", "a", 10L), ("p2", "a", 25L)),
+      right = Seq(("a", 5L, "v5"), ("a", 20L, "v20"), ("a", 30L, "v30"))
+    )
+    out("p1") shouldBe Some("v5")
+    out("p2") shouldBe Some("v20")
+  }
+
+  test("probe before any build yields null (left outer)") {
+    val out = run(
+      left = Seq(("p1", "a", 1L)),
+      right = Seq(("a", 5L, "v5"))
+    )
+    out("p1") shouldBe None
+  }
+
+  test("key with no build rows passes through") {
+    val out = run(
+      left = Seq(("p1", "b", 10L)),
+      right = Seq(("a", 5L, "v5"))
+    )
+    out("p1") shouldBe None
+  }
+
+  test("build at equal timestamp is visible to the probe") {
+    // Matches the reference: the KV Set happens at event arrival, before
+    // any probe of the same instant (cloudTrail_s2s_join.go:68-78).
+    val out = run(
+      left = Seq(("p1", "a", 10L)),
+      right = Seq(("a", 10L, "v10"))
+    )
+    out("p1") shouldBe Some("v10")
+  }
+
+  test("last-write-wins among equal build timestamps") {
+    val out = run(
+      left = Seq(("p9", "a", 10L)),
+      right = Seq(("a", 7L, "first"), ("a", 7L, "second"))
+    )
+    // Both precede the probe; the running last() takes the later in sort
+    // order — any of the two is a valid LWW answer, but it must be
+    // deterministic across reruns.
+    val again = run(
+      left = Seq(("p9", "a", 10L)),
+      right = Seq(("a", 7L, "first"), ("a", 7L, "second"))
+    )
+    out("p9") shouldBe again("p9")
+    out("p9").isDefined shouldBe true
+  }
+
+  test("left columns are preserved") {
+    val l = Seq(("p1", "a", 10L, 3.5)).toDF("id", "k", "t", "x")
+    val r = Seq(("a", 5L, "v")).toDF("k", "t", "v")
+    val out = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id")
+    out.columns.toSeq shouldBe Seq("id", "k", "t", "x", "v")
+    out.select("x").as[Double].head() shouldBe 3.5
+  }
+}

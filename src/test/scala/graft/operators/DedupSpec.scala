@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text with no overlap at all whatsoever"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  )
+
+  test("exact duplicates always collide in every LSH band") {
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashNearDups(df, "doc_id", "text", k = 3, numHashes = 8, bands = 4)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(p => (p._1, p._2) -> p._3)
+      .toMap
+    pairs((1L, 4L)) shouldBe 1.0 // identical shingle sets
+  }
+
+  test("near-duplicates score high, disjoint docs never pair at threshold 1.0") {
+    val df = docs.toDF("doc_id", "text")
+    val all = Dedup
+      .minhashNearDups(df, "doc_id", "text", k = 3, numHashes = 8, bands = 4)
+      .as[(Long, Long, Double)]
+      .collect()
+    all.find(p => p._1 == 1L && p._2 == 2L).foreach(_._3 should be > 0.5)
+    // exact-threshold pipeline keeps only true duplicates
+    val exact = Dedup.minhashNearDups(df, "doc_id", "text", 3, 8, 4, threshold = 1.0)
+    exact.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 4L))
+  }
+
+  test("jaccard is exact") {
+    // |{b,c}| / |{a,b,c,d}| = 0.5
+    val out = spark
+      .range(1)
+      .select(Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
+      .as[Double]
+      .head()
+    out shouldBe 0.5
+  }
+
+  test("simhash of identical docs is identical; of disjoint docs differs") {
+    val df = docs.toDF("doc_id", "text")
+    val sh = df
+      .select(col("doc_id"), Dedup.simhash16(Dedup.tokens(col("text"))).as("s"))
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    sh(1L) shouldBe sh(4L)
+    sh(1L) should not be sh(3L)
+    sh.values.foreach { v => v should be >= 0; v should be <= 65535 }
+  }
+
+  test("winnow fingerprints of a shifted document overlap (the winnowing guarantee)") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val shifted = "zero " + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), Dedup.winnowFingerprints(Dedup.tokens(col("text")), k = 3, w = 4).as("f"))
+      .as[(Long, Seq[String])]
+      .collect()
+      .toMap
+    // shared long substring ⇒ shared window minima
+    fps(1L).toSet.intersect(fps(2L).toSet) should not be empty
+  }
+
+  test("docs with fewer tokens than k produce no shingles and never pair") {
+    val df = Seq((1L, "hi"), (2L, "hi"), (3L, "yo")).toDF("doc_id", "text")
+    Dedup.minhashNearDups(df, "doc_id", "text", 3, 8, 4).count() shouldBe 0
+  }
+}

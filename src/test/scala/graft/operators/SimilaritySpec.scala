@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0), 0),
+    (1L, Seq(0.9, 0.1, 0.0), 0), // near 0
+    (2L, Seq(0.0, 1.0, 0.0), 1),
+    (3L, Seq(0.0, 0.9, 0.1), 1), // near 2
+    (4L, Seq(-1.0, 0.0, 0.0), 0) // opposite of 0
+  ).toDF("vec_id", "emb", "cell")
+
+  test("brute-force top-k finds the true nearest neighbor") {
+    val q = vecs.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val c = vecs.select(col("vec_id").as("nid"), col("emb").as("nemb"))
+    val top = Similarity
+      .bruteForceTopK(q, c, k = 2)
+      .select("rank", "nid")
+      .as[(Int, Long)]
+      .collect()
+      .toMap
+    top(1) shouldBe 1L // cos(v0, v1) highest
+    top(2) shouldBe 2L // orthogonal beats antipodal
+  }
+
+  test("cell-restricted top-k only searches within the cell") {
+    val q = vecs
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("cell"))
+    val c = vecs.select(col("vec_id").as("nid"), col("emb").as("nemb"), col("cell"))
+    val nids = Similarity.cellTopK(q, c, k = 10).select("nid").as[Long].collect().toSet
+    nids shouldBe Set(1L, 4L) // cell 0 only, self excluded
+  }
+
+  test("sign-LSH puts identical vectors in the same bucket, antipodal in different ones") {
+    val b = Similarity
+      .signLshBuckets(
+        Seq((0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(-1.0, -2.0, -3.0)))
+          .toDF("id", "e"),
+        "id",
+        "e",
+        planes = 8,
+        dims = 3
+      )
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    b(0L) shouldBe b(1L)
+    b(0L) should not be b(2L)
+  }
+
+  test("sign-LSH bucketing is deterministic across runs") {
+    def run() =
+      Similarity
+        .signLshBuckets(Seq((7L, Seq(0.3, -0.2, 0.9, 0.1))).toDF("id", "e"), "id", "e", 8, 4)
+        .as[(Long, Int)]
+        .head()
+    run() shouldBe run()
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val out = Seq((1L, Seq(3.0, 4.0))).toDF("id", "e")
+      .select(Similarity.cosine(col("e"), col("e")).as("c"))
+      .as[Double]
+      .head()
+    out shouldBe 1.0 +- 1e-12
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def langOf(text: String): String =
+    Seq(text).toDF("text").select(TextAnalysis.langId(Dedup.tokens(col("text")))).as[String].head()
+
+  test("language-ID picks the language with most indicator hits") {
+    langOf("the cat is in the house and that is fine") shouldBe "en"
+    langOf("der hund und die katze ist nicht da") shouldBe "de"
+    langOf("le chat et la maison est une belle chose que") shouldBe "fr"
+    langOf("el perro y la casa es un lugar que") shouldBe "es"
+  }
+
+  test("no indicators at all yields und") {
+    langOf("zzz qqq xxx") shouldBe "und"
+  }
+
+  test("canonical fingerprint ignores whitespace and case differences") {
+    val df = Seq("Hello   World", "hello world", "hello  WORLD ", "other text").toDF("text")
+    val fps = df.select(TextAnalysis.canonicalFingerprint(col("text"))).as[String].collect()
+    fps(0) shouldBe fps(1)
+    fps(1) shouldBe fps(2)
+    fps(3) should not be fps(0)
+  }
+
+  test("rolling hash is order-sensitive, unlike a bag-of-words hash") {
+    def rh(s: String): Long =
+      Seq(s).toDF("text").select(TextAnalysis.rollingHash(Dedup.tokens(col("text")))).as[Long].head()
+    rh("alpha beta gamma") should not be rh("gamma beta alpha")
+    rh("alpha beta gamma") shouldBe rh("alpha beta gamma")
+    rh("alpha beta gamma") should be < 1073741789L
+    rh("alpha beta gamma") should be >= 0L
+  }
+
+  test("BPE-ish token count splits words and punctuation runs") {
+    def n(s: String): Int =
+      Seq(s).toDF("text").select(TextAnalysis.tokenCountBpeIsh(col("text"))).as[Int].head()
+    n("hello world") shouldBe 2
+    n("hello, world!") shouldBe 4 // hello / , / world / !
+    n("a1b2") shouldBe 1 // alnum run stays one token
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.Fixtures
+
+/** Mirrors the reference's config/validation unit tests
+  * (pipeline_test.go:86-206).
+  */
+class PipelineConfigSpec extends AnyFunSuite with Matchers {
+
+  private val registry = Set("aRule", "lengthRule", "cloudTrailS2SJoin")
+
+  test("parses the golden config shape") {
+    val c = PipelineConfig.parse(Fixtures.pipelineConfig).toOption.get
+    c.rules.keySet shouldBe Set("searchConversation", "lengthRule")
+    c.rules("searchConversation").source shouldBe "fileInput"
+    c.rules("searchConversation").sink shouldBe Some("fileOutput")
+    c.sources("fileInput").`type` shouldBe "File"
+    c.sources("fileInput").path shouldBe Some("testdata/pipelines/input")
+    c.sinks("fileOutput").path shouldBe Some("testdata/pipelines/output")
+  }
+
+  test("valid config validates") {
+    val c = PipelineConfig.parse(Fixtures.pipelineConfig).toOption.get
+    PipelineConfig.validate(c, registry).isRight shouldBe true
+  }
+
+  test("rejects a rule with an unknown source") {
+    val c = PipelineConfig
+      .parse("""{"rules": {"r": {"source": "nope", "plugin": "aRule"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("Invalid source")
+  }
+
+  test("rejects a rule with an unknown state (pipeline_test.go:146-170)") {
+    val c = PipelineConfig
+      .parse("""{"rules": {"r": {"source": "s", "plugin": "aRule", "state": "missing"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("Invalid state")
+  }
+
+  test("rejects duplicate names across sections (pipeline_test.go:122-144)") {
+    val c = PipelineConfig
+      .parse("""{"rules": {"x": {"source": "x", "plugin": "aRule"}},
+               | "sources": {"x": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("duplicate keys")
+  }
+
+  test("rejects two rules sharing one state (pipeline_test.go:172-206)") {
+    val c = PipelineConfig
+      .parse("""{"rules": {
+               |   "r1": {"source": "s", "plugin": "aRule", "state": "kv"},
+               |   "r2": {"source": "s", "plugin": "aRule", "state": "kv"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {},
+               | "states": {"kv": {"type": "KV"}}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("only one rule")
+  }
+
+  test("rejects an unregistered plugin (replaces the .so stat check)") {
+    val c = PipelineConfig
+      .parse("""{"rules": {"r": {"source": "s", "plugin": "no_such.so"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("Invalid plugin")
+  }
+
+  test("malformed JSON is a Left, not an exception") {
+    PipelineConfig.parse("{nope").isLeft shouldBe true
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.StatefulRules.{Enriched, KeyedMsg}
+
+/** Streaming forms of the stateful rules, driven through MemoryStream —
+  * the deterministic-trigger equivalent of the reference's channel-fed
+  * integration harness (integration_test.go:278-297).
+  */
+class StatefulRulesSpec extends SparkSpec {
+
+  test("streaming enrichment: probe sees the latest preceding build value") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[KeyedMsg]
+    val query = StatefulRules
+      .enrichment(input.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_out")
+      .start()
+
+    try {
+      // Batch 1: build then probe for key a; probe-miss for key b.
+      input.addData(
+        KeyedMsg("a", 1L, 0, "build-v1"),
+        KeyedMsg("a", 2L, 1, "probe-1"),
+        KeyedMsg("b", 2L, 1, "probe-b")
+      )
+      query.processAllAvailable()
+      // Batch 2: the state must survive micro-batch boundaries.
+      input.addData(KeyedMsg("a", 3L, 1, "probe-2"))
+      query.processAllAvailable()
+
+      val out = spark.table("enrich_out").as[Enriched].collect().map(e => e.payload -> e.resolved).toMap
+      out("probe-1") shouldBe Some("build-v1")
+      out("probe-b") shouldBe None
+      out("probe-2") shouldBe Some("build-v1")
+    } finally query.stop()
+  }
+
+  test("streaming enrichment: last write wins across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[KeyedMsg]
+    val query = StatefulRules
+      .enrichment(input.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_lww")
+      .start()
+
+    try {
+      input.addData(KeyedMsg("k", 1L, 0, "old"))
+      query.processAllAvailable()
+      input.addData(KeyedMsg("k", 2L, 0, "new"), KeyedMsg("k", 3L, 1, "probe"))
+      query.processAllAvailable()
+      val out = spark.table("enrich_lww").as[Enriched].collect()
+      out.map(e => e.payload -> e.resolved).toMap apply "probe" shouldBe Some("new")
+    } finally query.stop()
+  }
+
+  test("interval flush: emit-and-clear after quiet period (agg golden, streaming form)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, String)]
+    // NOTE: never processAllAvailable() a ProcessingTimeTimeout query —
+    // timeout-triggered batches keep the stream from quiescing and the
+    // call can spin forever. Poll the sink with a deadline instead.
+    val query = StatefulRules
+      .intervalFlushCount(input.toDS(), intervalMs = 500)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("flush_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+
+    try {
+      input.addData("p" -> "payload1", "p" -> "payload2", "p" -> "payload3")
+      val deadline = System.currentTimeMillis() + 60000
+      var flushed = Array.empty[StatefulRules.Flushed]
+      while (flushed.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        flushed = spark.table("flush_out").as[StatefulRules.Flushed].collect()
+      }
+      flushed.length shouldBe 1
+      val p = flushed.head
+      p.key shouldBe "p"
+      p.occurrences shouldBe 3
+      p.payload shouldBe "payload1" // FIRST payload kept, reference cloudTrail_agg.go:36-69
+
+      // Emit-and-clear: the state was removed at flush, so no re-emission
+      // on later ticks (reference: Window() ForEach+Delete).
+      Thread.sleep(1500)
+      spark.table("flush_out").count() shouldBe 1
+    } finally query.stop()
+  }
+}
