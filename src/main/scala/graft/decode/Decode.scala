@@ -24,7 +24,10 @@ object Decode {
     */
   def dispatch(raw: DataFrame, registry: Seq[EventType]): DataFrame = {
     val withParsed = registry.foldLeft(raw.withColumn("_raw", col("value"))) { (df, et) =>
-      df.withColumn(s"_${et.name}", from_json(col("value"), et.schema))
+      val parsed =
+        if (et.raw) struct(col("value").as(et.schema.head.name)) // byte-cast type: always succeeds
+        else from_json(col("value"), et.schema)
+      df.withColumn(s"_${et.name}", parsed)
     }
     val typeCol = registry.foldRight(lit(null).cast("string")) { (et, elseCol) =>
       when(matches(et), et.name).otherwise(elseCol)
@@ -34,9 +37,11 @@ object Decode {
 
   private def matches(et: EventType): Column = {
     val parsed = col(s"_${et.name}")
-    et.required
-      .map(f => parsed.getField(f).isNotNull)
-      .foldLeft(parsed.isNotNull)(_ && _)
+    if (et.raw) parsed.isNotNull
+    else
+      et.required
+        .map(f => parsed.getField(f).isNotNull)
+        .foldLeft(parsed.isNotNull)(_ && _)
   }
 
   /** Records claimed by `name`, flattened to that type's schema plus

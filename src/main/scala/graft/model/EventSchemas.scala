@@ -15,7 +15,13 @@ final case class EventType(
     name: String,
     schema: StructType,
     /** Top-level fields that must decode non-null for a match. */
-    required: Seq[String]
+    required: Seq[String],
+    /** Raw types cast the record into their single string field instead
+      * of JSON-parsing it (reference:
+      * testdata/eventTypes/example_event_type.go:10-15 — a byte-slice
+      * cast that always succeeds, making the type a catch-all).
+      */
+    raw: Boolean = false
 )
 
 object EventSchemas {
@@ -26,7 +32,8 @@ object EventSchemas {
   val example: EventType = EventType(
     name = "exampleEventType",
     schema = StructType(Seq(StructField("Str", StringType))),
-    required = Seq("Str")
+    required = Seq("Str"),
+    raw = true
   )
 
   /** CloudTrail (reference: testdata/statefulIntegrationTests/

@@ -79,6 +79,88 @@ object Principal {
   */
 object CloudTrailS2SJoinRule extends Rule {
   val name = "cloudTrailS2SJoin"
+  override val eventType: Option[String] = Some("CloudTrail")
+
+  /** Schema of the probe-side payload carried through the streaming
+    * state machine as JSON (all fields the OutputEvent needs).
+    */
+  private val probePayloadSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("userIdentity", EventSchemas.cloudTrail.schema("userIdentity").dataType),
+      org.apache.spark.sql.types.StructField("eventTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("eventID", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sourceIPAddress", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("recipientAccountId", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("userCreated", org.apache.spark.sql.types.StringType)
+    )
+  )
+
+  /** Streaming form: the batch AsOfJoin uses window functions (not
+    * available under streaming), so the same semantics run on
+    * flatMapGroupsWithState (graft.streaming.StatefulRules.enrichment):
+    * the KV write is the state update, the probe reads the state at
+    * arrival — exactly the reference's BoltDB protocol.
+    */
+  override def applyStreaming(ct: DataFrame): DataFrame = {
+    import ct.sparkSession.implicits._
+    import graft.streaming.StatefulRules
+    import graft.streaming.StatefulRules.KeyedMsg
+
+    val build = ct
+      .filter(col("eventName") === "AssumeRole")
+      .select(
+        from_json(col("_raw"), EventSchemas.assumeRoleResponse)
+          .getField("responseElements")
+          .getField("assumedRoleUser")
+          .getField("assumedRoleId")
+          .as("key"),
+        col("eventTime").cast("long").as("tSec"),
+        lit(0).as("side"),
+        Principal.s2sVariant(col("userIdentity"), lit(null).cast("string")).as("payload")
+      )
+      .filter(col("key").isNotNull)
+
+    val probe = ct
+      .filter(col("eventName") === "CreateUser")
+      .select(
+        col("userIdentity").getField("principalId").as("key"),
+        col("eventTime").cast("long").as("tSec"),
+        lit(1).as("side"),
+        to_json(
+          struct(
+            col("userIdentity"),
+            col("eventTime"),
+            col("eventID"),
+            col("sourceIPAddress"),
+            col("recipientAccountId"),
+            element_at(col("requestParameters"), "userName").as("userCreated")
+          )
+        ).as("payload")
+      )
+
+    val enriched = StatefulRules.enrichment(build.unionByName(probe).as[KeyedMsg])
+
+    val p = from_json(col("payload"), probePayloadSchema)
+    enriched
+      .toDF()
+      .select(
+        Rules.outputEvent(
+          source = lit("CloudTrail"),
+          eventTime = p.getField("eventTime"),
+          eventType = lit("UserCreated"),
+          name = lit("IAMUserCreated"),
+          level = lit(Level.Warn),
+          eventId = p.getField("eventID"),
+          entity = Principal.s2sVariant(p.getField("userIdentity"), col("resolved")),
+          sourceIP = p.getField("sourceIPAddress"),
+          body = map(
+            lit("AccountID"), p.getField("recipientAccountId"),
+            lit("UserCreated"), p.getField("userCreated")
+          ),
+          occurrences = lit(1)
+        ): _*
+      )
+  }
 
   /** Input: decoded CloudTrail records (Decode.ofType output, `_raw` kept). */
   def apply(ct: DataFrame): DataFrame = {
@@ -151,6 +233,55 @@ object CloudTrailS2SJoinRule extends Rule {
 object CloudTrailNoMfaAggRule extends Rule {
   val name = "cloudTrailNoMfaAgg"
   override def flushIntervalSec: Int = 2
+  override val eventType: Option[String] = Some("CloudTrail")
+
+  private val aggPayloadSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("eventTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("eventID", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sourceIPAddress", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("recipientAccountId", org.apache.spark.sql.types.StringType)
+    )
+  )
+
+  /** Streaming form: keyed count with interval flush on
+    * flatMapGroupsWithState + ProcessingTimeTimeout — the reference's
+    * ticker/Window()/emit-and-clear loop (window.go:19-49).
+    */
+  override def applyStreaming(ct: DataFrame): DataFrame = {
+    import ct.sparkSession.implicits._
+    import graft.streaming.StatefulRules
+
+    val keyed = ct
+      .filter(col("userIdentity.sessionContext.attributes.mfaAuthenticated") === "false")
+      .select(
+        Principal.aggVariant(col("userIdentity")).as("_1"),
+        to_json(
+          struct(col("eventTime"), col("eventID"), col("sourceIPAddress"), col("recipientAccountId"))
+        ).as("_2")
+      )
+      .as[(String, String)]
+
+    val flushed = StatefulRules.intervalFlushCount(keyed, flushIntervalSec * 1000L)
+
+    val p = from_json(col("payload"), aggPayloadSchema)
+    flushed
+      .toDF()
+      .select(
+        Rules.outputEvent(
+          source = lit("CloudTrail"),
+          eventTime = p.getField("eventTime"),
+          eventType = lit("NoMFA"),
+          name = lit("NoMFA"),
+          level = lit(Level.Warn),
+          eventId = p.getField("eventID"),
+          entity = col("key"),
+          sourceIP = p.getField("sourceIPAddress"),
+          body = map(lit("AccountID"), p.getField("recipientAccountId")),
+          occurrences = col("occurrences")
+        ): _*
+      )
+  }
 
   def apply(ct: DataFrame): DataFrame = {
     val noMfa = ct

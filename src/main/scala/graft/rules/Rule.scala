@@ -23,7 +23,19 @@ trait Rule {
     */
   def flushIntervalSec: Int = 0
 
+  /** The decoded event type this rule consumes when fed directly from a
+    * source (the reference's downcast-or-drop idiom); None = consume the
+    * parent's records as-is (rule-to-rule edges).
+    */
+  def eventType: Option[String] = None
+
   def apply(df: DataFrame): DataFrame
+
+  /** Streaming form. Stateless rules run the same plan; stateful rules
+    * override with their flatMapGroupsWithState equivalent (batch uses
+    * window functions, which streaming cannot).
+    */
+  def applyStreaming(df: DataFrame): DataFrame = apply(df)
 }
 
 /** Helpers shared by the built-in rules. */
@@ -65,6 +77,7 @@ object Rules {
   */
 object ExampleARule extends Rule {
   val name = "aRule"
+  override val eventType: Option[String] = Some("exampleEventType")
   def apply(df: DataFrame): DataFrame =
     df.select((coalesce(col("Str"), lit("")) === "a").as("result"))
 }
@@ -72,6 +85,7 @@ object ExampleARule extends Rule {
 /** Emits whether `len(Str) == 1` (reference: testdata/rules/length.go:12-18). */
 object ExampleLengthRule extends Rule {
   val name = "lengthRule"
+  override val eventType: Option[String] = Some("exampleEventType")
   def apply(df: DataFrame): DataFrame =
     df.select((length(coalesce(col("Str"), lit(""))) === 1).as("result"))
 }
@@ -83,6 +97,7 @@ object ExampleLengthRule extends Rule {
   */
 object DomainCertIssuedRule extends Rule {
   val name = "domainCertIssued"
+  override val eventType: Option[String] = Some("certStream")
   def apply(df: DataFrame): DataFrame =
     df.filter(
         col("message_type") =!= "heartbeat" &&

@@ -8,8 +8,14 @@ import graft.model.EventSchemas
 class DecodeSpec extends SparkSpec {
   import spark.implicits._
 
+  // JSON-only registry: the raw example type is a catch-all (always
+  // matches, like the reference's byte-cast decoder), so pipelines that
+  // want dead-lettering register only JSON types — registries are
+  // per-pipeline, mirroring the reference's per-pipeline eventFolder.
+  private val jsonOnly = Seq(EventSchemas.cloudTrail, EventSchemas.certStream)
+
   private def dispatch(lines: String*) =
-    Decode.dispatch(lines.toDF("value"), EventSchemas.registry)
+    Decode.dispatch(lines.toDF("value"), jsonOnly)
 
   test("CloudTrail records are claimed by the CloudTrail type") {
     val d = dispatch(Fixtures.assumeRoleEvent, Fixtures.createUserEvent)
@@ -44,5 +50,18 @@ class DecodeSpec extends SparkSpec {
   test("JSON that matches no required fields is unclaimed") {
     val d = dispatch("""{"foo": 1}""")
     d.select("_event_type").as[Option[String]].head() shouldBe None
+  }
+
+  test("raw catch-all type claims everything the JSON types reject") {
+    val d = Decode.dispatch(
+      Seq(Fixtures.createUserEvent, "just a line").toDF("value"),
+      EventSchemas.registry
+    )
+    d.select("_event_type").as[String].collect().toSeq shouldBe Seq("CloudTrail", "exampleEventType")
+    Decode
+      .ofType(d, "exampleEventType")
+      .select("Str")
+      .as[String]
+      .head() shouldBe "just a line"
   }
 }

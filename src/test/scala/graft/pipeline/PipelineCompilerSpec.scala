@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Fixtures, SparkSpec}
+
+/** End-to-end pipeline runs: the reference's integration scenarios
+  * driven through the JSON DSL → compiler → sinks, in both batch and
+  * streaming modes (integration_test.go:113-168 basic fan-out,
+  * 185-276 stateful s2s).
+  */
+class PipelineCompilerSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Streaming file sources watch a directory; write the lines as one
+    * file inside `path/`.
+    */
+  private def writeLines(path: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path))
+    Files.write(Paths.get(path, "data.txt"), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def basicConfig(input: String): String =
+    s"""{
+       |  "eventFolder": "builtin",
+       |  "rules": {
+       |    "searchConversation": {"source": "fileInput", "plugin": "aRule", "sink": "memOut"},
+       |    "lengthCheck": {"source": "fileInput", "plugin": "lengthRule", "sink": "memOut"}
+       |  },
+       |  "states": {},
+       |  "sources": {"fileInput": {"type": "File", "path": "$input"}},
+       |  "sinks": {"memOut": {"type": "Memory"}}
+       |}""".stripMargin
+
+  test("batch: two-rule fan-out over a line file (basic integration scenario)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_basic")
+    writeLines(s"$dir/input", Seq("a", "ab"))
+    val compiled = PipelineCompiler.compile(spark, basicConfig(s"$dir/input")).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    // aRule: a→true, ab→false; lengthRule: a→true, ab→false
+    val out = spark.table("memOut").as[Boolean].collect().toSeq
+    out.count(identity) shouldBe 2
+    out.length shouldBe 4
+  }
+
+  test("streaming: same pipeline via readStream + AvailableNow") {
+    import spark.implicits._
+    val dir = tmpDir("graft_basic_stream")
+    writeLines(s"$dir/input", Seq("a", "ab"))
+    val compiled = PipelineCompiler
+      .compile(spark, basicConfig(s"$dir/input").replace("memOut", "memStream"), streaming = true)
+      .toOption
+      .get
+    val queries = PipelineCompiler.startStreaming(compiled, s"$dir/ckpt")
+    queries.foreach(_.awaitTermination(60000))
+    val out = spark.table("memStream").as[Boolean].collect().toSeq
+    out.count(identity) shouldBe 2
+    out.length shouldBe 4
+  }
+
+  test("streaming s2s golden: file source → stateful enrichment → file sink") {
+    val dir = tmpDir("graft_s2s")
+    writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent, Fixtures.createUserEvent))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "s2sRule": {"source": "ctInput", "plugin": "cloudTrailS2SJoin", "state": "kv", "sink": "fileOut"}
+         |  },
+         |  "states": {"kv": {"type": "KV"}},
+         |  "sources": {"ctInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"fileOut": {"type": "File", "path": "$dir/output"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    PipelineCompiler.startStreaming(compiled, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+
+    val out = spark.read.json(s"$dir/output")
+    out.count() shouldBe 1
+    val r = out.head()
+    r.getAs[String]("Source") shouldBe "CloudTrail"
+    r.getAs[String]("EventType") shouldBe "UserCreated"
+    r.getAs[String]("Name") shouldBe "IAMUserCreated"
+    r.getAs[Long]("Level") shouldBe graft.model.Level.Warn.toLong
+    r.getAs[String]("EventId") shouldBe "dEXAMPLE-265a-41e0-9352-4401bEXAMPLE"
+    r.getAs[String]("Entity") shouldBe "user/Bob" // resolved through streaming state
+    r.getAs[String]("SourceIP") shouldBe "192.0.2.1"
+    r.getAs[Long]("Occurrences") shouldBe 1L
+  }
+
+  test("batch s2s golden: identical result through the batch compiler") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_s2s_batch")
+    writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent, Fixtures.createUserEvent))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "s2sRule": {"source": "ctInput", "plugin": "cloudTrailS2SJoin", "sink": "memS2s"}
+         |  },
+         |  "states": {},
+         |  "sources": {"ctInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memS2s": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    val r = spark.table("memS2s").head()
+    r.getAs[String]("Entity") shouldBe "user/Bob"
+    r.getAs[Int]("Occurrences") shouldBe 1
+  }
+
+  test("fan-in: rule feeding another rule via the sink key") {
+    import spark.implicits._
+    val dir = tmpDir("graft_chain")
+    writeLines(s"$dir/input", Seq("a", "b"))
+    // aRule emits booleans into lengthRule? No — chain needs schema
+    // compatibility; mirror the reference shape instead: a rule whose
+    // sink is another rule (pipeline.go:387-391 pump).
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "first": {"source": "fileInput", "plugin": "aRule", "sink": "second"},
+         |    "second": {"source": "fileInput", "plugin": "lengthRule", "sink": "memChain"}
+         |  },
+         |  "states": {},
+         |  "sources": {"fileInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memChain": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    // second receives fileInput's 2 decoded lines AND first's 2 boolean
+    // outputs (union-by-name with nulls) → 4 rows through lengthRule.
+    spark.table("memChain").count() shouldBe 4
+  }
+}
