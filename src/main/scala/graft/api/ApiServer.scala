@@ -1,0 +1,120 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.pipeline.PipelineCompiler
+
+/** Pipeline-management REST API — the reference's api.go surface:
+  *   POST /pipelines       → validate, store raw config under a fresh
+  *                           UUID, start async, 201 + UUID text
+  *   GET  /pipelines/{id}  → stored raw config bytes, 404 if absent
+  *   GET  /metrics         → the two reference metrics (monitoring.go:
+  *                           27-31): pipelines gauge + events counter,
+  *                           prometheus text format
+  *
+  * Config storage is a filesystem metadata directory (one file per
+  * UUID) replacing BoltDB/DynamoDB (backend.go:17-21); the reference
+  * also stores raw pre-validated bytes and returns them verbatim
+  * (api.go:84-101), so GET is byte-faithful.
+  */
+final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
+
+  private val store = new ConcurrentHashMap[String, Array[Byte]]()
+  private var server: HttpServer = _
+  Files.createDirectories(Paths.get(storeDir))
+
+  // reload persisted configs (reference: backend Init)
+  Files.list(Paths.get(storeDir)).forEach { p =>
+    store.put(p.getFileName.toString, Files.readAllBytes(p))
+  }
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/pipelines", (ex: HttpExchange) => handlePipelines(ex))
+    server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
+    server.setExecutor(null)
+    server.start()
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  private def handlePipelines(ex: HttpExchange): Unit =
+    try {
+      (ex.getRequestMethod, ex.getRequestURI.getPath.stripPrefix("/pipelines")) match {
+        case ("POST", "" | "/") =>
+          val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          PipelineCompiler.compile(spark, raw, streaming = true) match {
+            case Left(err) => respond(ex, 400, err)
+            case Right(compiled) =>
+              val id = UUID.randomUUID().toString
+              store.put(id, raw.getBytes(StandardCharsets.UTF_8))
+              Files.write(Paths.get(storeDir, id), raw.getBytes(StandardCharsets.UTF_8))
+              Metrics.pipelines.increment()
+              // async start, failures logged only (api.go:134-139)
+              new Thread(() =>
+                try PipelineCompiler.startStreaming(compiled, s"$storeDir/$id.ckpt", availableNow = false)
+                catch { case e: Exception => System.err.println(s"[api] pipeline $id failed: ${e.getMessage}") }
+              ).start()
+              respond(ex, 201, id)
+          }
+        case ("GET", path) if path.startsWith("/") && path.length > 1 =>
+          val id = path.stripPrefix("/")
+          Option(store.get(id)) match {
+            case Some(bytes) => respond(ex, 200, new String(bytes, StandardCharsets.UTF_8))
+            case None        => respond(ex, 404, "pipeline not found")
+          }
+        case _ => respond(ex, 405, "method not allowed")
+      }
+    } catch {
+      case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}")
+    }
+
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    val body =
+      s"""# TYPE gofish_pipelines gauge
+         |gofish_pipelines ${Metrics.pipelines.sum()}
+         |# TYPE gofish_events_received_total counter
+         |gofish_events_received_total ${Metrics.eventsReceived.sum()}
+         |""".stripMargin
+    respond(ex, 200, body)
+  }
+}
+
+/** The two reference metrics (monitoring.go:27-31), fed by a
+  * StreamingQueryListener instead of per-event instrumentation.
+  */
+object Metrics {
+  val pipelines = new LongAdder
+  val eventsReceived = new LongAdder
+
+  /** Register once per session; every micro-batch adds its input rows. */
+  def listen(spark: SparkSession): StreamingQueryListener = {
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        eventsReceived.add(e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    l
+  }
+}

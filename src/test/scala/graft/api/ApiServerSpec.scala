@@ -1,0 +1,85 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Mirrors the reference's api_test.go: POST creates + 201 + UUID,
+  * GET roundtrips the stored raw config bytes, 404 on unknown ids.
+  */
+class ApiServerSpec extends SparkSpec {
+
+  private def withServer[T](f: (ApiServer, String) => T): T = {
+    val dir = Files.createTempDirectory("graft_api").toString
+    val srv = new ApiServer(spark, dir, port = 0)
+    srv.start()
+    try f(srv, s"http://localhost:${srv.boundPort}")
+    finally srv.stop()
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(url)).POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString()
+    )
+
+  private def validConfig: String = {
+    val dir = Files.createTempDirectory("graft_api_in")
+    Files.write(dir.resolve("data.txt"), "a\nab".getBytes)
+    s"""{
+       |  "eventFolder": "builtin",
+       |  "rules": {"r": {"source": "in", "plugin": "aRule", "sink": "out"}},
+       |  "states": {},
+       |  "sources": {"in": {"type": "File", "path": "$dir"}},
+       |  "sinks": {"out": {"type": "Memory"}}
+       |}""".stripMargin
+  }
+
+  test("POST then GET roundtrips the raw config (api_test.go:49-118)") {
+    withServer { (_, base) =>
+      val cfg = validConfig
+      val created = post(s"$base/pipelines", cfg)
+      created.statusCode() shouldBe 201
+      val id = created.body()
+      id should fullyMatch regex "[0-9a-f-]{36}"
+
+      val got = get(s"$base/pipelines/$id")
+      got.statusCode() shouldBe 200
+      got.body() shouldBe cfg // byte-faithful, like the reference
+    }
+  }
+
+  test("GET of an unknown pipeline is 404") {
+    withServer { (_, base) =>
+      get(s"$base/pipelines/no-such-id").statusCode() shouldBe 404
+    }
+  }
+
+  test("POST of an invalid config is 400 with the validation message") {
+    withServer { (_, base) =>
+      val resp = post(
+        s"$base/pipelines",
+        """{"rules": {"r": {"source": "missing", "plugin": "aRule"}},
+          | "sources": {}, "sinks": {}, "states": {}}""".stripMargin
+      )
+      resp.statusCode() shouldBe 400
+      resp.body() should include("Invalid source")
+    }
+  }
+
+  test("metrics endpoint exposes the two reference counters") {
+    withServer { (_, base) =>
+      val resp = get(s"$base/metrics")
+      resp.statusCode() shouldBe 200
+      resp.body() should include("gofish_pipelines")
+      resp.body() should include("gofish_events_received_total")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100 TB corpus are pinned here so a refactor can't silently
+  * regress them — filters reaching the parquet scan, column pruning,
+  * broadcast joins for small dimensions, partial aggregation, and the
+  * as-of join's single-shuffle shape.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    p should include("PushedFilters: [IsNotNull")
+    p should include("l_quantity")
+  }
+
+  test("q02: scan reads only the referenced columns (pruning)") {
+    val p = plan("q02_filter_project")
+    p should include("ReadSchema")
+    p should not include "l_comment" // never referenced → must not be read
+    p should not include "l_tax"
+  }
+
+  test("q03: small dimensions broadcast instead of shuffling the fact table") {
+    val p = plan("q03_revenue_by_nation")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    p should include("partial_")
+  }
+
+  test("q22 as-of join: exactly one shuffle, keyed by the join key") {
+    val p = plan("q22_asof_enrich")
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q40 knn: query side broadcasts (no shuffle of the corpus)") {
+    val p = plan("q40_knn_brute_force")
+    p should include("Broadcast")
+  }
+
+  test("q35 minhash: no cartesian product anywhere") {
+    val p = plan("q35_minhash_lsh")
+    p should not include "CartesianProduct"
+  }
+}
