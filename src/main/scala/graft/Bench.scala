@@ -27,11 +27,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: a representative mid-size query, result discarded.
+    // BASELINE.md protocol: warm JVM, median of 3 runs per query.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    runOne(names.head)
+    runOne(names.head) // warmup, discarded
 
-    val results = names.map(n => n -> runOne(n))
+    val results = names.map { n =>
+      val times = (1 to runs).map(_ => runOne(n)).sorted
+      n -> times(times.length / 2)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -87,6 +87,11 @@ object PipelineCompiler {
               .selectExpr("CAST(value AS STRING) AS value")
           case ("Kafka", false) =>
             sys.error(s"source $name: Kafka is streaming-only")
+          case ("Kinesis", s) =>
+            // config parity with input/kinesis.go; offline deployments
+            // replay captured records from a path (SURVEY §7.1)
+            val path = sc.path.getOrElse(sys.error(s"source $name: Kinesis needs a replay path here"))
+            if (s) spark.readStream.text(path).toDF("value") else spark.read.text(path).toDF("value")
           case (t, _) => sys.error(s"source $name: unknown source type $t")
         }
         name -> Decode.dispatch(raw, registry)
@@ -137,6 +142,7 @@ object PipelineCompiler {
       c.config.sinks(name) match {
         case SinkConfig("File", Some(path)) => df.coalesce(1).write.mode("overwrite").json(path)
         case SinkConfig("Memory", _)        => df.createOrReplaceTempView(name)
+        case SinkConfig("SQS", Some(path))  => QueueSink.post(df, path)
         case other                          => sys.error(s"sink $name: unsupported $other")
       }
     }
@@ -154,7 +160,36 @@ object PipelineCompiler {
       c.config.sinks(name) match {
         case SinkConfig("File", Some(path)) => trig.format("json").option("path", path).start()
         case SinkConfig("Memory", _)        => trig.format("memory").queryName(name).start()
-        case other                          => sys.error(s"sink $name: unsupported $other")
+        case SinkConfig("SQS", Some(path)) =>
+          // queue-post sink via foreachBatch — at-least-once per batch,
+          // like output/sqs.go's per-record SendMessage (errors logged,
+          // not retried)
+          df.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$checkpointRoot/$name")
+            .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
+            .foreachBatch((batch: DataFrame, _: Long) => QueueSink.post(batch, path))
+            .start()
+        case other => sys.error(s"sink $name: unsupported $other")
       }
     }
+}
+
+/** Message-queue sink seam: the reference posts each record's JSON to
+  * SQS (output/sqs.go:50-59). Offline stand-in: append one JSON line
+  * per record to a local queue file; swap `post` for an SQS/SNS client
+  * in a connected deployment — the pipeline wiring is identical.
+  */
+object QueueSink {
+  def post(df: DataFrame, queuePath: String): Unit = {
+    val msgs = df.toJSON.collect() // one message per record, like SendMessage
+    val p = java.nio.file.Paths.get(queuePath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(
+      p,
+      (msgs.mkString("\n") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND
+    )
+  }
 }

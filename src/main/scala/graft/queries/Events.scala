@@ -175,12 +175,69 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---- q25: interval join (click → purchase within 1 hour) --------------------
+  // A range/interval join: equi-key on user plus a time-band predicate.
+  // Scale shape: shuffle both sides by user_id once (equi part), the
+  // band predicate evaluates inside the joined partition — no cross
+  // product, no broadcast of a big side.
+  def q25IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("purchase_us"), col("value"))
+    clicks
+      .join(
+        purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("purchase_us") > col("click_us") &&
+          col("purchase_us") <= col("click_us") + 3600L * 1000000L
+      )
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"), col("value").as("purchase_value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q25Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id AS user_id, click_id, purchase_id, value AS purchase_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND purchase_us > click_us AND purchase_us <= click_us + 3600000000
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
+  // ---- q26: percentiles / median --------------------------------------------------
+  // Exact percentiles (Spark `percentile` = DuckDB `quantile_cont`):
+  // integer ts_us percentiles avoid float-interpolation ambiguity.
+  def q26Percentiles(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50_value"),
+        expr("percentile(value, 0.9)").as("p90_value"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("event_type")
+
+  val q26Sql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50_value,
+      |  quantile_cont(value, 0.9) AS p90_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_event_type_stats" -> (q20TypeStats _),
     "q21_event_hourly" -> (q21Hourly _),
     "q22_asof_enrich" -> (q22AsOfEnrich _),
     "q23_sessions" -> (q23Sessions _),
-    "q24_funnel" -> (q24Funnel _)
+    "q24_funnel" -> (q24Funnel _),
+    "q25_interval_join" -> (q25IntervalJoin _),
+    "q26_percentiles" -> (q26Percentiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +245,8 @@ object Events {
     "q21_event_hourly" -> q21Sql,
     "q22_asof_enrich" -> q22Sql,
     "q23_sessions" -> q23Sql,
-    "q24_funnel" -> q24Sql
+    "q24_funnel" -> q24Sql,
+    "q25_interval_join" -> q25Sql,
+    "q26_percentiles" -> q26Sql
   )
 }

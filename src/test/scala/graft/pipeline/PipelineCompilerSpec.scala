@@ -111,6 +111,41 @@ class PipelineCompilerSpec extends SparkSpec {
     r.getAs[Int]("Occurrences") shouldBe 1
   }
 
+  test("SQS-style queue sink posts one JSON message per record") {
+    val dir = tmpDir("graft_sqs")
+    writeLines(s"$dir/input", Seq("a", "ab"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"r": {"source": "in", "plugin": "aRule", "sink": "queue"}},
+         |  "states": {},
+         |  "sources": {"in": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"queue": {"type": "SQS", "path": "$dir/queue/messages"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    val msgs = scala.io.Source.fromFile(s"$dir/queue/messages").getLines().toSeq
+    msgs.length shouldBe 2
+    msgs.foreach(_ should include("result"))
+  }
+
+  test("Kinesis source config is accepted and replays from a path") {
+    import spark.implicits._
+    val dir = tmpDir("graft_kinesis")
+    writeLines(s"$dir/replay", Seq("a"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"r": {"source": "in", "plugin": "aRule", "sink": "memKinesis"}},
+         |  "states": {},
+         |  "sources": {"in": {"type": "Kinesis", "path": "$dir/replay"}},
+         |  "sinks": {"memKinesis": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    spark.table("memKinesis").as[Boolean].collect().toSeq shouldBe Seq(true)
+  }
+
   test("fan-in: rule feeding another rule via the sink key") {
     import spark.implicits._
     val dir = tmpDir("graft_chain")
