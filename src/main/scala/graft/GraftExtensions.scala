@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{MinHashSigExpr, ShingleSetExpr, SimHash16Expr, WinnowExpr}
+
+/** SparkSessionExtensions registration: exposes the graft kernel
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   spark.builder.withExtensions(new GraftExtensions)   // or
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  *   SELECT minhash_sig(shingle_set(split(text, ' '), 3), 8) FROM docs
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other              => throw new IllegalArgumentException(s"$fn: literal int expected, got $other")
+  }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "shingle_set",
+      new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
+      (args: Seq[Expression]) => ShingleSetExpr(args.head, intArg(args(1), "shingle_set"))
+    ),
+    (
+      "minhash_sig",
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSigExpr(args.head, intArg(args(1), "minhash_sig"))
+    ),
+    (
+      "simhash16",
+      new ExpressionInfo(classOf[SimHash16Expr].getName, "simhash16"),
+      (args: Seq[Expression]) => SimHash16Expr(args.head)
+    ),
+    (
+      "winnow_fingerprints",
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) =>
+        WinnowExpr(args.head, intArg(args(1), "winnow_fingerprints"), intArg(args(2), "winnow_fingerprints"))
+    )
+  )
+
+  /** Register into an already-running session (tests, driver sessions
+    * created without the extensions conf).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

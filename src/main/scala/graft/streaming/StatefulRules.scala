@@ -82,6 +82,29 @@ object StatefulRules {
       )
   }
 
+  /** Event-time gap sessions on a stream — the built-in streaming form
+    * of graft.operators.Sessionize (batch). Watermark bounds state: a
+    * session closes once the watermark passes its end + gap.
+    */
+  def sessionCounts(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String,
+      watermarkDelay: String
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+  }
+
   /** Memory-sink runner for tests and local smoke: starts the query,
     * waits for all available input, returns the collected table.
     */

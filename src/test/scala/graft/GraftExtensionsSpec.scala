@@ -1,0 +1,42 @@
+package graft
+
+import graft.SparkSpec
+
+/** The kernel expressions double as SQL functions (SURVEY §7.3's
+  * optional Catalyst tier): registered via SparkSessionExtensions for
+  * new sessions or GraftFunctions.register for running ones.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernel functions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark
+      .sql(
+        """SELECT
+          |  simhash16(split('alpha beta gamma', ' ')) AS sh,
+          |  size(shingle_set(split('a b c d', ' '), 3)) AS n_shingles,
+          |  size(minhash_sig(shingle_set(split('a b c d', ' '), 3), 8)) AS sig_len,
+          |  size(winnow_fingerprints(split('a b c d e f g h', ' '), 3, 4)) AS n_fp
+          |""".stripMargin
+      )
+      .as[(Int, Int, Int, Int)]
+      .head()
+    row._2 shouldBe 2 // "a b c", "b c d"
+    row._3 shouldBe 8
+    row._4 should be >= 1
+    row._1 should (be >= 0 and be <= 65535)
+  }
+
+  test("SQL and Column forms agree") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql("SELECT simhash16(split('x y z', ' '))").as[Int].head()
+    val viaCol = spark
+      .range(1)
+      .select(graft.expressions.TextHashExprs.simhash16(split(lit("x y z"), " ")))
+      .as[Int]
+      .head()
+    viaSql shouldBe viaCol
+  }
+}

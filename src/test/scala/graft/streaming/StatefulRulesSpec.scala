@@ -66,6 +66,40 @@ class StatefulRulesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session windows: gap-separated events form distinct sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = StatefulRules.sessionCounts(
+      input.toDS().toDF("user", "ts"),
+      keyCol = "user",
+      tsCol = "ts",
+      gap = "10 minutes",
+      watermarkDelay = "0 seconds"
+    )
+    val query = sessions.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("session_out")
+      .start()
+
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(("u1", ts(0)), ("u1", ts(5)), ("u1", ts(30)), ("u2", ts(1)))
+      query.processAllAvailable()
+      val out = spark
+        .table("session_out")
+        .select("user", "n_events")
+        .as[(String, Long)]
+        .collect()
+        .toSeq
+        .sorted
+      // u1: one session of 2 (0,5), one of 1 (30); u2: one of 1
+      out shouldBe Seq(("u1", 1L), ("u1", 2L), ("u2", 1L))
+    } finally query.stop()
+  }
+
   test("interval flush: emit-and-clear after quiet period (agg golden, streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
