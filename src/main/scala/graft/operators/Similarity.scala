@@ -107,4 +107,21 @@ object Similarity {
     */
   def signLshBuckets(df: DataFrame, idCol: String, embCol: String, planes: Int, dims: Int): DataFrame =
     df.select(col(idCol), signLshSignature(col(embCol), planes, dims).as("bucket"))
+
+  /** Embedding-cosine near-duplicate pairs within coarse cells: the
+    * dedup-by-embedding primitive. Pairs form only inside a cell (one
+    * co-located self-join on the cell key — same scale shape as
+    * cellTopK), then the exact cosine filters at `threshold`.
+    *
+    * @param df (id, emb, cell) — cell from a quantizer, LSH bucket
+    *           ([[signLshBuckets]]), or a semantic partition key
+    */
+  def cellNearDups(df: DataFrame, threshold: Double): DataFrame = {
+    val a = df.select(col("cell"), col("id").as("id1"), col("emb").as("e1"))
+    val b = df.select(col("cell"), col("id").as("id2"), col("emb").as("e2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("cell"), col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

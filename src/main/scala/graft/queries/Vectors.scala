@@ -159,17 +159,46 @@ object Vectors {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ---- q44: embedding-cosine near-duplicates -----------------------------------
+  // The dedup-by-embedding primitive: exact cosine pairs >= 0.35 inside
+  // label cells (blocked self-join, no O(n²) stage across cells).
+  def q44EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id").as("id"),
+      col("label").as("cell"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("emb")
+    )
+    graft.operators.Similarity
+      .cellNearDups(e, threshold = 0.35)
+      .select("cell", "id1", "id2", "cosine")
+      .orderBy("id1", "id2")
+  }
+
+  val q44Sql: String =
+    """WITH e AS (SELECT vec_id AS id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT a.cell AS cell, a.id AS id1, b.id AS id2,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(a.emb, a.emb), p -> p[1] * p[2])), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(b.emb, b.emb), p -> p[1] * p[2])), (x, y) -> x + y))) AS cosine
+      |FROM e a JOIN e b ON a.cell = b.cell AND a.id < b.id
+      |WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(a.emb, a.emb), p -> p[1] * p[2])), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(b.emb, b.emb), p -> p[1] * p[2])), (x, y) -> x + y))) >= 0.35
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute_force" -> (q40KnnBruteForce _),
     "q41_norm_stats" -> (q41NormStats _),
     "q42_ann_ivf" -> (q42AnnIvf _),
-    "q43_sign_lsh" -> (q43SignLsh _)
+    "q43_sign_lsh" -> (q43SignLsh _),
+    "q44_embedding_near_dup" -> (q44EmbeddingNearDup _)
   )
 
   val oracles: Map[String, String] = Map(
     "q40_knn_brute_force" -> q40Sql,
     "q41_norm_stats" -> q41Sql,
     "q42_ann_ivf" -> q42Sql,
-    "q43_sign_lsh" -> q43Sql
+    "q43_sign_lsh" -> q43Sql,
+    "q44_embedding_near_dup" -> q44Sql
   )
 }

@@ -90,6 +90,72 @@ class PipelineCompilerSpec extends SparkSpec {
     r.getAs[Long]("Occurrences") shouldBe 1L
   }
 
+  test("state survives a pipeline restart (checkpointed KV persistence, SURVEY §7.4.5)") {
+    val dir = tmpDir("graft_restart")
+    writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "s2sRule": {"source": "ctInput", "plugin": "cloudTrailS2SJoin", "state": "kv", "sink": "fileOut"}
+         |  },
+         |  "states": {"kv": {"type": "KV"}},
+         |  "sources": {"ctInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"fileOut": {"type": "File", "path": "$dir/output"}}
+         |}""".stripMargin
+
+    // Run 1: only the AssumeRole (build) event — state written, no output.
+    val c1 = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    PipelineCompiler.startStreaming(c1, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+
+    // Run 2 (restart, same checkpoint): the CreateUser probe arrives in a
+    // NEW file; it must resolve through state recovered from run 1 —
+    // the reference's BoltDB file persistence (state/kv.go), upgraded
+    // to exactly-once.
+    Files.write(
+      java.nio.file.Paths.get(s"$dir/input", "later.txt"),
+      Fixtures.createUserEvent.getBytes("UTF-8")
+    )
+    val c2 = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    PipelineCompiler.startStreaming(c2, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+
+    val out = spark.read.json(s"$dir/output").filter(org.apache.spark.sql.functions.col("Entity").isNotNull)
+    out.count() shouldBe 1
+    out.head().getAs[String]("Entity") shouldBe "user/Bob" // resolved from recovered state
+  }
+
+  test("streaming agg golden through the compiler: 3 no-MFA events, interval flush, Occurrences=3") {
+    val dir = tmpDir("graft_agg_stream")
+    writeLines(s"$dir/input", Seq(Fixtures.createUserEvent, Fixtures.createUserEvent, Fixtures.createUserEvent))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "aggRule": {"source": "ctInput", "plugin": "cloudTrailNoMfaAgg", "state": "kv", "sink": "memAgg"}
+         |  },
+         |  "states": {"kv": {"type": "KV"}},
+         |  "sources": {"ctInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memAgg": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    // Continuous trigger: the ProcessingTimeTimeout flush (2 s quiet
+    // period) needs ticks after the data batch — AvailableNow would
+    // terminate before the window flush fires.
+    val queries = PipelineCompiler.startStreaming(compiled, s"$dir/ckpt", availableNow = false)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        rows = spark.table("memAgg").collect()
+      }
+      rows.length shouldBe 1
+      rows.head.getAs[String]("Entity") shouldBe "role/AssumeNothing"
+      rows.head.getAs[Int]("Occurrences") shouldBe 3
+      rows.head.getAs[String]("EventType") shouldBe "NoMFA"
+    } finally queries.foreach(_.stop())
+  }
+
   test("batch s2s golden: identical result through the batch compiler") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("graft_s2s_batch")
