@@ -379,18 +379,17 @@ object Relational {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
-  // ---- q17: join against aggregate (above-average orders) ---------------------------
+  // ---- q17: above-average orders (windowed aggregate, single scan) ------------------
   // The predicate is multiplied through to avoid division: totalprice > 1.5 * avg
   // ⟺ totalprice * cnt > 1.5 * sum — all-decimal, hence engine-exact.
+  // Spark side uses window aggregates over one shuffle by custkey instead of
+  // the self-join form (which scans and shuffles orders twice); the oracle
+  // keeps the equivalent join form — identical results, better plan.
   def q17AboveAvg(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val per = o
-      .groupBy(col("o_custkey").as("k"))
-      .agg(
-        sum(dec(col("o_totalprice"))).as("sum_tp"),
-        count(lit(1)).cast(DecimalType(10, 0)).as("cnt")
-      )
-    o.join(per, col("o_custkey") === col("k"))
+    val w = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("sum_tp", sum(dec(col("o_totalprice"))).over(w))
+      .withColumn("cnt", count(lit(1)).over(w).cast(DecimalType(10, 0)))
       .filter(dec(col("o_totalprice")) * col("cnt") > col("sum_tp") * lit(BigDecimal("1.5")).cast(DecimalType(2, 1)))
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")

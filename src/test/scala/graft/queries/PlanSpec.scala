@@ -48,6 +48,15 @@ class PlanSpec extends SparkSpec {
     p should include("Broadcast")
   }
 
+  test("q17 above-avg: single scan of orders (window form, not self-join)") {
+    val p = plan("q17_above_avg")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("driver t1 smoke: flagship entry returns rows on sf0.001") {
+    graft.SparkEntry.entry(spark).count() should be > 0L
+  }
+
   test("q35 minhash: no cartesian product anywhere") {
     val p = plan("q35_minhash_lsh")
     p should not include "CartesianProduct"
