@@ -150,6 +150,19 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Sequential-fold dot product of two double arrays — identical
+    * order (0.0 + a₀b₀ + a₁b₁ + …) to the declarative
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, hence bit-identical
+    * doubles under any engine.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Distinct ordered k-gram shingles of a token array, joined with
     * single spaces, first-occurrence order — identical to
     * `array_distinct(transform(...array_join(slice(toks,i+1,k))...))`.
@@ -208,6 +221,18 @@ case class ShingleSetExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
@@ -228,4 +253,6 @@ object TextHashExprs {
     GraftSqlBridge.column(ShingleSetExpr(GraftSqlBridge.expression(tokens), k))
   def winnow(tokens: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowExpr(GraftSqlBridge.expression(tokens), k, w))
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

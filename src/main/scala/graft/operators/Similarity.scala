@@ -25,8 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two double-array columns — the
+    * codegen'd kernel (graft.expressions.DotProductExpr); identical
+    * fold order (and hence bits) to the declarative
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` form.
+    */
+  def dot(a: Column, b: Column): Column = graft.expressions.TextHashExprs.dot(a, b)
+
+  /** Declarative reference form of [[dot]] (property-test anchor). */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -88,15 +95,7 @@ object Similarity {
       (0 until planes).map(j => (0 until dims).map(d => planeComponent(j, d)))
     val bits = transform(
       sequence(lit(0), lit(planes - 1)),
-      j =>
-        when(
-          aggregate(
-            zip_with(emb, element_at(typedLit(planeRows), j + 1), (x, c) => x * c),
-            lit(0.0),
-            (acc, x) => acc + x
-          ) > 0,
-          1
-        ).otherwise(0)
+      j => when(dot(emb, element_at(typedLit(planeRows), j + 1)) > 0, 1).otherwise(0)
     )
     aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, j) => (b * pow(lit(2.0), j)).cast("int")), lit(0), _ + _)
   }
@@ -117,11 +116,14 @@ object Similarity {
     *           ([[signLshBuckets]]), or a semantic partition key
     */
   def cellNearDups(df: DataFrame, threshold: Double): DataFrame = {
-    val a = df.select(col("cell"), col("id").as("id1"), col("emb").as("e1"))
-    val b = df.select(col("cell"), col("id").as("id2"), col("emb").as("e2"))
+    // Norms are per-row facts: compute them once before the pair join
+    // (O(n) dots) instead of inside it (O(pairs) extra dots).
+    val withNorm = df.select(col("cell"), col("id"), col("emb"), norm(col("emb")).as("_n"))
+    val a = withNorm.select(col("cell"), col("id").as("id1"), col("emb").as("e1"), col("_n").as("n1"))
+    val b = withNorm.select(col("cell"), col("id").as("id2"), col("emb").as("e2"), col("_n").as("n2"))
     a.join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
-      .select(col("cell"), col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cosine"))
+      .select(col("cell"), col("id1"), col("id2"), (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

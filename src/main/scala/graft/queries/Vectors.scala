@@ -18,9 +18,11 @@ object Vectors {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product (codegen'd kernel; bit-identical to
+    * the declarative zip_with/aggregate fold the oracle mirrors).
+    */
   def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.operators.Similarity.dot(a, b)
 
   private def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
 

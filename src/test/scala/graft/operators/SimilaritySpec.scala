@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkSpec {
     run() shouldBe run()
   }
 
+  test("kernel dot product is bit-identical to the declarative fold") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 50).map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian()), Seq.fill(64)(rng.nextGaussian())))
+    val df = rows.toDF("id", "a", "b")
+    val both = df
+      .select(
+        Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotDeclarative(col("a"), col("b")).as("slow")
+      )
+      .as[(Double, Double)]
+      .collect()
+    both.foreach { case (f, s) => f shouldBe s } // exact, not approximate
+  }
+
   test("cosine of a vector with itself is 1") {
     val out = Seq((1L, Seq(3.0, 4.0))).toDF("id", "e")
       .select(Similarity.cosine(col("e"), col("e")).as("c"))
