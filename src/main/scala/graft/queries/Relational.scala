@@ -444,6 +444,87 @@ object Relational {
       |  ON s_nationkey = n_nationkey AND s_acctbal > 9000.0
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---- q27: math functions (IEEE-exact subset) -------------------------------------
+  // Only operations with bit-defined results across engines: sqrt is
+  // IEEE-correctly-rounded, abs/floor/ceil/mod are exact. (ln/exp/pow
+  // are NOT — libm last-ulp differences would break the hash compare.)
+  def q27MathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(lit(0.5) - col("l_discount")).as("abs_disc"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        (col("l_orderkey") % 7).as("mod7"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q27Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  sqrt(l_quantity) AS sqrt_qty,
+      |  abs(0.5 - l_discount) AS abs_disc,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  l_orderkey % 7 AS mod7,
+      |  l_quantity * l_quantity AS qty_sq
+      |FROM lineitem
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q28: null-handling / conditional functions ------------------------------------
+  def q28NullFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("(machinery)")).as("seg_masked"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit")).as("bal_class"),
+        isnull(nullif(col("c_nationkey"), lit(0))).as("is_nation_zero")
+      )
+      .orderBy("c_custkey")
+
+  val q28Sql: String =
+    """SELECT c_custkey,
+      |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '(machinery)') AS seg_masked,
+      |  GREATEST(c_acctbal, 0.0) AS bal_floor,
+      |  LEAST(c_acctbal, 1000.0) AS bal_cap,
+      |  CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class,
+      |  NULLIF(c_nationkey, 0) IS NULL AS is_nation_zero
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q29: string functions, part 2 ---------------------------------------------------
+  def q29StringFuncs2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        lpad(col("s_name"), 24, "*").as("name_lpad"),
+        rpad(col("s_name"), 24, "-").as("name_rpad"),
+        reverse(col("s_name")).as("name_rev"),
+        instr(col("s_name"), "#").as("hash_pos"),
+        repeat(lit("ab"), 3).as("rep"),
+        translate(col("s_name"), "#0", "_O").as("name_subst"),
+        substring_index(col("s_name"), "#", 1).as("name_prefix")
+      )
+      .orderBy("s_suppkey")
+
+  val q29Sql: String =
+    """SELECT s_suppkey,
+      |  lpad(s_name, 24, '*') AS name_lpad,
+      |  rpad(s_name, 24, '-') AS name_rpad,
+      |  reverse(s_name) AS name_rev,
+      |  CAST(strpos(s_name, '#') AS INTEGER) AS hash_pos,
+      |  repeat('ab', 3) AS rep,
+      |  translate(s_name, '#0', '_O') AS name_subst,
+      |  split_part(s_name, '#', 1) AS name_prefix
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -463,7 +544,10 @@ object Relational {
     "q16_conditional_agg" -> (q16ConditionalAgg _),
     "q17_above_avg" -> (q17AboveAvg _),
     "q18_grouping_sets" -> (q18GroupingSets _),
-    "q19_range_join" -> (q19RangeJoin _)
+    "q19_range_join" -> (q19RangeJoin _),
+    "q27_math_funcs" -> (q27MathFuncs _),
+    "q28_null_funcs" -> (q28NullFuncs _),
+    "q29_string_funcs2" -> (q29StringFuncs2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -485,6 +569,9 @@ object Relational {
     "q16_conditional_agg" -> q16Sql,
     "q17_above_avg" -> q17Sql,
     "q18_grouping_sets" -> q18Sql,
-    "q19_range_join" -> q19Sql
+    "q19_range_join" -> q19Sql,
+    "q27_math_funcs" -> q27Sql,
+    "q28_null_funcs" -> q28Sql,
+    "q29_string_funcs2" -> q29Sql
   )
 }
