@@ -45,7 +45,20 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
     server.start()
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  private val started = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.streaming.StreamingQuery]()
+
+  /** Graceful shutdown (reference: SIGTERM → Shutdown, api.go:57-81):
+    * stop accepting requests, then stop the queries THIS server started
+    * (the session may host other owners' queries).
+    */
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    started.forEach { q =>
+      try q.stop()
+      catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
+    }
+    started.clear()
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -71,7 +84,9 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
               Metrics.pipelines.increment()
               // async start, failures logged only (api.go:134-139)
               new Thread(() =>
-                try PipelineCompiler.startStreaming(compiled, s"$storeDir/$id.ckpt", availableNow = false)
+                try PipelineCompiler
+                  .startStreaming(compiled, s"$storeDir/$id.ckpt", availableNow = false)
+                  .foreach(started.add)
                 catch { case e: Exception => System.err.println(s"[api] pipeline $id failed: ${e.getMessage}") }
               ).start()
               respond(ex, 201, id)

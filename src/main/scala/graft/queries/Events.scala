@@ -230,7 +230,22 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- q45: approximate aggregates (HLL, approx quantiles, CMS) ---------------
+  // Sketch results are engine-specific by design, so this query has NO
+  // DuckDB oracle (the driver records the weaker rows-present check);
+  // exact counterparts are oracle-checked in q15 and q26.
+  def q45ApproxStats(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("approx_p50_p99"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_approx_stats" -> (q45ApproxStats _),
     "q20_event_type_stats" -> (q20TypeStats _),
     "q21_event_hourly" -> (q21Hourly _),
     "q22_asof_enrich" -> (q22AsOfEnrich _),
