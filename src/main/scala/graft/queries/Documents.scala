@@ -112,15 +112,9 @@ object Documents {
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        when(
-          size(col("toks")) >= 3,
-          size(array_distinct(
-            transform(
-              sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))
-            )
-          ))
-        ).otherwise(0).as("n_distinct_shingles")
+        // kernel expression; equal to the declarative distinct-transform
+        // form (property-tested in TextHashExprsSpec)
+        size(graft.expressions.TextHashExprs.shingleSet(col("toks"), 3)).as("n_distinct_shingles")
       )
       .orderBy("doc_id")
   }

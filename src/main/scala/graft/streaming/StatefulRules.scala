@@ -82,6 +82,41 @@ object StatefulRules {
       )
   }
 
+  /** The enrichment state machine on Spark 4's `transformWithState`
+    * API — the successor to flatMapGroupsWithState: explicit typed
+    * state variables, TTL support, RocksDB-only state store.
+    * Semantics identical to [[enrichment]] (asserted in tests).
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the running query.
+    */
+  class EnrichmentProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeyedMsg, Enriched] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var latest: ValueState[String] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[String]("latest", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedMsg], timer: TimerValues): Iterator[Enriched] = {
+      val out = Vector.newBuilder[Enriched]
+      rows.toVector.sortBy(m => (m.tSec, m.side)).foreach { m =>
+        if (m.side == 0) latest.update(m.payload)
+        else out += Enriched(key, m.tSec, m.payload, Option(latest.get()))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[enrichment]] via transformWithState (see [[EnrichmentProcessor]]). */
+  def enrichmentTws(msgs: Dataset[KeyedMsg]): Dataset[Enriched] = {
+    import msgs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    msgs
+      .groupByKey(_.key)
+      .transformWithState(new EnrichmentProcessor, TimeMode.None(), OutputMode.Append)
+  }
+
   /** Event-time gap sessions on a stream — the built-in streaming form
     * of graft.operators.Sessionize (batch). Watermark bounds state: a
     * session closes once the watermark passes its end + gap.

@@ -66,6 +66,42 @@ class StatefulRulesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState enrichment matches flatMapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[KeyedMsg]
+    val query = StatefulRules
+      .enrichmentTws(input.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_tws")
+      .start()
+
+    try {
+      input.addData(KeyedMsg("a", 1L, 0, "build-v1"), KeyedMsg("a", 2L, 1, "probe-1"))
+      query.processAllAvailable()
+      input.addData(KeyedMsg("a", 3L, 1, "probe-2"), KeyedMsg("b", 3L, 1, "probe-miss"))
+      query.processAllAvailable()
+      val out = spark.table("enrich_tws").as[Enriched].collect().map(e => e.payload -> e.resolved).toMap
+      out("probe-1") shouldBe Some("build-v1")
+      out("probe-2") shouldBe Some("build-v1") // state across batches
+      out("probe-miss") shouldBe None
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session windows: gap-separated events form distinct sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
