@@ -37,7 +37,7 @@ object Events {
   val q20Sql: String =
     """SELECT event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  MIN(value) AS min_value,
       |  MAX(value) AS max_value,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -59,7 +59,7 @@ object Events {
   val q21Sql: String =
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
@@ -148,7 +148,7 @@ object Events {
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  MIN(ts_us) AS session_start_us,
       |  MAX(ts_us) AS session_end_us,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS session_value
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
@@ -170,7 +170,7 @@ object Events {
       |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
       |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
       |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
-      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+      |  CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS purchase_value
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin

@@ -40,11 +40,11 @@ object Relational {
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  CAST(COUNT(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -93,7 +93,7 @@ object Relational {
 
   val q03Sql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -200,7 +200,7 @@ object Relational {
 
   val q08Sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS running_qty,
       |  LAG(l_quantity, 1) OVER w AS prev_qty,
       |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn
       |FROM lineitem
@@ -226,7 +226,7 @@ object Relational {
     """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
       |       COALESCE(l_linestatus, '(all)') AS linestatus,
       |       CAST(COUNT(*) AS BIGINT) AS n,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -248,7 +248,7 @@ object Relational {
     """SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
       |       COALESCE(o_orderpriority, '(all)') AS orderpriority,
       |       CAST(COUNT(*) AS BIGINT) AS n,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY orderstatus, orderpriority""".stripMargin
@@ -330,7 +330,7 @@ object Relational {
     """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
       |       CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
       |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY o_year, o_month""".stripMargin
@@ -370,7 +370,7 @@ object Relational {
 
   val q16Sql: String =
     """SELECT l_linestatus,
-      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_value,
+      |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS returned_value,
       |  CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
       |  CAST(COUNT(*) AS BIGINT) AS n_total,
       |  MIN(l_quantity) AS min_qty,
@@ -413,7 +413,7 @@ object Relational {
       """SELECT COALESCE(c_mktsegment, '(all)') AS seg,
         |       COALESCE(CAST(c_nationkey AS STRING), '(all)') AS nk,
         |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_bal
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY seg, nk""".stripMargin
@@ -424,7 +424,7 @@ object Relational {
     """SELECT COALESCE(c_mktsegment, '(all)') AS seg,
       |       COALESCE(CAST(c_nationkey AS VARCHAR), '(all)') AS nk,
       |       CAST(COUNT(*) AS BIGINT) AS n,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_bal
       |FROM customer
       |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
       |ORDER BY seg, nk""".stripMargin
