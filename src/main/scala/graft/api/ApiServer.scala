@@ -30,11 +30,20 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
 
   private val store = new ConcurrentHashMap[String, Array[Byte]]()
   private var server: HttpServer = _
+  // Streaming checkpoints live in a sibling directory so the config
+  // store holds only config files and a restart never trips over a
+  // checkpoint directory (round-1 advice: IsADirectoryException).
+  private val ckptDir = Paths.get(storeDir).resolveSibling(
+    Paths.get(storeDir).getFileName.toString + "-checkpoints")
   Files.createDirectories(Paths.get(storeDir))
+  Files.createDirectories(ckptDir)
 
   // reload persisted configs (reference: backend Init)
-  Files.list(Paths.get(storeDir)).forEach { p =>
-    store.put(p.getFileName.toString, Files.readAllBytes(p))
+  locally {
+    val s = Files.list(Paths.get(storeDir))
+    try s.filter(Files.isRegularFile(_)).forEach { p =>
+      store.put(p.getFileName.toString, Files.readAllBytes(p))
+    } finally s.close()
   }
 
   def start(): Unit = {
@@ -85,7 +94,7 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
               // async start, failures logged only (api.go:134-139)
               new Thread(() =>
                 try PipelineCompiler
-                  .startStreaming(compiled, s"$storeDir/$id.ckpt", availableNow = false)
+                  .startStreaming(compiled, s"$ckptDir/$id", availableNow = false)
                   .foreach(started.add)
                 catch { case e: Exception => System.err.println(s"[api] pipeline $id failed: ${e.getMessage}") }
               ).start()

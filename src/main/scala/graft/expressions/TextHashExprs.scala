@@ -193,11 +193,19 @@ object HashKernels {
 
 case class MinHashSigExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // The kernel yields null for an empty shingle array (there is no min
+  // of zero hashes), so the expression is nullable even over a non-null
+  // child — otherwise codegen marks the slot non-null while holding a
+  // Java null and downstream consumers NPE.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
     HashKernels.minhashSig(input.asInstanceOf[ArrayData], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.minhashSig($c, $n)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.HashKernels.minhashSig($c, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

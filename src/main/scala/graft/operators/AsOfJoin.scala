@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left       probe side
-    * @param right      build side
-    * @param key        equi-join column present in both sides
-    * @param leftTime   ordering column on the left (e.g. epoch micros)
-    * @param rightTime  same on the right
-    * @param rightVals  (rightColumn, outputName) pairs carried to the output
-    * @param tieBreak   left column making (key, time, tieBreak) unique
+  /** @param left          probe side
+    * @param right         build side
+    * @param key           equi-join column present in both sides
+    * @param leftTime      ordering column on the left (e.g. epoch micros)
+    * @param rightTime     same on the right
+    * @param rightVals     (rightColumn, outputName) pairs carried to the output
+    * @param tieBreak      left column making (key, time, tieBreak) unique
+    * @param rightTieBreak right column ordering build rows with equal
+    *                      (key, time) — without it, last-write-wins between
+    *                      simultaneous build rows is nondeterministic
     *
     * Build rows sort before probe rows at equal timestamps (matching the
     * reference, where the KV write happens at event arrival, before any
@@ -41,37 +44,58 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightVals: Seq[(String, String)],
-      tieBreak: String
+      tieBreak: String,
+      rightTieBreak: Option[String] = None
   ): DataFrame = {
     val rvType = rightVals.map { case (src, out) => out -> right.schema(src).dataType }.toMap
 
+    // Internal helper columns must not shadow user columns; grow a "_"
+    // prefix until the name is fresh on both sides.
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String = {
+      var nm = base
+      while (taken.contains(nm)) nm = "_" + nm
+      nm
+    }
+    val tCol = fresh("_t")
+    val sideCol = fresh("_side")
+    val tbCol = fresh("_tb")
+    val rvCol = rightVals.map { case (_, out) => out -> fresh(s"_rv_$out") }.toMap
+
+    // The tie-break sorts as a string: it only has to make the order
+    // deterministic, not meaningful.
     val lAligned = left.select(
       left.columns.map(col) ++
-        Seq(col(leftTime).cast("long").as("_t"), lit(1).as("_side")) ++
-        rightVals.map { case (_, out) => lit(null).cast(rvType(out)).as(s"_rv_$out") }: _*
+        Seq(
+          col(leftTime).cast("long").as(tCol),
+          lit(1).as(sideCol),
+          col(tieBreak).cast("string").as(tbCol)
+        ) ++
+        rightVals.map { case (_, out) => lit(null).cast(rvType(out)).as(rvCol(out)) }: _*
     )
+    val rTb = rightTieBreak.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
     val rAligned = right.select(
       left.columns.map(c =>
         if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)
       ) ++
-        Seq(col(rightTime).cast("long").as("_t"), lit(0).as("_side")) ++
-        rightVals.map { case (src, out) => col(src).as(s"_rv_$out") }: _*
+        Seq(col(rightTime).cast("long").as(tCol), lit(0).as(sideCol), rTb.as(tbCol)) ++
+        rightVals.map { case (src, out) => col(src).as(rvCol(out)) }: _*
     )
 
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"), col(tieBreak))
+      .orderBy(col(tCol), col(sideCol), col(tbCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lAligned
       .unionByName(rAligned)
       .select(
-        left.columns.map(col) ++ Seq(col("_side")) ++
+        left.columns.map(col) ++ Seq(col(sideCol)) ++
           rightVals.map { case (_, out) =>
-            last(col(s"_rv_$out"), ignoreNulls = true).over(w).as(out)
+            last(col(rvCol(out)), ignoreNulls = true).over(w).as(out)
           }: _*
       )
-      .filter(col("_side") === 1)
-      .drop("_side")
+      .filter(col(sideCol) === 1)
+      .drop(sideCol)
   }
 }

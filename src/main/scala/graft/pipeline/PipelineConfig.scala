@@ -131,6 +131,31 @@ object PipelineConfig {
     stateUsage.find(_._2 > 1).foreach { case (st, _) =>
       return Left(s"Invalid rule configuration, only one rule can use each state but found multiple use state: $st")
     }
+
+    // The rule graph must be a DAG (a cycle would recurse forever in the
+    // compiler). Edges among rules: parent-rule-as-source and
+    // rule-as-sink; Kahn's algorithm, leftover nodes = a cycle.
+    val edges = c.rules.toSeq.flatMap { case (name, rule) =>
+      rule.sink.filter(c.rules.contains).map(name -> _).toSeq ++
+        (if (c.rules.contains(rule.source)) Seq(rule.source -> name) else Nil)
+    }.distinct
+    val inDeg = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    edges.foreach { case (_, to) => inDeg(to) += 1 }
+    val queue = scala.collection.mutable.Queue(c.rules.keys.filter(inDeg(_) == 0).toSeq: _*)
+    var visited = 0
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      visited += 1
+      adj.getOrElse(n, Nil).foreach { m =>
+        inDeg(m) -= 1
+        if (inDeg(m) == 0) queue.enqueue(m)
+      }
+    }
+    if (visited < c.rules.size) {
+      val cyclic = c.rules.keys.filter(inDeg(_) > 0).toSeq.sorted
+      return Left(s"Invalid configuration, rule cycle involving: ${cyclic.mkString(",")}")
+    }
     Right(c)
   }
 }

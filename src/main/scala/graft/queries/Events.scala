@@ -77,6 +77,7 @@ object Events {
       .select(
         col("user_id"),
         col("ts_us"),
+        col("event_id").as("signup_event_id"),
         col("ts_us").as("signup_ts_us"),
         get_json_object(col("props"), "$.k").cast("long").as("signup_k")
       )
@@ -87,7 +88,8 @@ object Events {
       leftTime = "ts_us",
       rightTime = "ts_us",
       rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
-      tieBreak = "event_id"
+      tieBreak = "event_id",
+      rightTieBreak = Some("signup_event_id")
     )
       .select(
         col("event_id"),
@@ -233,14 +235,23 @@ object Events {
   // ---- q45: approximate aggregates (HLL, approx quantiles, CMS) ---------------
   // Sketch results are engine-specific by design, so this query has NO
   // DuckDB oracle (the driver records the weaker rows-present check);
-  // exact counterparts are oracle-checked in q15 and q26.
+  // exact counterparts are oracle-checked in q15 and q26. Scalar columns
+  // only: the rows-only check still sorts the frame in pandas, and an
+  // array column is unhashable there (round-1 q45 failure).
   def q45ApproxStats(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("approx_p50_p99"),
+        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("qs"),
         count(lit(1)).as("n")
+      )
+      .select(
+        col("event_type"),
+        col("approx_users"),
+        col("qs").getItem(0).as("approx_p50"),
+        col("qs").getItem(1).as("approx_p99"),
+        col("n")
       )
       .orderBy("event_type")
 

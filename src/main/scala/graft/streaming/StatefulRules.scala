@@ -72,10 +72,15 @@ object StatefulRules {
           } else {
             val batch = it.toVector
             if (batch.nonEmpty) {
+              val isNew = state.getOption.isEmpty
               val cur = state.getOption.getOrElse(CountedState(batch.head._2, 0))
               state.update(cur.copy(n = cur.n + batch.size))
+              // Arm the flush only when the window opens: re-arming on
+              // every batch would let a hot key postpone its flush
+              // forever, unlike the reference's ticker (window.go:28-49)
+              // which fires every interval regardless of activity.
+              if (isNew) state.setTimeoutDuration(intervalMs)
             }
-            if (state.exists) state.setTimeoutDuration(intervalMs)
             Iterator.empty
           }
         }

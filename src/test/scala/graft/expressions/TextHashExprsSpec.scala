@@ -86,6 +86,23 @@ class TextHashExprsSpec extends SparkSpec {
     both.as[(Long, Long)].collect().foreach { case (a, b) => a shouldBe b }
   }
 
+  test("minhashSig of an empty shingle array is null, not an NPE") {
+    // The text column is non-null, so the child is non-nullable; the
+    // kernel still yields null for empty input and downstream size()
+    // must see SQL null (round-1 advice: codegen marked the slot
+    // non-null while holding a Java null).
+    val df = spark
+      .range(3)
+      .select(when(col("id") === 1, lit("a b c d")).otherwise(lit("")).as("text"))
+    val out = df
+      .select(TextHashExprs.minhashSig(TextHashExprs.shingleSet(Dedup.tokens(col("text")), 3), 8).as("sig"))
+      .select(col("sig").isNull.as("is_null"), org.apache.spark.sql.functions.size(col("sig")).as("sz"))
+      .as[(Boolean, Option[Int])]
+      .collect()
+    out.count(_._1) shouldBe 2
+    out.flatMap(_._2) shouldBe Array(8)
+  }
+
   test("kernels survive whole-stage codegen (plan contains no fallback)") {
     // spark.range keeps the projection non-foldable so a real codegen
     // stage is produced (a local Seq would constant-fold away).

@@ -69,6 +69,29 @@ class AsOfJoinSpec extends SparkSpec {
     out("p9").isDefined shouldBe true
   }
 
+  test("right tie-break resolves simultaneous build rows deterministically") {
+    val l = Seq(("p1", "a", 10L)).toDF("id", "k", "t")
+    val r = Seq(("a", 7L, "first", 1L), ("a", 7L, "second", 2L)).toDF("k", "t", "v", "rid")
+    def go() = AsOfJoin(
+      l, r, "k", "t", "t", Seq("v" -> "v"), "id", rightTieBreak = Some("rid")
+    ).select("v").as[String].head()
+    // rid=2 sorts last → last-write-wins picks "second", every run.
+    go() shouldBe "second"
+    go() shouldBe "second"
+  }
+
+  test("internal helper names do not collide with user columns") {
+    // Left carries columns literally named _t / _side / _tb / _rv_v:
+    // the operator must uniquify its internals around them.
+    val l = Seq(("p1", "a", 10L, "keep1", "keep2", "keep3", "keep4"))
+      .toDF("id", "k", "t", "_t", "_side", "_tb", "_rv_v")
+    val r = Seq(("a", 5L, "v5")).toDF("k", "t", "v")
+    val out = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id")
+    out.columns.toSeq shouldBe Seq("id", "k", "t", "_t", "_side", "_tb", "_rv_v", "v")
+    out.select("_t", "_side", "_tb", "_rv_v", "v").as[(String, String, String, String, String)].head() shouldBe
+      (("keep1", "keep2", "keep3", "keep4", "v5"))
+  }
+
   test("left columns are preserved") {
     val l = Seq(("p1", "a", 10L, 3.5)).toDF("id", "k", "t", "x")
     val r = Seq(("a", 5L, "v")).toDF("k", "t", "v")

@@ -78,4 +78,38 @@ class PipelineConfigSpec extends AnyFunSuite with Matchers {
   test("malformed JSON is a Left, not an exception") {
     PipelineConfig.parse("{nope").isLeft shouldBe true
   }
+
+  test("rejects a cyclic rule graph instead of overflowing the compiler") {
+    // r1 → r2 (sink edge) and r2 → r1 (source edge) form a cycle.
+    val c = PipelineConfig
+      .parse("""{"rules": {
+               |   "r1": {"source": "r2", "plugin": "aRule", "sink": "r2"},
+               |   "r2": {"source": "r1", "plugin": "aRule"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("cycle")
+  }
+
+  test("self-loop is a cycle") {
+    val c = PipelineConfig
+      .parse("""{"rules": {"r": {"source": "s", "plugin": "aRule", "sink": "r"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).left.toOption.get should include("cycle")
+  }
+
+  test("diamond fan-out/fan-in is NOT a cycle") {
+    val c = PipelineConfig
+      .parse("""{"rules": {
+               |   "top": {"source": "s", "plugin": "aRule"},
+               |   "l":   {"source": "top", "plugin": "aRule", "sink": "bottom"},
+               |   "r":   {"source": "top", "plugin": "aRule", "sink": "bottom"},
+               |   "bottom": {"source": "s", "plugin": "aRule"}},
+               | "sources": {"s": {"type": "File"}}, "sinks": {}, "states": {}}""".stripMargin)
+      .toOption
+      .get
+    PipelineConfig.validate(c, registry).isRight shouldBe true
+  }
 }
