@@ -129,12 +129,140 @@ object Documents {
       |      FROM documents) d
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q46: repetition / boilerplate detection --------------------------------
+  // Duplicate-bigram fraction per document — the standard repetition
+  // signal for filtering TV-static docs from a training corpus. Pure
+  // per-row map work: embarrassingly parallel, no shuffle at any scale.
+  def q46Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val nTok = size(toks)
+    val nBi = greatest(nTok - 1, lit(0))
+    val nDist = when(nTok >= 2, size(graft.expressions.TextHashExprs.shingleSet(toks, 2))).otherwise(lit(0))
+    docs(s, dir)
+      .select(col("doc_id"), nBi.as("n_bigrams"), nDist.as("n_distinct_bigrams"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        when(
+          col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")
+        ).otherwise(lit(0.0)).as("dup_fraction")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q46Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        CAST(CASE WHEN LEN(toks) >= 2 THEN LEN(toks) - 1 ELSE 0 END AS INTEGER) AS n_bigrams,
+      |        CAST(CASE WHEN LEN(toks) >= 2
+      |             THEN LEN(list_distinct(list_transform(range(0, LEN(toks) - 1),
+      |                    i -> toks[i+1] || ' ' || toks[i+2])))
+      |             ELSE 0 END AS INTEGER) AS n_distinct_bigrams
+      |      FROM d)
+      |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+      |  CASE WHEN n_bigrams > 0
+      |       THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+      |       ELSE 0.0 END AS dup_fraction
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q47: deterministic stratified sampling ----------------------------------
+  // Fixed-size per-language sample via hash-ordered row_number — the
+  // reproducible subsampling every corpus build needs (a rand() sample is
+  // neither reproducible nor oracle-checkable). One shuffle by lang;
+  // rank-k cutoff per stratum.
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 20)
+      .orderBy("lang", "rk")
+  }
+
+  val q47Sql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+      |           FROM documents)
+      |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  // ---- q48: scrub / normalize (URL + email + number redaction) ------------------
+  // Text-cleaning pass: count and redact URL/email/digit spans, collapse
+  // whitespace, lower-case; emit the normalized-text hash. Per-row map
+  // work, codegen'd regexes — no shuffle.
+  def q48Scrub(s: SparkSession, dir: String): DataFrame = {
+    val urlPat = "https?://\\S+"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val numPat = "[0-9]+"
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(col("text"), urlPat, "<URL>"), emailPat, "<EMAIL>"),
+      numPat,
+      "<NUM>"
+    )
+    val normalized = lower(regexp_replace(trim(scrubbed), "\\s+", " "))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_nums"),
+        md5(normalized).as("norm_hash")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(regexp_extract_all(text, 'https?://\S+')) AS INTEGER) AS n_urls,
+      |  CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+      |  CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+      |  md5(LOWER(REGEXP_REPLACE(TRIM(
+      |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+      |      'https?://\S+', '<URL>', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |      '[0-9]+', '<NUM>', 'g')), '\s+', ' ', 'g'))) AS norm_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q49: corpus vocabulary (explode → aggregate, the wordcount shape) --------
+  // Top-50 tokens with collection and document frequency. The explode →
+  // partial-agg → final-agg plan is the scale path: map-side combine
+  // absorbs the token skew (every doc shares the head vocabulary) before
+  // the shuffle, and the top-k is a TakeOrdered, not a global sort.
+  def q49Vocabulary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(50)
+
+  val q49Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+      |           FROM documents)
+      |SELECT tok,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      |FROM t
+      |GROUP BY tok
+      |ORDER BY n_occurrences DESC, tok
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
     "q32_text_quality" -> (q32TextQuality _),
     "q33_lang_profile" -> (q33LangProfile _),
-    "q34_shingles" -> (q34Shingles _)
+    "q34_shingles" -> (q34Shingles _),
+    "q46_repetition" -> (q46Repetition _),
+    "q47_stratified_sample" -> (q47StratifiedSample _),
+    "q48_scrub" -> (q48Scrub _),
+    "q49_vocabulary" -> (q49Vocabulary _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +270,10 @@ object Documents {
     "q31_token_stats" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_lang_profile" -> q33Sql,
-    "q34_shingles" -> q34Sql
+    "q34_shingles" -> q34Sql,
+    "q46_repetition" -> q46Sql,
+    "q47_stratified_sample" -> q47Sql,
+    "q48_scrub" -> q48Sql,
+    "q49_vocabulary" -> q49Sql
   )
 }
