@@ -25,8 +25,12 @@ object TextPipeline {
       .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
       .orderBy("id1", "id2")
 
-  val q35Sql: String =
-    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+  /** Shared CTE chain computing the LSH candidate pairs of q35 —
+    * reused verbatim by the q51 clustering oracle so both queries see
+    * the identical pair set.
+    */
+  private val lshPairsCte: String =
+    """d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
       |sh AS (SELECT doc_id,
       |         CASE WHEN LEN(toks) >= 3
       |              THEN list_distinct(list_transform(range(0, LEN(toks) - 2),
@@ -47,7 +51,10 @@ object TextPipeline {
       |             FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig)),
       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |          FROM exploded a JOIN exploded b USING (band, band_hash)
-      |          WHERE a.doc_id < b.doc_id)
+      |          WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  val q35Sql: String =
+    s"""WITH $lshPairsCte
       |SELECT id1, id2,
       |  CASE WHEN LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) > 0
       |       THEN CAST(LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
@@ -171,12 +178,43 @@ object TextPipeline {
       |FROM v
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q51: near-duplicate clustering (LSH pairs → connected components) -------
+  // The dedup DECISION stage: candidate pairs become per-doc cluster ids
+  // (min doc_id of the component — keep that doc, drop the rest of the
+  // cluster). Distributed min-label propagation; the oracle replays the
+  // same pair set through a recursive CTE. Only clustered docs appear.
+  def q51NearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.explodeBands(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
+    val pairs = Dedup.candidatePairs(bands, idCol = "doc_id")
+    graft.operators.ConnectedComponents(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val q51Sql: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION ALL
+      |          SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.comp AS comp
+      |  FROM reach r JOIN edges e ON r.id = e.src
+      |  WHERE r.comp < e.dst
+      |)
+      |SELECT id AS doc_id, MIN(comp) AS cluster_id
+      |FROM reach
+      |GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q36_simhash" -> (q36Simhash _),
     "q37_winnow" -> (q37Winnow _),
     "q38_lang_id" -> (q38LangId _),
-    "q39_fingerprints" -> (q39Fingerprints _)
+    "q39_fingerprints" -> (q39Fingerprints _),
+    "q51_neardup_clusters" -> (q51NearDupClusters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,6 +222,7 @@ object TextPipeline {
     "q36_simhash" -> q36Sql,
     "q37_winnow" -> q37Sql,
     "q38_lang_id" -> q38Sql,
-    "q39_fingerprints" -> q39Sql
+    "q39_fingerprints" -> q39Sql,
+    "q51_neardup_clusters" -> q51Sql
   )
 }
