@@ -24,6 +24,11 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => return -1.0 }
+      finally
+        // Queries that persist intermediates (LSH dedup) would otherwise
+        // accumulate a new cached copy per run — later runs would both
+        // leak memory and measure a cache-warmed variant.
+        spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 

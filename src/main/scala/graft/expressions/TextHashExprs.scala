@@ -26,8 +26,17 @@ object HashKernels {
 
   val P: Long = 1073741789L // largest prime < 2^30, matches Dedup.HashP
 
-  private def md5(bytes: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("MD5").digest(bytes)
+  // One digest per thread: getInstance-per-call was the hot-path cost of
+  // every kernel (provider lookup + allocation per shingle/token).
+  private val mdLocal: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def md5(bytes: Array[Byte]): Array[Byte] = {
+    val m = mdLocal.get()
+    m.reset()
+    m.digest(bytes)
+  }
 
   /** First 15 hex digits of md5 as an integer, mod P — identical to
     * `conv(substr(md5(s), 1, 15), 16, 10) % P`.
@@ -163,6 +172,53 @@ object HashKernels {
     acc
   }
 
+  /** Per-language indicator-word hit counts in ONE pass over the token
+    * array — identical values to TextAnalysis.indicatorHits per
+    * language, which the declarative path evaluates as one interpreted
+    * higher-order filter PER language (and the argmax CASE chain
+    * re-evaluates them, so the kernel saves ~15 array passes per row).
+    * Language order = TextAnalysis.indicators order (alphabetic).
+    */
+  private lazy val indicatorSets: Array[java.util.HashSet[UTF8String]] =
+    graft.operators.TextAnalysis.indicators.map { case (_, words) =>
+      val s = new java.util.HashSet[UTF8String]()
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  def langScores(tokens: ArrayData): GenericArrayData = {
+    val counts = new Array[Int](indicatorSets.length)
+    val m = tokens.numElements()
+    var t = 0
+    while (t < m) {
+      val tok = tokens.getUTF8String(t)
+      var l = 0
+      while (l < indicatorSets.length) {
+        if (indicatorSets(l).contains(tok)) counts(l) += 1
+        l += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(counts.map(c => c: Any))
+  }
+
+  /** Positional rolling hash — identical to TextAnalysis.rollingHash's
+    * declarative fold: per token, the first 7 md5 hex digits of
+    * "index@token" (28 bits), folded as h = (h·31 + v) mod P.
+    */
+  def rollingHash(tokens: ArrayData): Long = {
+    val m = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < m) {
+      val d = md5((i.toString + "@" + tokens.getUTF8String(i).toString).getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) | ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+      acc = (acc * 31L + v) % P
+      i += 1
+    }
+    acc
+  }
+
   /** Distinct ordered k-gram shingles of a token array, joined with
     * single spaces, first-occurrence order — identical to
     * `array_distinct(transform(...array_join(slice(toks,i+1,k))...))`.
@@ -251,6 +307,26 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class LangScoresExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.langScores(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.langScores($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.rollingHash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column-level API for the kernel expressions. */
 object TextHashExprs {
   def minhashSig(shingles: Column, n: Int): Column =
@@ -263,4 +339,8 @@ object TextHashExprs {
     GraftSqlBridge.column(WinnowExpr(GraftSqlBridge.expression(tokens), k, w))
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def langScores(tokens: Column): Column =
+    GraftSqlBridge.column(LangScoresExpr(GraftSqlBridge.expression(tokens)))
+  def rollingHash(tokens: Column): Column =
+    GraftSqlBridge.column(RollingHashExpr(GraftSqlBridge.expression(tokens)))
 }

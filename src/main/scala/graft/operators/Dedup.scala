@@ -111,12 +111,19 @@ object Dedup {
     * band_hash) bucket and pairs are exploded from each bucket's sorted
     * id list — signatures are computed exactly once, and the output is
     * identical to the join form.
+    *
+    * `maxBucketSize` is the standard LSH skew guard for corpus scale: a
+    * bucket of b ids emits b·(b−1)/2 pairs, so one degenerate bucket
+    * (empty docs, boilerplate) can emit quadratically many pairs. Docs
+    * in an over-limit bucket are near-identical to thousands of others
+    * and will still pair in their other bands. Default keeps every
+    * bucket (exact LSH semantics — what the oracle checks).
     */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+  def candidatePairs(bandsDf: DataFrame, idCol: String, maxBucketSize: Int = Int.MaxValue): DataFrame =
     bandsDf
       .groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(
         explode(
           flatten(

@@ -123,12 +123,25 @@ object TextPipeline {
 
   // ---- q38: language identification (indicator-word heuristic) ----------------
   def q38LangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
-    val scoreCols = TextAnalysis.indicators.map { case (lang, words) =>
-      TextAnalysis.indicatorHits(toks, words).as(s"score_$lang")
+    // Kernel: ONE pass over the token array for all languages; the
+    // declarative per-language filter + argmax CASE chain re-evaluates
+    // the hit counts ~15× per row (equality property-tested).
+    val langs = TextAnalysis.indicators.map(_._1)
+    val staged = docs(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.expressions.TextHashExprs.langScores(Dedup.tokens(col("text"))).as("scores")
+      )
+    val best = array_max(col("scores"))
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
+      when(col("scores").getItem(i) > 0 && col("scores").getItem(i) === best, lang).otherwise(elseCol)
     }
-    docs(s, dir)
-      .select(Seq(col("doc_id"), col("lang"), TextAnalysis.langId(toks).as("lang_pred")) ++ scoreCols: _*)
+    staged
+      .select(
+        Seq(col("doc_id"), col("lang"), pred.as("lang_pred")) ++
+          langs.zipWithIndex.map { case (lang, i) => col("scores").getItem(i).as(s"score_$lang") }: _*
+      )
       .orderBy("doc_id")
   }
 
@@ -159,7 +172,8 @@ object TextPipeline {
       .select(
         col("doc_id"),
         TextAnalysis.canonicalFingerprint(col("text")).as("canon_fp"),
-        TextAnalysis.rollingHash(toks).as("rolling_hash")
+        // kernel form of TextAnalysis.rollingHash (equality property-tested)
+        graft.expressions.TextHashExprs.rollingHash(toks).as("rolling_hash")
       )
       .orderBy("doc_id")
   }

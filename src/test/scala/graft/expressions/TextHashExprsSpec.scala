@@ -75,6 +75,41 @@ class TextHashExprsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("kernel langScores == declarative indicatorHits per language (property)") {
+    import graft.operators.TextAnalysis
+    val langWordGen = Gen.oneOf(TextAnalysis.indicators.flatMap(_._2))
+    val mixedDocGen = Gen.listOf(Gen.oneOf(wordGen, langWordGen)).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(20, mixedDocGen)
+    val prop = forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val slowCols = TextAnalysis.indicators.map { case (lang, words) =>
+        TextAnalysis.indicatorHits(Dedup.tokens(col("text")), words)
+      }
+      val both = df.select(
+        TextHashExprs.langScores(Dedup.tokens(col("text"))).as("fast"),
+        array(slowCols: _*).as("slow")
+      )
+      both.as[(Seq[Int], Seq[Int])].collect().forall { case (f, s) => f == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kernel rollingHash == declarative rollingHash (property)") {
+    import graft.operators.TextAnalysis
+    val docsGen = Gen.listOfN(15, docGen)
+    val prop = forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df.select(
+        TextHashExprs.rollingHash(Dedup.tokens(col("text"))).as("fast"),
+        TextAnalysis.rollingHash(Dedup.tokens(col("text"))).as("slow")
+      )
+      both.as[(Long, Long)].collect().forall { case (f, s) => f == s }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("baseHash matches conv(substr(md5, 1, 15), 16, 10) % P") {
     val df = Seq("hello world", "x", "").toDF("s")
     val both = df.select(
