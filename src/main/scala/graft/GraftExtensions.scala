@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{MinHashSigExpr, ShingleSetExpr, SimHash16Expr, WinnowExpr}
+import graft.expressions.{DotProductExpr, LangScoresExpr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, WinnowExpr}
 
 /** SparkSessionExtensions registration: exposes the graft kernel
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -50,6 +50,21 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
       (args: Seq[Expression]) =>
         WinnowExpr(args.head, intArg(args(1), "winnow_fingerprints"), intArg(args(2), "winnow_fingerprints"))
+    ),
+    (
+      "lang_scores",
+      new ExpressionInfo(classOf[LangScoresExpr].getName, "lang_scores"),
+      (args: Seq[Expression]) => LangScoresExpr(args.head)
+    ),
+    (
+      "rolling_hash",
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHashExpr(args.head)
+    ),
+    (
+      "dot_product",
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))
     )
   )
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over an embedding column — the coarse
+  * quantizer that turns [[Similarity.cellTopK]] from "blocked ANN over
+  * a semantic key" into classic IVF (inverted-file) search: fit k
+  * centroids, assign every vector to its nearest centroid's cell,
+  * search only within the query's cell.
+  *
+  * Determinism (so runs and engines agree without an RNG protocol):
+  *   - init = the k vectors with the lowest ids (k-means++ would need
+  *     seeded randomness; for IVF coarse quantization the init barely
+  *     matters, convergence does);
+  *   - per-dimension means are summed as DECIMAL(28,12), not double —
+  *     double summation order varies with partitioning, and a 1-ulp
+  *     centroid wiggle can flip a boundary vector's cell assignment.
+  *
+  * Scale shape: each iteration is ONE shuffle — posexplode to
+  * (cell, dim, value), partial-agg sums map-side, k·dims rows reach the
+  * driver (k=256 coarse cells × 1024 dims = 256k doubles — trivial).
+  * The corpus never concentrates anywhere; only centroids do.
+  */
+object KMeans {
+
+  /** Squared L2 distance between an embedding column and a literal
+    * centroid (sequential fold — deterministic per row).
+    */
+  private def sqDist(emb: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0.0),
+      (acc, d) => acc + d
+    )
+
+  /** Index (0-based) of the nearest centroid, ties to the lowest index. */
+  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => sqDist(emb, c)): _*)
+    // array_position returns the FIRST match (1-based) — lowest-index tie-break.
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Fit k centroids with `iters` Lloyd iterations.
+    *
+    * @param df     corpus
+    * @param idCol  unique id (init determinism)
+    * @param embCol array<double> embedding column
+    * @return centroid matrix, row c = centroid of cell c. Cells left
+    *         empty by an iteration keep their previous centroid.
+    */
+  def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val corpus = df.select(col(idCol).as("_id"), col(embCol).as("_emb"))
+
+    var centroids: Seq[Seq[Double]] = corpus
+      .orderBy("_id")
+      .limit(k)
+      .select("_emb")
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .toSeq
+    require(centroids.size == k, s"k=$k but corpus has only ${centroids.size} rows")
+
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(nearestCell(col("_emb"), centroids).as("_cell"), posexplode(col("_emb")).as(Seq("_dim", "_v")))
+        .groupBy(col("_cell"), col("_dim"))
+        .agg((sum(col("_v").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("_mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0))) old.indices.map(d => means((c, d))) else old
+      }
+    }
+    centroids
+  }
+
+  /** Add a `cell` column: the vector's nearest-centroid index. */
+  def assign(df: DataFrame, embCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cell", nearestCell(col(embCol), centroids))
+}

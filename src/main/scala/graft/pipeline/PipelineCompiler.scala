@@ -73,7 +73,27 @@ object PipelineCompiler {
     try {
       // One decoded DataFrame per source, shared by every consumer.
       val sourceDfs: Map[String, DataFrame] = config.sources.map { case (name, sc) =>
+        // Structured formats (csv/json/parquet) carry their own schema:
+        // records arrive decoded, so the trial-dispatch stage is skipped —
+        // the structured analogue of a source whose bytes are already
+        // events. Text remains the reference's raw-bytes + decode path.
+        val structured = sc.format.filter(_ != "text")
+        def structRead(path: String): DataFrame = structured match {
+          case Some("csv") =>
+            val r = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+            if (streaming)
+              spark.readStream.schema(r.schema).option("header", "true").csv(path)
+            else r
+          case Some(f) =>
+            if (streaming) spark.readStream.schema(spark.read.format(f).load(path).schema).format(f).load(path)
+            else spark.read.format(f).load(path)
+          case None => sys.error("not structured")
+        }
         val raw = (sc.`type`, streaming) match {
+          case ("File", false) if structured.isDefined =>
+            structRead(sc.path.getOrElse(sys.error(s"source $name: missing path")))
+          case ("File", true) if structured.isDefined =>
+            structRead(sc.path.getOrElse(sys.error(s"source $name: missing path")))
           case ("File", false) =>
             spark.read.text(sc.path.getOrElse(sys.error(s"source $name: missing path"))).toDF("value")
           case ("File", true) =>
@@ -94,8 +114,10 @@ object PipelineCompiler {
             if (s) spark.readStream.text(path).toDF("value") else spark.read.text(path).toDF("value")
           case (t, _) => sys.error(s"source $name: unknown source type $t")
         }
-        name -> Decode.dispatch(raw, registry)
+        name -> (if (structured.isDefined) raw else Decode.dispatch(raw, registry))
       }
+      val structuredSources: Set[String] =
+        config.sources.collect { case (n, sc) if sc.format.exists(_ != "text") => n }.toSet
 
       // Memoized rule outputs; parents = the rule's `source` plus every
       // rule naming this rule as its `sink` (pipeline.go:117-120).
@@ -106,8 +128,10 @@ object PipelineCompiler {
           val rule = rules(rc.plugin)
           val fromSource = sourceDfs.get(rc.source).map { dispatched =>
             rule.eventType match {
-              case Some(et) => Decode.ofType(dispatched, et)
-              case None     => dispatched
+              // Structured sources arrive schema-decoded: there is no
+              // _event_type discriminator to filter on.
+              case Some(et) if !structuredSources(rc.source) => Decode.ofType(dispatched, et)
+              case _                                         => dispatched
             }
           }
           val fromParentRule = if (config.rules.contains(rc.source)) Some(ruleOutput(rc.source)) else None

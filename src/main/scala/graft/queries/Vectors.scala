@@ -188,12 +188,37 @@ object Vectors {
       |     * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(b.emb, b.emb), p -> p[1] * p[2])), (x, y) -> x + y))) >= 0.35
       |ORDER BY id1, id2""".stripMargin
 
+  // ---- q52: IVF with a TRAINED coarse quantizer (k-means) ----------------------
+  // q42 blocks on a semantic key; this is the real IVF index build:
+  // Lloyd's k-means (deterministic init + decimal-summed means, see
+  // graft.operators.KMeans) fits 8 coarse centroids, every vector is
+  // assigned to its nearest cell, and search is one co-located equi-join
+  // within the query's cell. No SQL oracle (an iterative trained model
+  // is not reasonably SQL-expressible — driver records the rows-only
+  // check); the cell machinery itself is oracle-checked by q42 and the
+  // quantizer by KMeansSpec.
+  def q52AnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val centroids = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3)
+    val cells = graft.operators.KMeans.assign(e, "e", centroids)
+    val q = cells.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("cell"), col("e").as("qemb"))
+    val c = cells.select(col("vec_id").as("nid"), col("cell"), col("e").as("nemb"))
+    graft.operators.Similarity
+      .cellTopK(q, c, k = 3)
+      .select("qid", "cell", "rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute_force" -> (q40KnnBruteForce _),
     "q41_norm_stats" -> (q41NormStats _),
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q43_sign_lsh" -> (q43SignLsh _),
-    "q44_embedding_near_dup" -> (q44EmbeddingNearDup _)
+    "q44_embedding_near_dup" -> (q44EmbeddingNearDup _),
+    "q52_ann_kmeans" -> (q52AnnKmeans _)
   )
 
   val oracles: Map[String, String] = Map(

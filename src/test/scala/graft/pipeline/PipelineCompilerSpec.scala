@@ -61,6 +61,45 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 4
   }
 
+  test("batch: structured CSV source bypasses decode (source format field)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_csv")
+    Files.createDirectories(Paths.get(s"$dir/input"))
+    Files.write(Paths.get(s"$dir/input", "data.csv"), "Str\na\nab\n".getBytes("UTF-8"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"lengthCheck": {"source": "csvInput", "plugin": "lengthRule", "sink": "memCsv"}},
+         |  "states": {},
+         |  "sources": {"csvInput": {"type": "File", "path": "$dir/input", "format": "csv"}},
+         |  "sinks": {"memCsv": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    val out = spark.table("memCsv").as[Boolean].collect().toSeq
+    out.count(identity) shouldBe 1 // "a" passes length==1, "ab" fails
+    out.length shouldBe 2
+  }
+
+  test("streaming: structured parquet source (schema seeded from a batch read)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_pq")
+    Seq("a", "ab", "c").toDF("Str").write.parquet(s"$dir/input")
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"lengthCheck": {"source": "pqInput", "plugin": "lengthRule", "sink": "memPq"}},
+         |  "states": {},
+         |  "sources": {"pqInput": {"type": "File", "path": "$dir/input", "format": "parquet"}},
+         |  "sinks": {"memPq": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    PipelineCompiler.startStreaming(compiled, s"$dir/ckpt").foreach(_.awaitTermination(60000))
+    val out = spark.table("memPq").as[Boolean].collect().toSeq
+    out.count(identity) shouldBe 2 // "a", "c"
+    out.length shouldBe 3
+  }
+
   test("streaming s2s golden: file source → stateful enrichment → file sink") {
     val dir = tmpDir("graft_s2s")
     writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent, Fixtures.createUserEvent))
