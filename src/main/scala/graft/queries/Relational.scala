@@ -525,7 +525,117 @@ object Relational {
       |FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---- q53: full outer join ---------------------------------------------------
+  // High-balance customers vs high-balance suppliers per nation: the
+  // filters leave nations populated on only one side, so unmatched rows
+  // flow from BOTH sides — a real full-outer test, not a disguised inner.
+  def q53FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier")
+      .filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val q53Sql: String =
+    """WITH c AS (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+      |s AS (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+      |      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+      |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // ---- q54: pivot -------------------------------------------------------------
+  // RelationalGroupedDataset.pivot with an explicit value list (the
+  // list keeps the output schema static — at scale, pivot without one
+  // needs an extra distinct pass over the data).
+  def q54Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
+  val q54Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS F,
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q55: analytic window frames + ranking family -----------------------------
+  // dense_rank / percent_rank / ntile and a rows-frame moving sum over
+  // each customer's order history — the window-function families q07/q08
+  // don't cover. Decimal-summed frame so the double is deterministic.
+  def q55WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).as("quartile"),
+        sum(dec(col("o_totalprice"))).over(frame).cast("double").as("moving_sum"),
+        first(col("o_orderkey")).over(w).as("first_order")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q55Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving_sum,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q56: unpivot (wide → long) -----------------------------------------------
+  def q56Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric",
+        "value"
+      )
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val q56Sql: String =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 100) u
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_full_outer" -> (q53FullOuter _),
+    "q54_pivot" -> (q54Pivot _),
+    "q55_window_frames" -> (q55WindowFrames _),
+    "q56_unpivot" -> (q56Unpivot _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
@@ -551,6 +661,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_full_outer" -> q53Sql,
+    "q54_pivot" -> q54Sql,
+    "q55_window_frames" -> q55Sql,
+    "q56_unpivot" -> q56Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_revenue_by_nation" -> q03Sql,
