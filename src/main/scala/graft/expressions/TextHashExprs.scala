@@ -219,6 +219,27 @@ object HashKernels {
     acc
   }
 
+  /** Index of the nearest centroid by squared L2 (ties → lowest index)
+    * — identical to the declarative argmin-over-array-of-folds form,
+    * which evaluates one interpreted zip_with fold PER centroid per row
+    * (k·dims lambda dispatches; the 21s q52 hotspot at sf0.1).
+    */
+  def nearestCell(emb: ArrayData, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(emb.numElements(), cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val diff = emb.getDouble(i) - cen(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Distinct ordered k-gram shingles of a token array, joined with
     * single spaces, first-occurrence order — identical to
     * `array_distinct(transform(...array_join(slice(toks,i+1,k))...))`.
@@ -327,6 +348,18 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.nearestCell(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.nearestCell($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column-level API for the kernel expressions. */
 object TextHashExprs {
   def minhashSig(shingles: Column, n: Int): Column =
@@ -343,4 +376,6 @@ object TextHashExprs {
     GraftSqlBridge.column(LangScoresExpr(GraftSqlBridge.expression(tokens)))
   def rollingHash(tokens: Column): Column =
     GraftSqlBridge.column(RollingHashExpr(GraftSqlBridge.expression(tokens)))
+  def nearestCell(emb: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(NearestCellExpr(GraftSqlBridge.expression(emb), centroids))
 }

@@ -34,8 +34,16 @@ object KMeans {
       (acc, d) => acc + d
     )
 
-  /** Index (0-based) of the nearest centroid, ties to the lowest index. */
-  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+  /** Index (0-based) of the nearest centroid, ties to the lowest index.
+    * Codegen'd kernel (graft.expressions.NearestCellExpr): one JVM call
+    * per row instead of k interpreted folds (equality with the
+    * declarative form is property-tested).
+    */
+  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.expressions.TextHashExprs.nearestCell(emb, centroids.map(_.toArray).toArray)
+
+  /** Declarative reference form of [[nearestCell]] (test anchor). */
+  def nearestCellDeclarative(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     val dists = array(centroids.map(c => sqDist(emb, c)): _*)
     // array_position returns the FIRST match (1-based) — lowest-index tie-break.
     (array_position(dists, array_min(dists)) - 1).cast("int")
@@ -50,7 +58,12 @@ object KMeans {
     *         empty by an iteration keep their previous centroid.
     */
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): Seq[Seq[Double]] = {
-    val corpus = df.select(col(idCol).as("_id"), col(embCol).as("_emb"))
+    // Every iteration and the init scan the corpus — cache it for the
+    // duration of the fit (spill-safe) instead of re-reading parquet
+    // iters+1 times.
+    val corpus = df
+      .select(col(idCol).as("_id"), col(embCol).as("_emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var centroids: Seq[Seq[Double]] = corpus
       .orderBy("_id")
@@ -73,6 +86,7 @@ object KMeans {
         if (means.contains((c, 0))) old.indices.map(d => means((c, d))) else old
       }
     }
+    corpus.unpersist()
     centroids
   }
 

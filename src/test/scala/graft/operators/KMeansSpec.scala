@@ -38,6 +38,16 @@ class KMeansSpec extends SparkSpec {
     KMeans.fit(df1, "id", "emb", 3, 4) shouldBe KMeans.fit(df8, "id", "emb", 3, 4)
   }
 
+  test("kernel nearestCell == declarative argmin form") {
+    val df = clusters.toDF("id", "emb")
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(0.05, 0.0))
+    val both = df.select(
+      KMeans.nearestCell(org.apache.spark.sql.functions.col("emb"), cents).as("fast"),
+      KMeans.nearestCellDeclarative(org.apache.spark.sql.functions.col("emb"), cents).as("slow")
+    )
+    both.as[(Int, Int)].collect().foreach { case (f, s) => f shouldBe s }
+  }
+
   test("empty cells keep their previous centroid") {
     // k = 4 over 3 clumps: one centroid ends up empty and must persist.
     val df = clusters.toDF("id", "emb")
