@@ -155,15 +155,20 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.0
+      threshold: Double = 0.0,
+      persistShingles: Boolean = true
   ): DataFrame = {
     // Shingle sets feed three consumers (banding, both verify sides) —
     // persist so tokenization+shingling runs once. MEMORY_AND_DISK:
     // spills instead of OOMing when the corpus outgrows executor memory.
-    val sh = df
+    // With the codegen'd kernels, recomputing can beat the persist
+    // barrier on small corpora — benchmark both on your data.
+    val shPlain = df
       .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (persistShingles) shPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shPlain
     val bandsDf = sh
       .select(
         col(idCol),
