@@ -45,7 +45,7 @@ object StatefulRules {
       )
   }
 
-  case class CountedState(firstPayload: String, n: Int)
+  case class CountedState(firstPayload: String, n: Int, deadlineMs: Long)
 
   case class Flushed(key: String, payload: String, occurrences: Int)
 
@@ -71,17 +71,32 @@ object StatefulRules {
             Iterator.single(Flushed(key, s.firstPayload, s.n))
           } else {
             val batch = it.toVector
-            if (batch.nonEmpty) {
-              val isNew = state.getOption.isEmpty
-              val cur = state.getOption.getOrElse(CountedState(batch.head._2, 0))
-              state.update(cur.copy(n = cur.n + batch.size))
-              // Arm the flush only when the window opens: re-arming on
-              // every batch would let a hot key postpone its flush
-              // forever, unlike the reference's ticker (window.go:28-49)
-              // which fires every interval regardless of activity.
-              if (isNew) state.setTimeoutDuration(intervalMs)
+            if (batch.isEmpty) Iterator.empty
+            else {
+              // The flush DEADLINE is fixed when the window opens and
+              // kept in state. Two paths can cross it:
+              //   - quiet key: the ProcessingTimeTimeout fires (armed
+              //     with the REMAINING time each batch — Spark cancels a
+              //     key's timeout on every invocation, and re-arming
+              //     with the full interval would postpone forever);
+              //   - hot key: a timeout can NEVER fire for a key that has
+              //     data in every batch (timeouts only run for keys
+              //     absent from the batch), so the data path itself
+              //     emits once the deadline passes.
+              // Either way the cadence matches the reference's ticker
+              // (window.go:28-49): one flush per interval per active key.
+              val now = state.getCurrentProcessingTimeMs()
+              val cur0 = state.getOption.getOrElse(CountedState(batch.head._2, 0, now + intervalMs))
+              val cur = cur0.copy(n = cur0.n + batch.size)
+              if (now >= cur.deadlineMs) {
+                state.remove()
+                Iterator.single(Flushed(key, cur.firstPayload, cur.n))
+              } else {
+                state.update(cur)
+                state.setTimeoutDuration(math.max(1L, cur.deadlineMs - now))
+                Iterator.empty
+              }
             }
-            Iterator.empty
           }
         }
       )

@@ -173,4 +173,40 @@ class StatefulRulesSpec extends SparkSpec {
       spark.table("flush_out").count() shouldBe 1
     } finally query.stop()
   }
+
+  test("interval flush: a continuously-hot key still flushes (timer arms at window open)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, String)]
+    val query = StatefulRules
+      .intervalFlushCount(input.toDS(), intervalMs = 500)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("flush_hot")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+
+    try {
+      // Keep the key hot: new data more often than the flush interval.
+      // Before the round-2 fix, every batch re-armed the timeout and the
+      // key never flushed (unbounded latency + count).
+      val deadline = System.currentTimeMillis() + 60000
+      var flushed = Array.empty[StatefulRules.Flushed]
+      var n = 0
+      while (flushed.isEmpty && System.currentTimeMillis() < deadline) {
+        input.addData("hot" -> s"p$n")
+        n += 1
+        Thread.sleep(150)
+        flushed = spark.table("flush_hot").as[StatefulRules.Flushed].collect()
+      }
+      flushed.length should be >= 1
+      flushed.head.key shouldBe "hot"
+      flushed.head.payload shouldBe "p0" // first payload of the window
+      // The flush fired while data kept arriving — occurrences is a
+      // window's worth, well below everything sent by the deadline.
+      flushed.head.occurrences should be >= 1
+    } finally query.stop()
+  }
 }
