@@ -44,6 +44,31 @@ object Decode {
         .foldLeft(parsed.isNotNull)(_ && _)
   }
 
+  /** [[dispatch]] with single-pass type detection: `_event_type` comes
+    * from one Jackson parse per record (graft.expressions.JsonTypeOfExpr)
+    * instead of one `from_json` per registered schema in the CASE chain.
+    * The `_<name>` struct columns are still declared, but Catalyst
+    * prunes the unconsumed ones, so a record is parsed at most twice
+    * (detect + its own schema) rather than N+1 times. Same output as
+    * [[dispatch]] (asserted in DecodeSpec).
+    */
+  def dispatchFast(raw: DataFrame, registry: Seq[EventType]): DataFrame = {
+    import graft.expressions.{JsonDispatch, JsonTypeOfExpr}
+    val spec: JsonDispatch.TypeSpec = registry.map { et =>
+      et.name -> (
+        if (et.raw) Array.empty[(String, String)]
+        else et.required.map(f => f -> JsonDispatch.kindOf(et.schema(f).dataType)).toArray
+      )
+    }.toArray
+    val withParsed = registry.foldLeft(raw.withColumn("_raw", col("value"))) { (df, et) =>
+      val parsed =
+        if (et.raw) struct(col("value").as(et.schema.head.name))
+        else from_json(col("value"), et.schema)
+      df.withColumn(s"_${et.name}", parsed)
+    }
+    withParsed.withColumn("_event_type", JsonTypeOfExpr.column(col("value"), spec))
+  }
+
   /** Records claimed by `name`, flattened to that type's schema plus
     * `_raw` (the "assert or drop" idiom rules use — SURVEY §1.1).
     */

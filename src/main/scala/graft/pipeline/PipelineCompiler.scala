@@ -114,7 +114,10 @@ object PipelineCompiler {
             if (s) spark.readStream.text(path).toDF("value") else spark.read.text(path).toDF("value")
           case (t, _) => sys.error(s"source $name: unknown source type $t")
         }
-        name -> (if (structured.isDefined) raw else Decode.dispatch(raw, registry))
+        // dispatchFast: single-pass type detection (one Jackson parse
+        // instead of one from_json per schema; ~2× at 3 schemas, grows
+        // with registry size — label equality asserted in DecodeSpec).
+        name -> (if (structured.isDefined) raw else Decode.dispatchFast(raw, registry))
       }
       val structuredSources: Set[String] =
         config.sources.collect { case (n, sc) if sc.format.exists(_ != "text") => n }.toSet

@@ -52,6 +52,38 @@ class DecodeSpec extends SparkSpec {
     d.select("_event_type").as[Option[String]].head() shouldBe None
   }
 
+  test("dispatchFast labels records identically to dispatch") {
+    val inputs = Seq(
+      Fixtures.assumeRoleEvent,
+      Fixtures.createUserEvent,
+      Fixtures.certStreamEvent,
+      "not json at all",
+      """{"foo": 1}""",
+      """{"eventVersion": "1.0", "eventTime": "2016-11-14T17:25:45Z"}""", // missing eventName
+      """{"eventVersion": "1.0", "eventTime": "garbage", "eventName": "X"}""", // unparseable ts
+      """{"eventVersion": "1.0", "eventTime": 1479144345, "eventName": "X"}""", // epoch ts
+      """{"message_type": "heartbeat", "data": {}}""",
+      """{"message_type": "certificate_update", "data": 5}""", // data not a struct... but
+      """[1, 2, 3]""", // JSON but not an object
+      ""
+    )
+    for (registry <- Seq(jsonOnly, EventSchemas.registry)) {
+      val slow = Decode
+        .dispatch(inputs.toDF("value"), registry)
+        .select("_event_type")
+        .as[Option[String]]
+        .collect()
+        .toSeq
+      val fast = Decode
+        .dispatchFast(inputs.toDF("value"), registry)
+        .select("_event_type")
+        .as[Option[String]]
+        .collect()
+        .toSeq
+      fast shouldBe slow
+    }
+  }
+
   test("raw catch-all type claims everything the JSON types reject") {
     val d = Decode.dispatch(
       Seq(Fixtures.createUserEvent, "just a line").toDF("value"),

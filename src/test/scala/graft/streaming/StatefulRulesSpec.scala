@@ -207,6 +207,18 @@ class StatefulRulesSpec extends SparkSpec {
       // The flush fired while data kept arriving — occurrences is a
       // window's worth, well below everything sent by the deadline.
       flushed.head.occurrences should be >= 1
+
+      // Cadence (reference window_test.go:35-52 — one call per elapsed
+      // interval): the flush removed the state, so continued traffic
+      // opens a NEW window that must flush again an interval later.
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (flushed.length < 2 && System.currentTimeMillis() < deadline2) {
+        input.addData("hot" -> s"p$n")
+        n += 1
+        Thread.sleep(150)
+        flushed = spark.table("flush_hot").as[StatefulRules.Flushed].collect()
+      }
+      flushed.length should be >= 2
     } finally query.stop()
   }
 }
