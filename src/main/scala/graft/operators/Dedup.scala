@@ -137,6 +137,21 @@ object Dedup {
       .select(element_at(col("p"), 1).as("id1"), element_at(col("p"), 2).as("id2"))
       .distinct()
 
+  /** Pick the band count for a target Jaccard threshold: with b bands
+    * of r = n/b rows, the LSH S-curve crosses ~50% collision chance at
+    * J ≈ (1/b)^(1/r) (MMDS ch.3). Returns the divisor of `numHashes`
+    * whose threshold is closest to the target — SCALE.md's "banding
+    * chosen from the target threshold" knob made executable.
+    */
+  def chooseBanding(numHashes: Int, targetJaccard: Double): Int = {
+    require(numHashes > 0 && targetJaccard > 0 && targetJaccard < 1)
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { b =>
+      val r = numHashes / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard)
+    }
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(s1: Column, s2: Column): Column =
     when(

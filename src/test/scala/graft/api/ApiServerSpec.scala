@@ -74,6 +74,32 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("server restarts over a store that has hosted streaming pipelines") {
+    // Round-1 advice: checkpoints used to live INSIDE the config store,
+    // so the restart's config reload hit a directory and threw. A new
+    // server over the same store must come up and still GET old configs.
+    val dir = Files.createTempDirectory("graft_api_restart").toString
+    val cfg = validConfig
+    val srv1 = new ApiServer(spark, dir, port = 0)
+    srv1.start()
+    val id =
+      try {
+        val created = post(s"http://localhost:${srv1.boundPort}/pipelines", cfg)
+        created.statusCode() shouldBe 201
+        // Give the async start a moment to create checkpoint dirs.
+        Thread.sleep(2000)
+        created.body()
+      } finally srv1.stop()
+
+    val srv2 = new ApiServer(spark, dir, port = 0) // would throw pre-fix
+    srv2.start()
+    try {
+      val got = get(s"http://localhost:${srv2.boundPort}/pipelines/$id")
+      got.statusCode() shouldBe 200
+      got.body() shouldBe cfg
+    } finally srv2.stop()
+  }
+
   test("metrics endpoint exposes the two reference counters") {
     withServer { (_, base) =>
       val resp = get(s"$base/metrics")

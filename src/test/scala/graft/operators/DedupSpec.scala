@@ -76,4 +76,34 @@ class DedupSpec extends SparkSpec {
     val df = Seq((1L, "hi"), (2L, "hi"), (3L, "yo")).toDF("doc_id", "text")
     Dedup.minhashNearDups(df, "doc_id", "text", 3, 8, 4).count() shouldBe 0
   }
+
+  test("chooseBanding tracks the LSH S-curve threshold") {
+    // 128 hashes: high thresholds want many rows per band (few bands),
+    // low thresholds want many bands.
+    Dedup.chooseBanding(128, 0.9) should be < Dedup.chooseBanding(128, 0.3)
+    // b=16,r=8 → (1/16)^(1/8) ≈ 0.707; nearest divisor choice for 0.7.
+    Dedup.chooseBanding(128, 0.7) shouldBe 16
+    // Always a divisor.
+    for (t <- Seq(0.1, 0.5, 0.9)) (128 % Dedup.chooseBanding(128, t)) shouldBe 0
+  }
+
+  test("max bucket size drops only the degenerate bucket's pairs") {
+    // Five identical docs all land in one bucket per band (10 pairs);
+    // capping at 4 removes them while a small distinct pair elsewhere
+    // must survive.
+    val clones = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val pairDocs = Seq(
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six eight")
+    )
+    val df = (clones ++ pairDocs).toDF("doc_id", "text")
+    val bands = Dedup.explodeBands(df, "doc_id", "text", 3, 8, 4)
+    val uncapped = Dedup.candidatePairs(bands, "doc_id").count()
+    val capped = Dedup
+      .candidatePairs(bands, "doc_id", maxBucketSize = 4)
+      .as[(Long, Long)]
+      .collect()
+    uncapped shouldBe 11 // 10 clone pairs + 1 near-dup pair
+    capped.toSet shouldBe Set((10L, 11L))
+  }
 }
