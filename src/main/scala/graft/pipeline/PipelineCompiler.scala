@@ -167,10 +167,19 @@ object PipelineCompiler {
   def runBatch(c: Compiled): Unit =
     c.sinks.foreach { case (name, df) =>
       c.config.sinks(name) match {
-        case SinkConfig("File", Some(path)) => df.coalesce(1).write.mode("overwrite").json(path)
-        case SinkConfig("Memory", _)        => df.createOrReplaceTempView(name)
-        case SinkConfig("SQS", Some(path))  => QueueSink.post(df, path)
-        case other                          => sys.error(s"sink $name: unsupported $other")
+        // Structured file sink: parquet/csv/json, optionally partitioned
+        // (partition_by = the layout knob that turns downstream reads
+        // into partition-pruned scans at scale). No coalesce(1): the
+        // parallel write IS the point of a columnar sink.
+        case sc @ SinkConfig("File", Some(path), Some(fmt), _) =>
+          val w = df.write.mode("overwrite")
+          val p = if (sc.partitionBy.nonEmpty) w.partitionBy(sc.partitionBy: _*) else w
+          p.format(fmt).save(path)
+        case SinkConfig("File", Some(path), None, _) =>
+          df.coalesce(1).write.mode("overwrite").json(path)
+        case SinkConfig("Memory", _, _, _)       => df.createOrReplaceTempView(name)
+        case SinkConfig("SQS", Some(path), _, _) => QueueSink.post(df, path)
+        case other                               => sys.error(s"sink $name: unsupported $other")
       }
     }
 
@@ -185,9 +194,12 @@ object PipelineCompiler {
         .option("checkpointLocation", s"$checkpointRoot/$name")
       val trig = if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer
       c.config.sinks(name) match {
-        case SinkConfig("File", Some(path)) => trig.format("json").option("path", path).start()
-        case SinkConfig("Memory", _)        => trig.format("memory").queryName(name).start()
-        case SinkConfig("SQS", Some(path)) =>
+        case sc @ SinkConfig("File", Some(path), Some(fmt), _) =>
+          val p = if (sc.partitionBy.nonEmpty) trig.partitionBy(sc.partitionBy: _*) else trig
+          p.format(fmt).option("path", path).start()
+        case SinkConfig("File", Some(path), None, _) => trig.format("json").option("path", path).start()
+        case SinkConfig("Memory", _, _, _)           => trig.format("memory").queryName(name).start()
+        case SinkConfig("SQS", Some(path), _, _) =>
           // queue-post sink via foreachBatch — at-least-once per batch,
           // like output/sqs.go's per-record SendMessage (errors logged,
           // not retried)

@@ -28,7 +28,12 @@ final case class SourceConfig(
     format: Option[String]
 )
 
-final case class SinkConfig(`type`: String, path: Option[String])
+final case class SinkConfig(
+    `type`: String,
+    path: Option[String],
+    format: Option[String] = None,
+    partitionBy: Seq[String] = Nil
+)
 
 final case class PipelineConfig(
     eventFolder: String,
@@ -81,9 +86,16 @@ object PipelineConfig {
       val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>
         val o = objMap(sv)
         val nested = objMap(o.getOrElse("file_config", JNothing))
+        val partitionBy = o.getOrElse("partition_by", JNothing) match {
+          case JArray(vs) => vs.flatMap(str)
+          case JString(s) => Seq(s)
+          case _          => Nil
+        }
         name -> SinkConfig(
           `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
-          path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing)))
+          path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing))),
+          format = str(o.getOrElse("format", JNothing)),
+          partitionBy = partitionBy
         )
       }
       Right(

@@ -100,6 +100,37 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 3
   }
 
+  test("batch: partitioned parquet sink (sink format + partition_by)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_pq_sink")
+    Files.createDirectories(Paths.get(s"$dir/input"))
+    Files.write(Paths.get(s"$dir/input", "data.csv"), "Str,grp\na,x\nab,y\nc,x\n".getBytes("UTF-8"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"pass": {"source": "csvInput", "plugin": "passthrough", "sink": "pqOut"}},
+         |  "states": {},
+         |  "sources": {"csvInput": {"type": "File", "path": "$dir/input", "format": "csv"}},
+         |  "sinks": {"pqOut": {"type": "File", "path": "$dir/out", "format": "parquet", "partition_by": ["grp"]}}
+         |}""".stripMargin
+    val rules = PipelineCompiler.builtinRules + ("passthrough" -> new graft.rules.Rule {
+      val name = "passthrough"
+      def apply(df: org.apache.spark.sql.DataFrame) = df
+    })
+    val compiled = PipelineCompiler.compile(spark, config, rules = rules).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    // Hive-style partition layout + readable back with the partition column.
+    Files.exists(Paths.get(s"$dir/out/grp=x")) shouldBe true
+    val back = spark.read.parquet(s"$dir/out")
+    back.count() shouldBe 3
+    back
+      .filter(org.apache.spark.sql.functions.col("grp") === "x")
+      .select("Str")
+      .as[String]
+      .collect()
+      .toSet shouldBe Set("a", "c")
+  }
+
   test("streaming s2s golden: file source → stateful enrichment → file sink") {
     val dir = tmpDir("graft_s2s")
     writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent, Fixtures.createUserEvent))
