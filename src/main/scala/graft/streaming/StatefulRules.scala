@@ -137,6 +137,65 @@ object StatefulRules {
       .transformWithState(new EnrichmentProcessor, TimeMode.None(), OutputMode.Append)
   }
 
+  /** Interval flush on transformWithState TIMERS — the direct
+    * expression of the reference's ticker (window.go:19-49): a timer
+    * registered when the key's window opens fires `intervalMs` later
+    * REGARDLESS of arriving data (unlike flatMapGroupsWithState
+    * timeouts, which Spark cancels on every invocation — see
+    * [[intervalFlushCount]]'s two-path workaround). Emit-and-clear on
+    * expiry, exactly one flush per interval per active key.
+    */
+  class CountFlushProcessor(intervalMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, String), Flushed] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[CountedState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountedState]("counted", Encoders.product[CountedState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, String)],
+        timers: TimerValues
+    ): Iterator[Flushed] = {
+      val batch = rows.toVector
+      if (batch.nonEmpty) {
+        val cur = Option(st.get())
+        if (cur.isEmpty) {
+          val deadline = timers.getCurrentProcessingTimeInMs() + intervalMs
+          getHandle.registerTimer(deadline)
+          st.update(CountedState(batch.head._2, batch.size, deadline))
+        } else {
+          st.update(cur.get.copy(n = cur.get.n + batch.size))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo
+    ): Iterator[Flushed] = {
+      val cur = Option(st.get())
+      st.clear()
+      cur.map(c => Flushed(key, c.firstPayload, c.n)).iterator
+    }
+  }
+
+  /** [[intervalFlushCount]] via transformWithState timers (RocksDB
+    * state store required, like [[enrichmentTws]]).
+    */
+  def intervalFlushCountTws(msgs: Dataset[(String, String)], intervalMs: Long): Dataset[Flushed] = {
+    import msgs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    msgs
+      .groupByKey(_._1)
+      .transformWithState(new CountFlushProcessor(intervalMs), TimeMode.ProcessingTime(), OutputMode.Append)
+  }
+
   /** Event-time gap sessions on a stream — the built-in streaming form
     * of graft.operators.Sessionize (batch). Watermark bounds state: a
     * session closes once the watermark passes its end + gap.

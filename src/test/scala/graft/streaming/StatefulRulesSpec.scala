@@ -221,4 +221,48 @@ class StatefulRulesSpec extends SparkSpec {
       flushed.length should be >= 2
     } finally query.stop()
   }
+
+  test("transformWithState timer flush: hot key flushes on cadence (ticker parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[(String, String)]
+    val query = StatefulRules
+      .intervalFlushCountTws(input.toDS(), intervalMs = 500)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("flush_tws")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+
+    try {
+      // Hot key: data keeps arriving, yet the registered timer fires
+      // anyway — no data-path workaround needed with real timers.
+      val deadline = System.currentTimeMillis() + 60000
+      var flushed = Array.empty[StatefulRules.Flushed]
+      var n = 0
+      while (flushed.isEmpty && System.currentTimeMillis() < deadline) {
+        input.addData("hot" -> s"p$n")
+        n += 1
+        Thread.sleep(150)
+        flushed = spark.table("flush_tws").as[StatefulRules.Flushed].collect()
+      }
+      flushed.length should be >= 1
+      flushed.head.key shouldBe "hot"
+      flushed.head.payload shouldBe "p0"
+      flushed.head.occurrences should be >= 1
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
