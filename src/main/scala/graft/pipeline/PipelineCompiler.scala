@@ -60,7 +60,14 @@ object PipelineCompiler {
     for {
       parsed <- PipelineConfig.parse(rawConfig)
       valid <- PipelineConfig.validate(parsed, rules.keySet)
-      compiled <- compileValidated(spark, valid, registry, rules, streaming)
+      // eventFolder semantics (event_types.go:18-50): a real directory
+      // loads the pipeline's schema registry from JSON files in it;
+      // anything else ("builtin", "") uses the compiled-in registry.
+      reg =
+        if (graft.model.SchemaFolder.isFolder(valid.eventFolder))
+          graft.model.SchemaFolder.load(valid.eventFolder)
+        else registry
+      compiled <- compileValidated(spark, valid, reg, rules, streaming)
     } yield compiled
 
   private def compileValidated(

@@ -100,6 +100,34 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 3
   }
 
+  test("eventFolder loads the schema registry from JSON files (plugin-folder parity)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_schema_folder")
+    Files.createDirectories(Paths.get(s"$dir/schemas"))
+    Files.write(
+      Paths.get(s"$dir/schemas", "metric.json"),
+      """{"name": "metric", "ddl": "metric STRING, value DOUBLE", "required": ["metric", "value"]}""".getBytes("UTF-8")
+    )
+    writeLines(s"$dir/input", Seq("""{"metric": "cpu", "value": 0.5}""", "not a metric"))
+    val config =
+      s"""{
+         |  "eventFolder": "$dir/schemas",
+         |  "rules": {"pass": {"source": "in", "plugin": "metricsOnly", "sink": "memSchema"}},
+         |  "states": {},
+         |  "sources": {"in": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memSchema": {"type": "Memory"}}
+         |}""".stripMargin
+    val rules = PipelineCompiler.builtinRules + ("metricsOnly" -> new graft.rules.Rule {
+      val name = "metricsOnly"
+      override val eventType: Option[String] = Some("metric")
+      def apply(df: org.apache.spark.sql.DataFrame) = df.select("metric", "value")
+    })
+    val compiled = PipelineCompiler.compile(spark, config, rules = rules).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    val out = spark.table("memSchema").as[(String, Double)].collect().toSeq
+    out shouldBe Seq(("cpu", 0.5)) // the non-matching line is dropped by dispatch
+  }
+
   test("batch: partitioned parquet sink (sink format + partition_by)") {
     import spark.implicits._
     val dir = tmpDir("graft_pq_sink")
