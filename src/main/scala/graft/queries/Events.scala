@@ -255,7 +255,63 @@ object Events {
       )
       .orderBy("event_type")
 
+  // ---- q57: cohort retention ---------------------------------------------------
+  // Classic event-stream analytics: users grouped by first-seen day,
+  // tracked across subsequent activity days. Two shuffles total: the
+  // min-ts-per-user aggregate, then the (cohort, offset) count — the
+  // cohort join is a shuffle-free re-aggregation of the same user key.
+  def q57Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(firstDay, "user_id")
+      .select(
+        col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"),
+        col("user_id")
+      )
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q57Sql: String =
+    """WITH e AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---- q58: sliding event-time windows (batch form) ------------------------------
+  // 2-hour windows sliding by 1 hour: each event belongs to two windows.
+  // Spark's window() generates the assignment inline (no join against a
+  // window table); the oracle unnests the two bucket offsets.
+  def q58Sliding(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"),
+        col("n")
+      )
+      .orderBy("window_start", "event_type")
+
+  val q58Sql: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |w AS (SELECT event_type,
+      |        date_trunc('hour', ts) - INTERVAL (off) HOUR AS window_start
+      |      FROM e, (SELECT unnest([0, 1]) AS off))
+      |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM w
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_retention" -> (q57Retention _),
+    "q58_sliding" -> (q58Sliding _),
     "q45_approx_stats" -> (q45ApproxStats _),
     "q20_event_type_stats" -> (q20TypeStats _),
     "q21_event_hourly" -> (q21Hourly _),
@@ -267,6 +323,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_retention" -> q57Sql,
+    "q58_sliding" -> q58Sql,
     "q20_event_type_stats" -> q20Sql,
     "q21_event_hourly" -> q21Sql,
     "q22_asof_enrich" -> q22Sql,
