@@ -100,6 +100,43 @@ object Media {
     }
   }
 
+  /** The resize seam: a real implementation wraps an image library's
+    * scaler; the stub deterministically re-buckets the payload to the
+    * byte budget a (w×h×channels) frame would occupy, so downstream
+    * stages see correctly-shaped records.
+    */
+  trait Resizer extends Serializable {
+    def resize(payload: Array[Byte], kind: String, w: Int, h: Int): Array[Byte]
+  }
+
+  object FakeResizer extends Resizer {
+    def resize(payload: Array[Byte], kind: String, w: Int, h: Int): Array[Byte] = {
+      val channels = if (kind == "audio") 1 else 3
+      val target = w * h * channels
+      if (payload.length >= target) payload.take(target)
+      else {
+        // repeat-pad deterministically to the target size
+        val out = new Array[Byte](target)
+        var i = 0
+        while (i < target) { out(i) = if (payload.isEmpty) 0 else payload(i % payload.length); i += 1 }
+        out
+      }
+    }
+  }
+
+  /** Resize stage: normalize every payload to a target frame geometry
+    * before feature extraction — the standard pre-processing step that
+    * makes batch tensor shapes uniform. Same partition-batched shape as
+    * [[decodeFeatures]]; payload size becomes O(w·h), so resize EARLY:
+    * at 100 TB the shrunken payloads are what shuffle, not the originals.
+    */
+  def resizeTo(records: Dataset[MediaRecord], w: Int, h: Int, resizer: Resizer = FakeResizer): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map(r => r.copy(payload = resizer.resize(r.payload, r.kind, w, h)))
+    }
+  }
+
   /** Build a media table from any DataFrame with an id and a string
     * column, treating the UTF-8 bytes as the opaque payload — the test
     * harness's stand-in for reading real media files.

@@ -33,6 +33,19 @@ class MediaSpec extends SparkSpec {
     Media.decodeFeatures(Media.sampleFrames(video, 4, 100)).count() shouldBe 4
   }
 
+  test("resize normalizes every payload to the target geometry") {
+    val resized = Media.resizeTo(records, w = 8, h = 2).collect().map(r => r.mediaId -> r).toMap
+    resized(1L).payload.length shouldBe 8 * 2 * 3 // image: padded up
+    resized(2L).payload.length shouldBe 8 * 2 * 1 // audio: 1 channel, truncated
+    resized(3L).payload.length shouldBe 8 * 2 * 3 // empty: zero-padded
+    resized(3L).payload.forall(_ == 0) shouldBe true
+    // padding is deterministic repetition of the source bytes
+    resized(1L).payload.take(4).toSeq shouldBe resized(1L).payload.slice(4, 8).toSeq
+    // resized frames decode with uniform geometry
+    val feats = Media.decodeFeatures(Media.resizeTo(records, 8, 2)).collect()
+    feats.filter(_.kind == "image").foreach(_.payloadBytes shouldBe 48L)
+  }
+
   test("fromText builds the canonical binary media schema") {
     val df = Media.fromText(Seq((7L, "abc")).toDF("doc_id", "text"), "doc_id", "text", "image")
     df.columns.toSeq shouldBe Seq("mediaId", "kind", "uri", "payload")

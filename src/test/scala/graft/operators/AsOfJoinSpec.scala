@@ -92,6 +92,38 @@ class AsOfJoinSpec extends SparkSpec {
       (("keep1", "keep2", "keep3", "keep4", "v5"))
   }
 
+  test("matches a brute-force reference on random inputs (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    val keyGen = Gen.oneOf("a", "b", "c")
+    val timeGen = Gen.choose(0L, 20L)
+    val leftGen = Gen.listOfN(25, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (s"L$i", k, t) })
+    val rightGen =
+      Gen.listOfN(25, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i", i.toLong) })
+
+    val prop = forAll(leftGen, rightGen) { (left, right) =>
+      val l = left.toDF("id", "k", "t")
+      val r = right.toDF("k", "t", "v", "rid")
+      val got = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id", rightTieBreak = Some("rid"))
+        .select("id", "v")
+        .as[(String, Option[String])]
+        .collect()
+        .toMap
+      // Brute force: latest right row at or before each left row's time;
+      // ties among right rows resolved by rid rendered AS A STRING
+      // (the operator's tie-break contract).
+      val want = left.map { case (id, k, t) =>
+        val candidates = right.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (candidates.isEmpty) None
+               else Some(candidates.maxBy(c => (c._2, c._4.toString))._3))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("left columns are preserved") {
     val l = Seq(("p1", "a", 10L, 3.5)).toDF("id", "k", "t", "x")
     val r = Seq(("a", 5L, "v")).toDF("k", "t", "v")
