@@ -253,7 +253,62 @@ object Documents {
       |ORDER BY n_occurrences DESC, tok
       |LIMIT 50""".stripMargin
 
+  // ---- q59: histogram (fixed-width bucketing) -----------------------------------
+  // Document-length histogram per language: integer bucket arithmetic
+  // (no float edges), the standard exploration profile before setting
+  // corpus length filters. One shuffle on (lang, bucket).
+  def q59Histogram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), (floor(col("n_chars") / 100) * 100).cast("long").as("bucket_lo"))
+      .groupBy(col("lang"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket_lo")
+
+  val q59Sql: String =
+    """SELECT lang,
+      |  CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, bucket_lo""".stripMargin
+
+  // ---- q60: keyword extraction (per-doc top terms, integer-exact) -----------------
+  // Top-3 terms per document by in-doc count with corpus doc-frequency
+  // attached — TF-IDF's integer core, kept float-free so the oracle
+  // hash-compares exactly (ln() rounding differs across engines).
+  // Shape: explode → (doc, term) counts → df join (term-keyed) →
+  // per-doc top-k window; WindowGroupLimit caps the shuffle.
+  def q60Keywords(s: SparkSession, dir: String): DataFrame = {
+    val terms = docs(s, dir)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("doc_freq"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val q60Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq FROM t GROUP BY term),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, doc_freq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS INTEGER) AS rk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rk, term, tf, doc_freq
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_histogram" -> (q59Histogram _),
+    "q60_keywords" -> (q60Keywords _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
     "q32_text_quality" -> (q32TextQuality _),
@@ -266,6 +321,8 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_histogram" -> q59Sql,
+    "q60_keywords" -> q60Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_token_stats" -> q31Sql,
     "q32_text_quality" -> q32Sql,
