@@ -178,10 +178,14 @@ object Relational {
       |ORDER BY o_custkey, rn""".stripMargin
 
   // ---- q08: running / analytic window functions ---------------------------
+  // The window order includes l_quantity because the corpus contains a
+  // duplicated (orderkey, linenumber) line with different quantities —
+  // without it the order is not total and lag/running sums are
+  // engine-dependent at the tie (caught by the sf0.1 oracle run).
   def q08RunningSupplier(s: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     t(s, dir, "lineitem")
       .select(
         col("l_suppkey"),
@@ -205,7 +209,7 @@ object Relational {
       |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_suppkey, rn""".stripMargin
 
