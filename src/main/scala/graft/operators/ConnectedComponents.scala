@@ -48,11 +48,14 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Lazy localCheckpoint: the convergence aggregate right below is
+    // the action that materializes it, so each round is ONE job (an
+    // eager checkpoint would run a separate materialization job first).
     var labels = sym
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
 
     var iter = 0
@@ -65,7 +68,7 @@ object ConnectedComponents {
         .unionByName(msgs)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = next.agg(sum(col("component"))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
