@@ -28,6 +28,25 @@ class GraftExtensionsSpec extends SparkSpec {
     row._1 should (be >= 0 and be <= 65535)
   }
 
+  test("round-2 kernel functions are SQL-callable too") {
+    GraftFunctions.register(spark)
+    val row = spark
+      .sql(
+        """SELECT
+          |  size(lang_scores(split('the la der pum', ' '))) AS n_langs,
+          |  lang_scores(split('the of and', ' '))[1] AS en_hits,
+          |  rolling_hash(split('a b c', ' ')) AS rh,
+          |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+          |""".stripMargin
+      )
+      .as[(Int, Int, Long, Double)]
+      .head()
+    row._1 shouldBe 5 // de, en, es, fr, zh
+    row._2 shouldBe 3 // "the", "of", "and" are all English indicators
+    row._3 should be >= 0L
+    row._4 shouldBe 11.0
+  }
+
   test("SQL and Column forms agree") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
