@@ -54,6 +54,20 @@ object StreamJoins {
     ).drop(b(key))
   }
 
+  /** Stream-static enrichment (SURVEY §2.4's third form): when the
+    * build side is a slowly-changing DIMENSION rather than a stream,
+    * join the stream against the static table directly — Spark
+    * re-plans the static side per micro-batch (so an updated dimension
+    * parquet is picked up), no state store involved, and a small
+    * dimension broadcasts into every batch.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val d = dim.select(
+      dim.columns.map(c => if (c == key) col(c) else col(c).as(s"dim_$c")): _*
+    )
+    stream.join(d, Seq(key), "left_outer")
+  }
+
   /** Event-time tumbling-window aggregation (the streaming form of
     * q21_event_hourly): counts and a sum per (window, key), state
     * bounded by the watermark. The reference has only processing-time

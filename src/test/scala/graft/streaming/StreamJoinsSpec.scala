@@ -93,6 +93,33 @@ class StreamJoinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins each batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "label")
+    val input = MemoryStream[(String, String)]
+    val joined = StreamJoins.staticEnrich(input.toDS().toDF("k", "payload"), dim, "k")
+    val query = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sstatic_out")
+      .start()
+
+    try {
+      input.addData(("a", "p1"), ("c", "p-miss"))
+      query.processAllAvailable()
+      val out = spark
+        .table("sstatic_out")
+        .select("payload", "dim_label")
+        .as[(String, Option[String])]
+        .collect()
+        .toMap
+      out("p1") shouldBe Some("Alpha")
+      out("p-miss") shouldBe None // left outer: unknown key passes through
+    } finally query.stop()
+  }
+
   test("event-time tumbling aggregation groups by window and key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
