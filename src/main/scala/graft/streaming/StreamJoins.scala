@@ -54,6 +54,16 @@ object StreamJoins {
     ).drop(b(key))
   }
 
+  /** Watermarked exact deduplication: drop repeats of `keys` arriving
+    * within the watermark horizon — at-least-once sources (replayed
+    * Kinesis/Kafka batches) become effectively-once streams. State is
+    * one entry per distinct key, dropped as the watermark passes; an
+    * unbounded dropDuplicates would grow state forever at corpus scale.
+    */
+  def dedupExact(df: DataFrame, tsCol: String, watermarkDelay: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stream-static enrichment (SURVEY §2.4's third form): when the
     * build side is a slowly-changing DIMENSION rather than a stream,
     * join the stream against the static table directly — Spark

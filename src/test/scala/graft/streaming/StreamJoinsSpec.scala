@@ -120,6 +120,33 @@ class StreamJoinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked exact dedup drops in-horizon repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, Timestamp, String)]
+    val deduped = StreamJoins.dedupExact(
+      input.toDS().toDF("event_id", "ts", "payload"),
+      tsCol = "ts",
+      watermarkDelay = "30 minutes",
+      "event_id"
+    )
+    val query = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+
+    try {
+      input.addData(("e1", ts(0), "first"), ("e1", ts(1), "dup-same-batch"), ("e2", ts(2), "other"))
+      query.processAllAvailable()
+      input.addData(("e1", ts(5), "dup-later-batch"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id").as[String].collect().toSeq.sorted
+      out shouldBe Seq("e1", "e2") // each id exactly once
+    } finally query.stop()
+  }
+
   test("event-time tumbling aggregation groups by window and key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
