@@ -306,7 +306,56 @@ object Documents {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  // ---- q61: corpus-frequency fluency score ---------------------------------------
+  // Quality filtering the corpus against itself: each document scored by
+  // the mean corpus-frequency of its bigrams (docs full of rare bigrams
+  // are gibberish-or-unique; boilerplate scores high). All-integer until
+  // the final single division, so the oracle hash-compares exactly.
+  // Shape: bigram explode → corpus counts → join back per doc bigram →
+  // per-doc avg. The join key (bigram) is the high-cardinality side;
+  // partial aggs absorb the head bigrams before both shuffles.
+  def q61BigramFluency(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = docs(s, dir)
+      .select(
+        col("doc_id"),
+        explode(graft.expressions.TextHashExprs.shingleSet(split(trim(lower(col("text"))), "\\s+"), 2))
+          .as("bigram")
+      )
+    val corpusFreq = bigrams.groupBy(col("bigram")).agg(countDistinct(col("doc_id")).as("bg_docs"))
+    bigrams
+      .join(corpusFreq, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("bg_docs")).as("sum_bg_docs")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("sum_bg_docs"),
+        (col("sum_bg_docs").cast("double") / col("n_bigrams")).as("fluency")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q61Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, LEN(toks) - 1),
+      |           i -> toks[i+1] || ' ' || toks[i+2]))) AS bigram
+      |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      |        FROM documents) d
+      |  WHERE LEN(toks) >= 2),
+      |f AS (SELECT bigram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS bg_docs FROM b GROUP BY bigram)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(bg_docs) AS BIGINT) AS sum_bg_docs,
+      |  CAST(SUM(bg_docs) AS DOUBLE) / COUNT(*) AS fluency
+      |FROM b JOIN f USING (bigram)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_bigram_fluency" -> (q61BigramFluency _),
     "q59_histogram" -> (q59Histogram _),
     "q60_keywords" -> (q60Keywords _),
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -321,6 +370,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_bigram_fluency" -> q61Sql,
     "q59_histogram" -> q59Sql,
     "q60_keywords" -> q60Sql,
     "q30_dedup_exact" -> q30Sql,
