@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling with forward fill: one row per (key, tick)
+  * on a fixed grid between each key's first and last observation,
+  * carrying the most recent value at-or-before the tick.
+  *
+  * The gap-filling pattern every metrics/event pipeline needs (go-fish
+  * emits only on arrival — SURVEY §2.6; a downstream consumer wanting a
+  * regular grid has to build it). Composition, not new machinery:
+  * per-key bounds (one agg) → `sequence` + `explode` generates the grid
+  * inline (no driver-side tick table, no cross join) → [[AsOfJoin]]
+  * attaches the last observation per tick (one more shuffle).
+  */
+object Resample {
+
+  /** @param df       observations
+    * @param key      series key column
+    * @param timeUs   LONG epoch-micros observation time
+    * @param valueCol value to carry forward
+    * @param stepUs   grid step in micros
+    * @return (key, tick_us, valueCol) — ticks at floor(min/step)·step,
+    *         …, floor(max/step)·step per key; valueCol is the last
+    *         observation at or before each tick (null until the first
+    *         observation's tick).
+    */
+  def forwardFill(
+      df: DataFrame,
+      key: String,
+      timeUs: String,
+      valueCol: String,
+      stepUs: Long,
+      obsTieBreak: Option[String] = None
+  ): DataFrame = {
+    val bounds = df
+      .groupBy(col(key))
+      .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
+    // `div` = exact integral division; a double `/` could round across
+    // a grid boundary for large epoch-micro values.
+    val ticks = bounds
+      .select(
+        col(key),
+        explode(
+          sequence(
+            expr(s"(_min_t div ${stepUs}L) * ${stepUs}L"),
+            expr(s"(_max_t div ${stepUs}L) * ${stepUs}L"),
+            lit(stepUs)
+          )
+        ).as("tick_us")
+      )
+    // Tie-break among simultaneous observations: caller-provided unique
+    // column when available, else the observation time itself (last-
+    // write-wins is then nondeterministic between true duplicates).
+    val tb = obsTieBreak.map(col).getOrElse(col(timeUs))
+    val obs = df.select(col(key), col(timeUs), tb.as("_obs_tb"), col(valueCol).as(s"_v_$valueCol"))
+    AsOfJoin(
+      left = ticks,
+      right = obs,
+      key = key,
+      leftTime = "tick_us",
+      rightTime = timeUs,
+      rightVals = Seq(s"_v_$valueCol" -> valueCol),
+      tieBreak = "tick_us", // ticks are unique per key
+      rightTieBreak = Some("_obs_tb")
+    )
+  }
+}

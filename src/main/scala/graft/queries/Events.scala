@@ -309,7 +309,42 @@ object Events {
       |GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---- q62: time-series resample + forward fill ----------------------------------
+  // Daily grid per user between first and last purchase, carrying the
+  // latest purchase value forward — the gap-filling pattern regular-grid
+  // consumers need over an irregular event stream. Composition of
+  // sequence-explode grid generation and AsOfJoin (operators.Resample).
+  def q62Resample(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val purchases = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    graft.operators.Resample
+      .forwardFill(purchases, key = "user_id", timeUs = "ts_us", valueCol = "value",
+        stepUs = dayUs, obsTieBreak = Some("event_id"))
+      .select("user_id", "tick_us", "value")
+      .orderBy("user_id", "tick_us")
+  }
+
+  val q62Sql: String =
+    """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |                  CAST(event_id AS VARCHAR) AS eid, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM p GROUP BY user_id),
+      |ticks AS (SELECT user_id,
+      |            unnest(range((mn // 86400000000) * 86400000000,
+      |                         (mx // 86400000000) * 86400000000 + 1,
+      |                         86400000000)) AS tick_us
+      |          FROM b)
+      |SELECT t.user_id, t.tick_us,
+      |  (SELECT p2.value FROM p p2
+      |   WHERE p2.user_id = t.user_id AND p2.ts_us <= t.tick_us
+      |   ORDER BY p2.ts_us DESC, p2.eid DESC LIMIT 1) AS value
+      |FROM ticks t
+      |ORDER BY user_id, tick_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_resample" -> (q62Resample _),
     "q57_retention" -> (q57Retention _),
     "q58_sliding" -> (q58Sliding _),
     "q45_approx_stats" -> (q45ApproxStats _),
@@ -323,6 +358,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_resample" -> q62Sql,
     "q57_retention" -> q57Sql,
     "q58_sliding" -> q58Sql,
     "q20_event_type_stats" -> q20Sql,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("forward fill carries the latest observation across grid gaps") {
+    // step=10: obs at t=3 (v=1.0) and t=27 (v=2.0) → ticks 0,10,20.
+    val obs = Seq(("k", 3L, "a", 1.0), ("k", 27L, "b", 2.0)).toDF("k", "t", "id", "v")
+    val out = Resample
+      .forwardFill(obs, key = "k", timeUs = "t", valueCol = "v", stepUs = 10L, obsTieBreak = Some("id"))
+      .select("tick_us", "v")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    out.keySet shouldBe Set(0L, 10L, 20L)
+    out(0L) shouldBe None // tick precedes the first observation
+    out(10L) shouldBe Some(1.0)
+    out(20L) shouldBe Some(1.0) // gap: value carried forward
+  }
+
+  test("tick at the observation instant sees the observation") {
+    val obs = Seq(("k", 10L, "a", 5.0)).toDF("k", "t", "id", "v")
+    val out = Resample
+      .forwardFill(obs, "k", "t", "v", 10L, Some("id"))
+      .select("tick_us", "v")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    out shouldBe Map(10L -> Some(5.0))
+  }
+
+  test("keys resample independently") {
+    val obs = Seq(("a", 0L, "x", 1.0), ("a", 25L, "y", 2.0), ("b", 5L, "z", 9.0)).toDF("k", "t", "id", "v")
+    val out = Resample
+      .forwardFill(obs, "k", "t", "v", 10L, Some("id"))
+      .select("k", "tick_us")
+      .as[(String, Long)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sorted.toSeq)
+      .toMap
+    out("a") shouldBe Seq(0L, 10L, 20L)
+    out("b") shouldBe Seq(0L)
+  }
+}
