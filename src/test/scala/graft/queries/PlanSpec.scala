@@ -61,4 +61,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("q35_minhash_lsh")
     p should not include "CartesianProduct"
   }
+
+  test("q47 stratified sample: rank limit pushes below the shuffle (WindowGroupLimit)") {
+    // Partial top-k per map task BEFORE the lang shuffle — at corpus
+    // scale this is the difference between shuffling 20 rows per
+    // stratum per task and shuffling the whole table.
+    val p = plan("q47_stratified_sample")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q49 vocabulary: aggregation is partial before the token shuffle") {
+    val p = plan("q49_vocabulary")
+    p should include("partial_")
+    p should not include "CartesianProduct"
+  }
+
+  test("q53: a genuine full outer join survives optimization") {
+    val p = plan("q53_full_outer")
+    p should include("FullOuter")
+  }
+
+  test("q60 keywords: per-doc top-k limited before the rank shuffle") {
+    val p = plan("q60_keywords")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q62 resample: grid generation is inline (no cartesian tick join)") {
+    val p = plan("q62_resample")
+    p should include("Generate") // sequence+explode
+    p should not include "CartesianProduct"
+  }
 }
