@@ -100,6 +100,16 @@ class ApiServerSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("unsupported methods get 405") {
+    withServer { (_, base) =>
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/pipelines/some-id")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()
+      )
+      resp.statusCode() shouldBe 405
+    }
+  }
+
   test("metrics endpoint exposes the two reference counters") {
     withServer { (_, base) =>
       val resp = get(s"$base/metrics")

@@ -100,6 +100,32 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 3
   }
 
+  test("unknown source type compiles to a Left, not an exception") {
+    val config =
+      """{
+        |  "eventFolder": "builtin",
+        |  "rules": {"r": {"source": "in", "plugin": "aRule", "sink": "out"}},
+        |  "states": {},
+        |  "sources": {"in": {"type": "Carrier-Pigeon", "path": "/nope"}},
+        |  "sinks": {"out": {"type": "Memory"}}
+        |}""".stripMargin
+    val res = PipelineCompiler.compile(spark, config)
+    res.left.toOption.get should include("unknown source type")
+  }
+
+  test("batch Kafka source is rejected (streaming-only, like the reference)") {
+    val config =
+      """{
+        |  "eventFolder": "builtin",
+        |  "rules": {"r": {"source": "in", "plugin": "aRule", "sink": "out"}},
+        |  "states": {},
+        |  "sources": {"in": {"type": "Kafka", "path": "topic"}},
+        |  "sinks": {"out": {"type": "Memory"}}
+        |}""".stripMargin
+    val res = PipelineCompiler.compile(spark, config, streaming = false)
+    res.left.toOption.get should include("streaming-only")
+  }
+
   test("eventFolder loads the schema registry from JSON files (plugin-folder parity)") {
     import spark.implicits._
     val dir = tmpDir("graft_schema_folder")
