@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductExpr, LangScoresExpr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, WinnowExpr}
+import graft.expressions.{DotProductExpr, LangScoresExpr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, SpaceSavingAgg, WinnowExpr}
 
 /** SparkSessionExtensions registration: exposes the graft kernel
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -65,6 +65,12 @@ object GraftFunctions {
       "dot_product",
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (args: Seq[Expression]) => DotProductExpr(args.head, args(1))
+    ),
+    (
+      "space_saving_topk",
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving_topk"),
+      (args: Seq[Expression]) =>
+        SpaceSavingAgg(args.head, intArg(args(1), "space_saving_topk"), intArg(args(2), "space_saving_topk"))
     )
   )
 

@@ -354,7 +354,38 @@ object Documents {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q63: heavy hitters via the SpaceSaving aggregate ---------------------------
+  // The bounded-memory form of q49: a custom TypedImperativeAggregate
+  // builds SpaceSaving summaries map-side and merges them across
+  // partitions — only `capacity` slots ever shuffle, vs. one row per
+  // distinct token. On this corpus capacity (256) exceeds the
+  // vocabulary, so the sketch is provably exact and the oracle checks
+  // it against true counts; the approximate regime's bounds are
+  // property-tested in SpaceSavingAggSpec.
+  def q63HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .agg(graft.expressions.SpaceSavingAgg.topk(col("tok"), k = 20, capacity = 256).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "h")))
+      .select(
+        (col("pos") + 1).cast("int").as("rk"),
+        col("h.item").as("token"),
+        col("h.cnt").as("n_occurrences")
+      )
+      .orderBy("rk")
+
+  val q63Sql: String =
+    """WITH t AS (SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      |           FROM documents),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM t GROUP BY token)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INTEGER) AS rk,
+      |       token, n_occurrences
+      |FROM c
+      |ORDER BY n_occurrences DESC, token
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_heavy_hitters" -> (q63HeavyHitters _),
     "q61_bigram_fluency" -> (q61BigramFluency _),
     "q59_histogram" -> (q59Histogram _),
     "q60_keywords" -> (q60Keywords _),
@@ -370,6 +401,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_heavy_hitters" -> q63Sql,
     "q61_bigram_fluency" -> q61Sql,
     "q59_histogram" -> q59Sql,
     "q60_keywords" -> q60Sql,

@@ -47,6 +47,17 @@ class GraftExtensionsSpec extends SparkSpec {
     row._4 shouldBe 11.0
   }
 
+  test("space_saving_topk works as a SQL aggregate") {
+    GraftFunctions.register(spark)
+    Seq("a", "a", "b").toDF("x").createOrReplaceTempView("ss_in")
+    val out = spark
+      .sql("SELECT space_saving_topk(x, 2, 8) AS hh FROM ss_in")
+      .selectExpr("hh[0].item", "hh[0].cnt")
+      .as[(String, Long)]
+      .head()
+    out shouldBe (("a", 2L))
+  }
+
   test("SQL and Column forms agree") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
