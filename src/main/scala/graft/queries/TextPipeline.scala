@@ -222,7 +222,82 @@ object TextPipeline {
       |GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q64: end-to-end corpus curation -------------------------------------------
+  // The composed flow a corpus build actually runs, as ONE plan:
+  //   1. quality gate: repetition (dup-bigram fraction) + length;
+  //   2. near-dup dedup decision: of each LSH cluster keep the min
+  //      doc_id (ConnectedComponents over candidate pairs);
+  //   3. reproducible stratified sample: hash-ordered top-10 per lang.
+  // Every stage is individually oracle-checked (q46/q51/q47); this
+  // checks their composition bit-for-bit.
+  def q64Curation(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val nTok = size(toks)
+    val nBi = greatest(nTok - 1, lit(0))
+    val nDist = when(nTok >= 2, size(graft.expressions.TextHashExprs.shingleSet(toks, 2))).otherwise(lit(0))
+    val metrics = d.select(
+      col("doc_id"),
+      col("lang"),
+      nTok.as("n_tokens"),
+      when(nBi > 0, (nBi - nDist).cast("double") / nBi).otherwise(lit(0.0)).as("dup_fraction")
+    )
+
+    val bands = Dedup.explodeBands(d, idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
+    val clusters = graft.operators.ConnectedComponents(Dedup.candidatePairs(bands, "doc_id"), "id1", "id2")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+
+    val kept = metrics
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .filter(
+        col("dup_fraction") < 0.6 && col("n_tokens") >= 20 &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      )
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    kept
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 10)
+      .orderBy("lang", "rk")
+  }
+
+  val q64Sql: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.comp AS comp
+      |  FROM reach r JOIN edges e ON r.id = e.src
+      |  WHERE r.comp < e.dst),
+      |clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+      |metrics AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(toks) AS INTEGER) AS n_tokens,
+      |    CASE WHEN LEN(toks) >= 2 AND LEN(toks) - 1 > 0
+      |         THEN CAST((LEN(toks) - 1) - LEN(list_distinct(list_transform(range(0, LEN(toks) - 1),
+      |                i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) / (LEN(toks) - 1)
+      |         ELSE 0.0 END AS dup_fraction
+      |  FROM (SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+      |        FROM documents) x),
+      |kept AS (
+      |  SELECT m.doc_id, m.lang
+      |  FROM metrics m LEFT JOIN clusters c ON m.doc_id = c.doc_id
+      |  WHERE m.dup_fraction < 0.6 AND m.n_tokens >= 20
+      |    AND (c.cluster_id IS NULL OR c.cluster_id = m.doc_id)),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+      |  FROM kept)
+      |SELECT doc_id, lang, rk FROM ranked WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_curation" -> (q64Curation _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q36_simhash" -> (q36Simhash _),
     "q37_winnow" -> (q37Winnow _),
@@ -232,6 +307,7 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_curation" -> q64Sql,
     "q35_minhash_lsh" -> q35Sql,
     "q36_simhash" -> q36Sql,
     "q37_winnow" -> q37Sql,
