@@ -296,7 +296,61 @@ object TextPipeline {
       |SELECT doc_id, lang, rk FROM ranked WHERE rk <= 10
       |ORDER BY lang, rk""".stripMargin
 
+  // ---- q65: decontamination (train/benchmark n-gram overlap) ----------------------
+  // Flag corpus docs sharing >= 10% of their 3-gram shingles with a
+  // held-out set (here: the French docs stand in for the benchmark).
+  // Scale shape: the benchmark's DISTINCT shingle set is the small side
+  // (broadcast); the corpus side explodes shingles map-side, joins, and
+  // re-aggregates per doc — no corpus self-join, no cross product.
+  def q65Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(
+      col("doc_id"),
+      col("lang"),
+      graft.expressions.TextHashExprs.shingleSet(Dedup.tokens(col("text")), 3).as("sh")
+    )
+    val bench = sh.filter(col("lang") === "fr").select(explode(col("sh")).as("s")).distinct()
+    val corpus = sh.filter(col("lang") =!= "fr").select(col("doc_id"), col("sh"))
+    val overlap = corpus
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles")).as("overlap_frac")
+      )
+      .filter(col("overlap_frac") >= 0.1)
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH d AS (SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |         CASE WHEN LEN(toks) >= 3
+      |              THEN list_distinct(list_transform(range(0, LEN(toks) - 2),
+      |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |              ELSE [] END AS sh
+      |       FROM d),
+      |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE lang = 'fr'),
+      |corp AS (SELECT doc_id, sh FROM sh WHERE lang <> 'fr'),
+      |ce AS (SELECT doc_id, unnest(sh) AS s FROM corp),
+      |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |      FROM ce JOIN bench USING (s) GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(LEN(c.sh) AS INTEGER) AS n_shingles,
+      |  COALESCE(m.n_overlap, 0) AS n_overlap,
+      |  CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / LEN(c.sh) AS overlap_frac
+      |FROM corp c LEFT JOIN m USING (doc_id)
+      |WHERE CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / LEN(c.sh) >= 0.1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_decontamination" -> (q65Decontamination _),
     "q64_curation" -> (q64Curation _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q36_simhash" -> (q36Simhash _),
@@ -307,6 +361,7 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_decontamination" -> q65Sql,
     "q64_curation" -> q64Sql,
     "q35_minhash_lsh" -> q35Sql,
     "q36_simhash" -> q36Sql,
