@@ -212,7 +212,41 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
+  // ---- q66: per-label embedding centroids (vector aggregation) -------------------
+  // Mean vector per label in long form (label, dim, mean): posexplode →
+  // partial-agg per (label, dim) — the KMeans iteration's shuffle shape
+  // as a standalone query. Values are floor-quantized to micro-units
+  // BEFORE summing: BIGINT sums are exact under any partitioning, and
+  // floor (unlike decimal rounding) has no tie cases on float-origin
+  // doubles, so the result is bit-stable and oracle-comparable.
+  def q66LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(graft.operators.Similarity.asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(floor(col("v") * 1000000).cast("long")).as("sum_micro"),
+        count(lit(1)).as("n_vecs")
+      )
+      .select(
+        col("label"),
+        col("dim"),
+        (col("sum_micro").cast("double") / col("n_vecs") / 1e6).as("mean_v"),
+        col("n_vecs")
+      )
+      .orderBy("label", "dim")
+
+  val q66Sql: String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (SELECT label, unnest(range(0, LEN(emb))) AS dim, emb FROM e)
+      |SELECT label, CAST(dim AS INTEGER) AS dim,
+      |  CAST(SUM(CAST(FLOOR(emb[dim + 1] * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS mean_v,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |FROM x
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_label_centroids" -> (q66LabelCentroids _),
     "q40_knn_brute_force" -> (q40KnnBruteForce _),
     "q41_norm_stats" -> (q41NormStats _),
     "q42_ann_ivf" -> (q42AnnIvf _),
@@ -222,6 +256,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_label_centroids" -> q66Sql,
     "q40_knn_brute_force" -> q40Sql,
     "q41_norm_stats" -> q41Sql,
     "q42_ann_ivf" -> q42Sql,
