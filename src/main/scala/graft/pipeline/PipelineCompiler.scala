@@ -32,13 +32,13 @@ object PipelineCompiler {
   /** Built-in rule registry — the Spark replacement for compiled .so
     * plugins (rule.go:45-62).
     */
-  val builtinRules: Map[String, Rule] = Seq(
+  val builtinRules: Map[String, Rule] = (Seq(
     ExampleARule,
     ExampleLengthRule,
     DomainCertIssuedRule,
     CloudTrailS2SJoinRule,
     CloudTrailNoMfaAggRule
-  ).map(r => r.name -> r).toMap
+  ) ++ CorpusRules.all).map(r => r.name -> r).toMap
 
   final case class Compiled(
       /** One DataFrame per sink (batch) or per sink query (streaming). */

@@ -100,6 +100,42 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 3
   }
 
+  test("corpus rules chain through the pipeline DSL (quality → langId → dedup)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_corpus_rules")
+    val good = // 22 tokens, all bigrams distinct
+      "the quick brown fox jumps over one lazy dog while two curious cats watch three birds fly past four tall green trees"
+    val short = "too short"
+    val repetitive = ("spam ham " * 15).trim // dup-bigram fraction ~1
+    Seq(
+      (1L, good),
+      (2L, short), // dropped: too short
+      (3L, repetitive), // dropped: repetitive
+      (4L, good) // dropped: exact dup of 1 (post-normalization)
+    ).toDF("doc_id", "text").write.parquet(s"$dir/input")
+    // Rule-to-rule chaining via the source key: docs → gate → lid → dedup.
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "gate":  {"source": "docs", "plugin": "qualityFilter"},
+         |    "lid":   {"source": "gate", "plugin": "langId"},
+         |    "dedup": {"source": "lid", "plugin": "exactDedup", "sink": "memCurated"}
+         |  },
+         |  "states": {},
+         |  "sources": {"docs": {"type": "File", "path": "$dir/input", "format": "parquet"}},
+         |  "sinks": {"memCurated": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    val out = spark.table("memCurated").select("doc_id", "lang_pred").as[(Long, String)].collect()
+    withClue(s"rows=${out.toSeq}; input=${spark.read.parquet(s"$dir/input").collect().toSeq}") {
+      out.length shouldBe 1
+    }
+    out.head._1 shouldBe 1L // the one good, unique doc survives
+    out.head._2 shouldBe "en" // "the" is an English indicator
+  }
+
   test("unknown source type compiles to a Left, not an exception") {
     val config =
       """{
