@@ -384,7 +384,38 @@ object Documents {
       |ORDER BY n_occurrences DESC, token
       |LIMIT 20""".stripMargin
 
+  // ---- q67: grouped heavy hitters (per-language top tokens) -----------------------
+  // The SpaceSaving aggregate's GROUPED path: one bounded summary per
+  // language. Exact regime again (capacity >> per-lang vocabulary).
+  def q67LangHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(graft.expressions.SpaceSavingAgg.topk(col("tok"), k = 5, capacity = 256).as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "h")))
+      .select(
+        col("lang"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("h.item").as("token"),
+        col("h.cnt").as("n_occurrences")
+      )
+      .orderBy("lang", "rk")
+
+  val q67Sql: String =
+    """WITH t AS (SELECT lang, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+      |           FROM documents),
+      |c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |      FROM t GROUP BY lang, token),
+      |r AS (SELECT lang, token, n_occurrences,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |          ORDER BY n_occurrences DESC, token) AS INTEGER) AS rk
+      |      FROM c)
+      |SELECT lang, rk, token, n_occurrences
+      |FROM r WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_lang_heavy_hitters" -> (q67LangHeavyHitters _),
     "q63_heavy_hitters" -> (q63HeavyHitters _),
     "q61_bigram_fluency" -> (q61BigramFluency _),
     "q59_histogram" -> (q59Histogram _),
@@ -401,6 +432,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_lang_heavy_hitters" -> q67Sql,
     "q63_heavy_hitters" -> q63Sql,
     "q61_bigram_fluency" -> q61Sql,
     "q59_histogram" -> q59Sql,

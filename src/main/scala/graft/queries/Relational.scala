@@ -635,7 +635,45 @@ object Relational {
       |  FROM lineitem WHERE l_orderkey < 100) u
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  // ---- q68: ratio-to-report (percent-of-total window) -----------------------------
+  // Each nation's revenue share of the global total: aggregate once,
+  // then an unpartitioned analytic window over the 25-row aggregate —
+  // the share computation never touches the fact table twice.
+  def q68RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val byNation = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+    val w = Window.partitionBy()
+    byNation
+      .select(
+        col("n_name"),
+        col("revenue"),
+        // decimal-summed denominator: a double window-sum's order is
+        // partition-dependent and would break hash equality
+        (col("revenue") / sum(dec(col("revenue"))).over(w).cast("double")).as("share"),
+        rank().over(w.orderBy(col("revenue").desc, col("n_name"))).as("rnk")
+      )
+      .orderBy("n_name")
+  }
+
+  val q68Sql: String =
+    """WITH byn AS (
+      |  SELECT n_name,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, revenue,
+      |  revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS VARCHAR) AS DOUBLE) AS share,
+      |  CAST(RANK() OVER (ORDER BY revenue DESC, n_name) AS INTEGER) AS rnk
+      |FROM byn
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_revenue_share" -> (q68RevenueShare _),
     "q53_full_outer" -> (q53FullOuter _),
     "q54_pivot" -> (q54Pivot _),
     "q55_window_frames" -> (q55WindowFrames _),
@@ -665,6 +703,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_revenue_share" -> q68Sql,
     "q53_full_outer" -> q53Sql,
     "q54_pivot" -> q54Sql,
     "q55_window_frames" -> q55Sql,
