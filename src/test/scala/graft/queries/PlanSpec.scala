@@ -91,4 +91,15 @@ class PlanSpec extends SparkSpec {
     p should include("Generate") // sequence+explode
     p should not include "CartesianProduct"
   }
+
+  test("q68 revenue share: one fact scan, dims broadcast, share over the aggregate") {
+    val p = plan("q68_revenue_share")
+    "lineitem.parquet".r.findAllIn(p).size shouldBe 1 // fact scanned once
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q63 heavy hitters: SpaceSaving aggregates partially before the shuffle") {
+    val p = plan("q63_heavy_hitters")
+    p should include("partial_space_saving_topk")
+  }
 }
