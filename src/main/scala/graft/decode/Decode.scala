@@ -54,19 +54,23 @@ object Decode {
     */
   def dispatchFast(raw: DataFrame, registry: Seq[EventType]): DataFrame = {
     import graft.expressions.{JsonDispatch, JsonTypeOfExpr}
+    import org.apache.spark.sql.types.DataType
     val spec: JsonDispatch.TypeSpec = registry.map { et =>
       et.name -> (
-        if (et.raw) Array.empty[(String, String)]
-        else et.required.map(f => f -> JsonDispatch.kindOf(et.schema(f).dataType)).toArray
+        if (et.raw) Array.empty[(String, DataType)]
+        else et.required.map(f => f -> et.schema(f).dataType).toArray
       )
     }.toArray
+    // from_json parses timestamps with the session zone's formatter —
+    // the detector must use the same zone to agree on claim/no-claim.
+    val zoneId = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
     val withParsed = registry.foldLeft(raw.withColumn("_raw", col("value"))) { (df, et) =>
       val parsed =
         if (et.raw) struct(col("value").as(et.schema.head.name))
         else from_json(col("value"), et.schema)
       df.withColumn(s"_${et.name}", parsed)
     }
-    withParsed.withColumn("_event_type", JsonTypeOfExpr.column(col("value"), spec))
+    withParsed.withColumn("_event_type", JsonTypeOfExpr.column(col("value"), spec, zoneId))
   }
 
   /** Records claimed by `name`, flattened to that type's schema plus

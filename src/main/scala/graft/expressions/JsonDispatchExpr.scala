@@ -17,55 +17,85 @@ import org.apache.spark.unsafe.types.UTF8String
   * registry parses every record up to N times just to LABEL it. This
   * expression parses ONCE (Jackson), then checks each type's required
   * fields for presence and type-compatibility in registry order.
+  *
   * Type-compatibility mirrors Spark's JacksonParser PERMISSIVE rules
-  * for the field kinds the registry uses (string accepts anything,
-  * timestamps accept Spark-parseable strings — via Spark's own
-  * `DateTimeUtils.stringToTimestamp` — or integral epochs, structs
-  * need objects, etc.). Equality with the from_json-based dispatch is
-  * asserted in `DecodeSpec`.
+  * per concrete DataType: integral types reject fractional/overflowing
+  * JSON numbers (JacksonParser nulls the field → record unclaimed),
+  * container types only need the right shape (PERMISSIVE nulls the
+  * individual LEAF on a nested mismatch, never the enclosing struct),
+  * and timestamp strings parse with the session time zone exactly as
+  * from_json's default formatter does (`DefaultTimestampFormatter`
+  * delegates to `DateTimeUtils.stringToTimestamp`). Equality with the
+  * from_json-based dispatch is asserted in `DecodeSpec`, including on
+  * adversarial rows (fractional ints, overflow, bad nested subfields,
+  * partial timestamps, wrong-typed leaves).
   */
 object JsonDispatch {
 
-  /** (typeName, required fields as (name, kind)); kind ∈ string,
-    * timestamp, number, bool, struct, array, any. A type with no
+  /** (typeName, required fields as (name, dataType)). A type with no
     * required fields always matches (the raw catch-all).
     */
-  type TypeSpec = Array[(String, Array[(String, String)])]
-
-  def kindOf(dt: DataType): String = dt match {
-    case StringType                       => "string"
-    case TimestampType | TimestampNTZType => "timestamp"
-    case _: NumericType                   => "number"
-    case BooleanType                      => "bool"
-    case _: StructType | _: MapType       => "struct"
-    case _: ArrayType                     => "array"
-    case _                                => "any"
-  }
+  type TypeSpec = Array[(String, Array[(String, DataType)])]
 
   private val mapperLocal: ThreadLocal[ObjectMapper] = new ThreadLocal[ObjectMapper] {
     override def initialValue(): ObjectMapper = new ObjectMapper()
   }
 
-  private def fieldOk(node: JsonNode, field: String, kind: String): Boolean = {
-    val f = node.get(field)
-    if (f == null || f.isNull) return false
-    kind match {
-      case "string" => true // JacksonParser renders any value as text (objects keep raw JSON)
-      case "timestamp" =>
-        (f.isTextual && DateTimeUtils.stringToTimestamp(
-          UTF8String.fromString(f.textValue()),
-          java.time.ZoneOffset.UTC
-        ).isDefined) || f.isIntegralNumber // epoch seconds, JacksonParser semantics
-      case "number" => f.isNumber
-      case "bool"   => f.isBoolean
-      case "struct" => f.isObject
-      case "array"  => f.isArray
-      case _        => true
-    }
+  /** Non-numeric double/float spellings from JacksonParser
+    * (allowNonNumericNumbers, on by default for from_json).
+    */
+  private val nonNumerics = Set("NaN", "+INF", "-INF", "Infinity", "+Infinity", "-Infinity")
+
+  /** Would JacksonParser (PERMISSIVE) convert this present, non-null
+    * node to `dt` without nulling it? Mirrors
+    * sql/catalyst/json/JacksonParser.makeConverter per branch.
+    */
+  private def compat(f: JsonNode, dt: DataType, zone: java.time.ZoneId): Boolean = dt match {
+    case StringType => true // any token renders as text (objects keep raw JSON)
+    case BooleanType => f.isBoolean
+    case ByteType =>
+      f.isIntegralNumber && f.canConvertToInt &&
+        f.intValue() >= Byte.MinValue && f.intValue() <= Byte.MaxValue
+    case ShortType =>
+      f.isIntegralNumber && f.canConvertToInt &&
+        f.intValue() >= Short.MinValue && f.intValue() <= Short.MaxValue
+    case IntegerType => f.isIntegralNumber && f.canConvertToInt
+    case LongType    => f.isIntegralNumber && f.canConvertToLong
+    case FloatType | DoubleType =>
+      f.isNumber || (f.isTextual && nonNumerics.contains(f.textValue()))
+    case _: DecimalType => f.isNumber
+    case TimestampType =>
+      (f.isTextual && DateTimeUtils
+        .stringToTimestamp(UTF8String.fromString(f.textValue()), zone)
+        .isDefined) ||
+        (f.isIntegralNumber && f.canConvertToLong) // epoch seconds
+    case TimestampNTZType =>
+      f.isTextual && DateTimeUtils
+        .stringToTimestampWithoutTimeZone(UTF8String.fromString(f.textValue()), false)
+        .isDefined
+    case DateType =>
+      f.isTextual && DateTimeUtils.stringToDate(UTF8String.fromString(f.textValue())).isDefined
+    // PERMISSIVE partial results null individual LEAVES, not their
+    // ancestors (verified against from_json in DecodeSpec: certStream
+    // `data` survives a fractional `data.cert_index`) — so container
+    // fields only need the right shape; bad nested values never null
+    // the required container itself.
+    case _: StructType | _: MapType => f.isObject
+    case _: ArrayType               => f.isArray
+    case _                          => true
   }
 
-  /** First matching type name, null if none (or not a JSON object). */
-  def typeOf(value: UTF8String, types: TypeSpec): UTF8String = {
+  private def fieldOk(node: JsonNode, field: String, dt: DataType, zone: java.time.ZoneId): Boolean = {
+    val f = node.get(field)
+    f != null && !f.isNull && compat(f, dt, zone)
+  }
+
+  /** First matching type name, null if none (or not a JSON object).
+    * @param zoneId session time zone (from_json parses timestamps with
+    *               the session zone's formatter)
+    */
+  def typeOf(value: UTF8String, types: TypeSpec, zoneId: String): UTF8String = {
+    val zone = DateTimeUtils.getZoneId(zoneId)
     var node: JsonNode = null
     var parsed = false
     var i = 0
@@ -83,7 +113,7 @@ object JsonDispatch {
         var ok = true
         var j = 0
         while (ok && j < required.length) {
-          ok = fieldOk(node, required(j)._1, required(j)._2)
+          ok = fieldOk(node, required(j)._1, required(j)._2, zone)
           j += 1
         }
         if (ok) return UTF8String.fromString(name)
@@ -94,16 +124,18 @@ object JsonDispatch {
   }
 }
 
-case class JsonTypeOfExpr(child: Expression, types: JsonDispatch.TypeSpec) extends UnaryExpression {
+case class JsonTypeOfExpr(child: Expression, types: JsonDispatch.TypeSpec, zoneId: String)
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true // no type may claim the record
   override def prettyName: String = "json_type_of"
   override protected def nullSafeEval(input: Any): Any =
-    JsonDispatch.typeOf(input.asInstanceOf[UTF8String], types)
+    JsonDispatch.typeOf(input.asInstanceOf[UTF8String], types, zoneId)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("types", types, "scala.Tuple2[]")
+    val zid = ctx.addReferenceObj("zoneId", zoneId, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.expressions.JsonDispatch.typeOf($c, (scala.Tuple2[]) $ref);
+      ${ev.value} = graft.expressions.JsonDispatch.typeOf($c, (scala.Tuple2[]) $ref, $zid);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }
@@ -111,6 +143,6 @@ case class JsonTypeOfExpr(child: Expression, types: JsonDispatch.TypeSpec) exten
 }
 
 object JsonTypeOfExpr {
-  def column(value: Column, types: JsonDispatch.TypeSpec): Column =
-    GraftSqlBridge.column(JsonTypeOfExpr(GraftSqlBridge.expression(value), types))
+  def column(value: Column, types: JsonDispatch.TypeSpec, zoneId: String): Column =
+    GraftSqlBridge.column(JsonTypeOfExpr(GraftSqlBridge.expression(value), types, zoneId))
 }

@@ -31,13 +31,14 @@ object SchemaFolder {
     path.nonEmpty && path != "builtin" && Files.isDirectory(Paths.get(path))
 
   def load(folder: String): Seq[EventType] = {
-    val files = Files
-      .list(Paths.get(folder))
-      .iterator()
-      .asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
-      .toSeq
-      .sortBy(_.getFileName.toString)
+    // Files.list holds a directory handle until closed — leak-free via Using.
+    val files = scala.util.Using.resource(Files.list(Paths.get(folder))) { stream =>
+      stream
+        .iterator()
+        .asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
+        .toSeq
+    }.sortBy(_.getFileName.toString)
     files.map(parseFile)
   }
 

@@ -56,7 +56,11 @@ object ConnectedComponents {
       .distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(false)
-    var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
+    // Sum as decimal(38,0): with hash-derived 64-bit ids a long sum can
+    // overflow (ANSI mode would throw mid-job; non-ANSI could wrap).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -69,13 +73,19 @@ object ConnectedComponents {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(false)
-      val s = next.agg(sum(col("component"))).head.getLong(0)
-      converged = s == prevSum
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
     }
     sym.unpersist()
+    if (!converged) {
+      System.err.println(
+        s"WARN ConnectedComponents: maxIter=$maxIter reached without convergence — " +
+          "labels may span merged components; raise maxIter for deep graphs"
+      )
+    }
     labels
   }
 }

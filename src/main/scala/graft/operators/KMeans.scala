@@ -65,6 +65,16 @@ object KMeans {
       .select(col(idCol).as("_id"), col(embCol).as("_emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Ragged embeddings would otherwise fail deep inside an iteration
+    // (mean lookup for a dimension no row produced) while nearestCell
+    // silently truncates — validate uniform length up front instead.
+    val dims = corpus.agg(min(size(col("_emb"))).as("lo"), max(size(col("_emb"))).as("hi")).head
+    require(
+      dims.getInt(0) == dims.getInt(1),
+      s"ragged embedding lengths: min=${dims.getInt(0)}, max=${dims.getInt(1)} — " +
+        "k-means needs a uniform dimensionality"
+    )
+
     var centroids: Seq[Seq[Double]] = corpus
       .orderBy("_id")
       .limit(k)

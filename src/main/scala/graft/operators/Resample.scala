@@ -37,15 +37,18 @@ object Resample {
     val bounds = df
       .groupBy(col(key))
       .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
-    // `div` = exact integral division; a double `/` could round across
-    // a grid boundary for large epoch-micro values.
+    // Grid alignment must be FLOOR division (`t - pmod(t, step)`), all
+    // in integer arithmetic: `div` truncates toward zero, shifting the
+    // grid one step for pre-1970 (negative) timestamps, and a double
+    // `/` could round across a grid boundary for large epoch-micros.
+    // pmod keeps the remainder in [0, step) regardless of sign.
     val ticks = bounds
       .select(
         col(key),
         explode(
           sequence(
-            expr(s"(_min_t div ${stepUs}L) * ${stepUs}L"),
-            expr(s"(_max_t div ${stepUs}L) * ${stepUs}L"),
+            expr(s"_min_t - pmod(_min_t, ${stepUs}L)"),
+            expr(s"_max_t - pmod(_max_t, ${stepUs}L)"),
             lit(stepUs)
           )
         ).as("tick_us")

@@ -65,7 +65,19 @@ class DecodeSpec extends SparkSpec {
       """{"message_type": "heartbeat", "data": {}}""",
       """{"message_type": "certificate_update", "data": 5}""", // data not a struct... but
       """[1, 2, 3]""", // JSON but not an object
-      ""
+      "",
+      // Adversarial rows (ADVICE r2): JacksonParser conversion rules
+      // that mere presence/shape checks would get wrong.
+      """{"message_type": "x", "data": {"cert_index": 1.5}}""", // fractional for INT subfield
+      """{"message_type": "x", "data": {"cert_index": 2147483648}}""", // overflows INT subfield
+      """{"message_type": "x", "data": {"cert_index": 7}}""", // valid INT subfield
+      """{"message_type": "x", "data": {"leaf_cert": {"all_domains": "notarray"}}}""", // string for array, 2 deep
+      """{"message_type": "x", "data": {"leaf_cert": {"not_before": "abc"}}}""", // string for double, 2 deep
+      """{"message_type": "x", "data": {"seen": 1}}""", // int token for double — fine
+      """{"eventVersion": "1.0", "eventTime": "2016-11", "eventName": "X"}""", // partial-format ts
+      """{"eventVersion": "1.0", "eventTime": "2016-11-14 17:25:45+02:00", "eventName": "X"}""", // offset ts
+      """{"eventVersion": 1.0, "eventTime": "2016-11-14T17:25:45Z", "eventName": "X"}""", // number for string
+      """{"eventVersion": "1.0", "eventTime": true, "eventName": "X"}""" // bool for timestamp
     )
     for (registry <- Seq(jsonOnly, EventSchemas.registry)) {
       val slow = Decode
@@ -82,6 +94,41 @@ class DecodeSpec extends SparkSpec {
         .toSeq
       fast shouldBe slow
     }
+  }
+
+  test("nested subfield mismatch nulls only the leaf — record stays claimed") {
+    // from_json (PERMISSIVE) nulls data.cert_index when INT receives
+    // 1.5 but keeps the enclosing `data` struct, so certStream still
+    // claims the record; both dispatch paths must agree (ADVICE r2).
+    val row = """{"message_type": "x", "data": {"cert_index": 1.5}}"""
+    for (d <- Seq(Decode.dispatch(Seq(row).toDF("value"), jsonOnly),
+                  Decode.dispatchFast(Seq(row).toDF("value"), jsonOnly))) {
+      d.select("_event_type").as[Option[String]].head() shouldBe Some("certStream")
+      d.select(col("_certStream.data.cert_index")).as[Option[Int]].head() shouldBe None
+    }
+  }
+
+  test("top-level integral required field rejects fractional and overflowing numbers") {
+    // The divergence ADVICE r2 flagged: a presence-only check would
+    // claim {"n": 1.5} while from_json nulls the INT field. Both paths
+    // must leave such records unclaimed.
+    val intEvent = graft.model.EventType(
+      name = "intEvent",
+      schema = org.apache.spark.sql.types.StructType.fromDDL("n INT, tag STRING"),
+      required = Seq("n")
+    )
+    val rows = Seq(
+      """{"n": 3}""", // claimed
+      """{"n": 1.5}""", // fractional → from_json nulls n → unclaimed
+      """{"n": 2147483648}""", // > Int.MaxValue → unclaimed
+      """{"n": "7"}""" // string token for INT → unclaimed
+    )
+    val slow = Decode.dispatch(rows.toDF("value"), Seq(intEvent))
+      .select("_event_type").as[Option[String]].collect().toSeq
+    val fast = Decode.dispatchFast(rows.toDF("value"), Seq(intEvent))
+      .select("_event_type").as[Option[String]].collect().toSeq
+    slow shouldBe Seq(Some("intEvent"), None, None, None)
+    fast shouldBe slow
   }
 
   test("raw catch-all type claims everything the JSON types reject") {

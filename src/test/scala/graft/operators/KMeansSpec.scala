@@ -48,6 +48,14 @@ class KMeansSpec extends SparkSpec {
     both.as[(Int, Int)].collect().foreach { case (f, s) => f shouldBe s }
   }
 
+  test("ragged embedding lengths fail fast with a clear error") {
+    val ragged = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0)), (2L, Seq(2.0, 2.0))).toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fit(ragged, "id", "emb", k = 2, iters = 1)
+    }
+    e.getMessage should include("ragged embedding lengths")
+  }
+
   test("empty cells keep their previous centroid") {
     // k = 4 over 3 clumps: one centroid ends up empty and must persist.
     val df = clusters.toDF("id", "emb")

@@ -31,6 +31,22 @@ class ResampleSpec extends SparkSpec {
     out shouldBe Map(10L -> Some(5.0))
   }
 
+  test("pre-1970 (negative) timestamps align to the floor grid, not toward zero") {
+    // step=10: obs at t=-13 → floor grid tick is -20 (truncation toward
+    // zero would put it at -10, AFTER the observation) and t=7 → tick 0.
+    val obs = Seq(("k", -13L, "a", 1.0), ("k", 7L, "b", 2.0)).toDF("k", "t", "id", "v")
+    val out = Resample
+      .forwardFill(obs, "k", "t", "v", 10L, Some("id"))
+      .select("tick_us", "v")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    out.keySet shouldBe Set(-20L, -10L, 0L)
+    out(-20L) shouldBe None // tick precedes the first observation
+    out(-10L) shouldBe Some(1.0)
+    out(0L) shouldBe Some(1.0) // obs at t=7 is after the tick — carry t=-13's value
+  }
+
   test("keys resample independently") {
     val obs = Seq(("a", 0L, "x", 1.0), ("a", 25L, "y", 2.0), ("b", 5L, "z", 9.0)).toDF("k", "t", "id", "v")
     val out = Resample
