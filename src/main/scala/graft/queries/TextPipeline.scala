@@ -22,7 +22,12 @@ object TextPipeline {
   // its exact Jaccard over 3-gram shingle sets.
   def q35MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
+      // persistShingles=false: with the codegen'd kernels, recomputing
+      // the shingle projection is cheaper than building a deserialized
+      // array cache (measured 1.7s vs 6.7s cold at sf0.1); at 100 TB
+      // the equivalent is a staging table, not executor cache (SCALE.md).
+      .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
+        persistShingles = false)
       .orderBy("id1", "id2")
 
   /** Shared CTE chain computing the LSH candidate pairs of q35 —
