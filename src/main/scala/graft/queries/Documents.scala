@@ -414,7 +414,93 @@ object Documents {
       |FROM r WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
+  // ---- q73: sequence packing (concat-and-chunk span map) -------------------------
+  // Training prep: the corpus is conceptually concatenated in doc_id
+  // order and split into fixed 512-token context windows; each document
+  // maps to the span of windows it lands in (a doc can straddle a
+  // boundary). One global running sum gives every doc its start offset;
+  // all arithmetic is integral, so the map is engine-exact.
+  //
+  // Scale note: the unpartitioned window is the *semantics* (one global
+  // sequence); at 100 TB you shard first (pack per shard/source so each
+  // partition packs independently) — the per-shard form is this same
+  // query with the window partitioned by the shard key.
+  def q73PackSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("start_tok"),
+        expr("CAST(start_tok div 512 AS INT)").as("first_chunk"),
+        expr("CAST((start_tok + n_tokens - 1) div 512 AS INT)").as("last_chunk"),
+        expr("CAST((start_tok + n_tokens - 1) div 512 - start_tok div 512 + 1 AS INT)").as("n_chunks")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |             LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n_tokens
+      |           FROM documents),
+      |p AS (SELECT doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+      |      FROM d WHERE n_tokens > 0)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(start_tok // 512 AS INTEGER) AS first_chunk,
+      |  CAST((start_tok + n_tokens - 1) // 512 AS INTEGER) AS last_chunk,
+      |  CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS INTEGER) AS n_chunks
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q74: per-document fixed-size token chunking --------------------------------
+  // The other packing regime (no cross-doc concatenation): each doc is
+  // split into 32-token chunks, one output row per chunk — the explode
+  // side of context-window preparation. sequence+explode generates the
+  // chunk index inline per row; no driver loop, no join.
+  def q74TokenChunks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        explode(expr("sequence(0, CAST((n_tokens + 31) div 32 AS INT) - 1)")).as("chunk_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("chunk_idx"),
+        least(lit(32), col("n_tokens") - col("chunk_idx") * 32).as("chunk_len")
+      )
+      .orderBy("doc_id", "chunk_idx")
+
+  val q74Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |             LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        unnest(range(0, (n_tokens + 31) // 32)) AS chunk_idx
+      |      FROM d WHERE n_tokens > 0)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(LEAST(32, n_tokens - chunk_idx * 32) AS INTEGER) AS chunk_len
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_pack_spans" -> (q73PackSpans _),
+    "q74_token_chunks" -> (q74TokenChunks _),
     "q67_lang_heavy_hitters" -> (q67LangHeavyHitters _),
     "q63_heavy_hitters" -> (q63HeavyHitters _),
     "q61_bigram_fluency" -> (q61BigramFluency _),
@@ -432,6 +518,8 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_pack_spans" -> q73Sql,
+    "q74_token_chunks" -> q74Sql,
     "q67_lang_heavy_hitters" -> q67Sql,
     "q63_heavy_hitters" -> q63Sql,
     "q61_bigram_fluency" -> q61Sql,

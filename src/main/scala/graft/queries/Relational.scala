@@ -672,7 +672,183 @@ object Relational {
       |FROM byn
       |ORDER BY n_name""".stripMargin
 
+  // ---- q69: LATERAL correlated subquery (top-2 orders per customer) ---------------
+  // The SQL-surface form of per-group top-k: a correlated LATERAL
+  // subquery with ORDER BY + LIMIT. Catalyst decorrelates this into a
+  // ranked window join (DecorrelateInnerQuery) — same physical shape as
+  // q07's explicit window, but the *query language* capability is
+  // LATERAL itself, so both engines run the identical SQL text.
+  private val q69Text: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top2
+      |WHERE c_custkey < 200
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  def q69LateralTopK(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q69Text)
+  }
+
+  val q69Sql: String = q69Text
+
+  // ---- q70: correlated scalar subqueries (TPC-H Q17 shape) ------------------------
+  // Lineitems below half their part's average quantity. The avg
+  // comparison is multiplied through (qty·cnt·2 < sum) so the whole
+  // predicate stays in exact decimal arithmetic — no double division to
+  // diverge between engines. Catalyst turns the two identically
+  // correlated scalars into ONE aggregate join (MergeScalarSubqueries).
+  private val q70Text: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem l1
+      |WHERE CAST(l_quantity AS DECIMAL(18,4))
+      |      * (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) FROM lineitem l2
+      |         WHERE l2.l_partkey = l1.l_partkey)
+      |      * CAST(2 AS DECIMAL(2,0))
+      |    < (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) FROM lineitem l2
+      |       WHERE l2.l_partkey = l1.l_partkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def q70SmallQtyParts(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q70Text)
+  }
+
+  val q70Sql: String = q70Text
+
+  // ---- q71: ordered string aggregation (listagg) ----------------------------------
+  // Deterministic cross-engine form: sorted DISTINCT set, joined with a
+  // fixed separator — collect_set's order is partition-dependent, so
+  // sort_array is what makes the result hash-comparable (same reason the
+  // oracle needs string_agg's ORDER BY clause).
+  def q71StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_cust")
+      )
+      .select(col("c_nationkey").as("nationkey"), col("segments"), col("n_segments"), col("n_cust"))
+      .orderBy("nationkey")
+
+  val q71Sql: String =
+    """SELECT c_nationkey AS nationkey,
+      |  STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // ---- q72: statistical aggregates from exact sums --------------------------------
+  // corr / covar_pop / stddev_pop / regr_slope per return flag. The
+  // built-in double aggregates are streaming and order-dependent — their
+  // last ulp changes with partitioning, which both breaks oracle hashing
+  // and makes cluster runs non-reproducible. Instead: one partial-agg
+  // pass collects the five exact DECIMAL component sums, and the moment
+  // formulas run in IEEE double over those (identical operand order on
+  // both engines ⇒ identical bits).
+  def q72StatsExact(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val sums = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy")
+      )
+    val nd = col("n").cast("double")
+    val vx = nd * col("sxx") - col("sx") * col("sx")
+    val vy = nd * col("syy") - col("sy") * col("sy")
+    val cov = nd * col("sxy") - col("sx") * col("sy")
+    sums
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+        (cov / (nd * nd)).as("covar_pop_qty_price"),
+        (sqrt(vx) / nd).as("stddev_pop_qty"),
+        (cov / vx).as("regr_slope_price_qty")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val q72Sql: String =
+    """WITH sums AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    -- DECIMAL(19,4) factors force int128 storage in DuckDB (18x18
+      |    -- would multiply in int64 and overflow); values stay exact.
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM lineitem
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop_qty_price,
+      |  SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n AS DOUBLE) AS stddev_pop_qty,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS regr_slope_price_qty
+      |FROM sums
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q75: analytic window family part 2 (lead / cume_dist / nth / frames) -------
+  // The analytic functions q55 doesn't cover, each over an explicit
+  // frame where the default frame differs per function (nth_value and
+  // last_value default to UNBOUNDED PRECEDING..CURRENT ROW — pinned to
+  // the full partition here so both engines agree by construction).
+  def q75WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val near = w.rowsBetween(-1, 1)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        cume_dist().over(w).as("cdist"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        max(col("o_totalprice")).over(near).as("local_max")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q75Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CUME_DIST() OVER w AS cdist,
+      |  NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+      |  LAST_VALUE(o_orderkey) OVER wf AS last_key,
+      |  MAX(o_totalprice) OVER wn AS local_max
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wn AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_lateral_topk" -> (q69LateralTopK _),
+    "q70_small_qty_parts" -> (q70SmallQtyParts _),
+    "q71_string_agg" -> (q71StringAgg _),
+    "q72_stats_exact" -> (q72StatsExact _),
+    "q75_window_analytics" -> (q75WindowAnalytics _),
     "q68_revenue_share" -> (q68RevenueShare _),
     "q53_full_outer" -> (q53FullOuter _),
     "q54_pivot" -> (q54Pivot _),
@@ -703,6 +879,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_lateral_topk" -> q69Sql,
+    "q70_small_qty_parts" -> q70Sql,
+    "q71_string_agg" -> q71Sql,
+    "q72_stats_exact" -> q72Sql,
+    "q75_window_analytics" -> q75Sql,
     "q68_revenue_share" -> q68Sql,
     "q53_full_outer" -> q53Sql,
     "q54_pivot" -> q54Sql,
