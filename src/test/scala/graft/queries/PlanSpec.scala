@@ -102,4 +102,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q63_heavy_hitters")
     p should include("partial_space_saving_topk")
   }
+
+  test("q69 lateral: decorrelated to a ranked join, no nested-loop per-row subquery") {
+    val p = plan("q69_lateral_topk")
+    p should not include "CartesianProduct"
+    // the ORDER BY/LIMIT inside LATERAL becomes a window group limit or
+    // ranked window, never a per-customer re-scan of orders
+    (p.contains("WindowGroupLimit") || p.contains("row_number")) shouldBe true
+  }
+
+  test("q70 correlated scalars: decorrelated to aggregate joins, never per-row re-scans") {
+    // Each correlated scalar becomes one aggregate + broadcast join
+    // (outer + COUNT agg + SUM agg = 3 scans of a column-pruned,
+    // single-column projection). The failure mode this pins against is
+    // a nested-loop/cartesian evaluation of the subquery per outer row.
+    val p = plan("q70_small_qty_parts")
+    "lineitem.parquet".r.findAllIn(p).size shouldBe 3
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_") // the subquery aggregates combine map-side
+  }
+
+  test("q73 packing: running sum is a single window, no self-join on the corpus") {
+    val p = plan("q73_pack_spans")
+    p should not include "CartesianProduct"
+    "documents.parquet".r.findAllIn(p).size shouldBe 1
+  }
 }
