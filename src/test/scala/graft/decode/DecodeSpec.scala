@@ -131,6 +131,63 @@ class DecodeSpec extends SparkSpec {
     fast shouldBe slow
   }
 
+  test("dispatchFast == dispatch on randomized records (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import org.apache.spark.sql.types.StructType
+
+    // Registry spanning every required-field kind the detector special-
+    // cases: integral, fractional, bool, timestamp, struct, array.
+    val reg = Seq(
+      graft.model.EventType("intish", StructType.fromDDL("n INT, tag STRING"), Seq("n")),
+      graft.model.EventType("tsish", StructType.fromDDL("ts TIMESTAMP, v DOUBLE"), Seq("ts", "v")),
+      graft.model.EventType(
+        "nested",
+        StructType.fromDDL("d STRUCT<x: INT, s: STRING>, a ARRAY<STRING>, b BOOLEAN"),
+        Seq("d", "a")
+      )
+    )
+
+    // Random JSON value rendered by hand (alphanumeric strings only, so
+    // no escaping concerns); each field of each row draws a random TYPE
+    // too, which is what pressures the claim/no-claim boundary.
+    val scalarGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => "\"" + s.take(8) + "\""),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString),
+      Gen.choose(-3000000000L, 3000000000L).map(_.toString), // straddles int range
+      Gen.choose(-1e6, 1e6).map(d => f"$d%.3f"),
+      Gen.oneOf("true", "false", "null"),
+      Gen.oneOf(
+        "\"2016-11-14T17:25:45Z\"", "\"2016-11\"", "\"2016-11-14 17:25:45+02:00\"",
+        "\"garbage\"", "\"NaN\"", "\"Infinity\"", "1479144345", "1.5"
+      )
+    )
+    val valueGen: Gen[String] = Gen.frequency(
+      6 -> scalarGen,
+      2 -> Gen.listOfN(2, scalarGen).map(_.mkString("[", ",", "]")),
+      2 -> Gen.listOfN(2, Gen.zip(Gen.oneOf("x", "s", "y"), scalarGen))
+        .map(_.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+    )
+    val fieldNames = Seq("n", "tag", "ts", "v", "d", "a", "b", "junk")
+    val rowGen: Gen[String] = Gen
+      .someOf(fieldNames)
+      .flatMap(ks =>
+        Gen.sequence[Seq[String], String](ks.map(k => valueGen.map(v => "\"" + k + "\":" + v)))
+      )
+      .map(_.mkString("{", ",", "}"))
+
+    val prop = forAll(Gen.listOfN(25, rowGen)) { rows =>
+      val all = rows ++ Seq("not json", "", "[1,2]")
+      val slow = Decode.dispatch(all.toDF("value"), reg)
+        .select("_event_type").as[Option[String]].collect().toSeq
+      val fast = Decode.dispatchFast(all.toDF("value"), reg)
+        .select("_event_type").as[Option[String]].collect().toSeq
+      slow == fast
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("raw catch-all type claims everything the JSON types reject") {
     val d = Decode.dispatch(
       Seq(Fixtures.createUserEvent, "just a line").toDF("value"),

@@ -41,4 +41,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     out.values.toSet shouldBe Set(1L)
     out.keySet shouldBe (1L to 9L).toSet
   }
+
+  test("matches a union-find reference on random graphs (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: every vertex → min id of its component
+      val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = vs.groupBy(find)
+      byRoot.valuesIterator.flatMap(c => { val m = c.min; c.map(_ -> m) }).toMap
+    }
+
+    val edgeGen = Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L))
+    val graphGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, edgeGen))
+    val prop = forAll(graphGen) { edges =>
+      val real = edges.filter(e => e._1 != e._2)
+      real.isEmpty || cc(real) == unionFind(real)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
