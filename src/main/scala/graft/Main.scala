@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.PipelineCompiler
+
+/** CLI entry — the reference's flag dispatch (reference: main.go:24-29):
+  *
+  *   graft.Main -pipelineConfig <file> [-streaming] [-checkpoint <dir>]
+  *   graft.Main -apiServer [-apiConfig <file>] [-port <n>]
+  *   graft.Main -checkRule <name>
+  *
+  * `-pipelineConfig` parses, validates, compiles and RUNS the pipeline
+  * (main.go:36-69 startFromConfig): batch mode executes every sink and
+  * exits; `-streaming` starts one checkpointed StreamingQuery per sink
+  * and blocks until termination (the reference blocks on SIGINT,
+  * pipeline.go:375-384 — a Spark streaming await is the same contract).
+  *
+  * `-apiServer` serves POST /pipelines + GET /pipelines/{id} + /metrics
+  * (api.go:55-56) over a filesystem store; the default port 8000
+  * matches api.go:145-152's default.
+  *
+  * `-checkRule` validates that a rule name resolves in the registry —
+  * the plugin sanity check of `-checkRule` (rule.go:31-43); with a
+  * compiled-in registry the check is existence, not dlopen success.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args.toSeq, () => GraftSession.local(), block = true))
+
+  /** Flag dispatch, separated from main so tests can drive it with an
+    * existing session and without the JVM-exiting/blocking behavior.
+    * Returns the process exit code.
+    */
+  def run(a: Seq[String], session: () => SparkSession, block: Boolean): Int = {
+    def valueOf(flag: String): Option[String] =
+      a.indexOf(flag) match {
+        case i if i >= 0 && i + 1 < a.length => Some(a(i + 1))
+        case _                               => None
+      }
+
+    a.headOption match {
+      case Some("-pipelineConfig") =>
+        valueOf("-pipelineConfig") match {
+          case None => usage()
+          case Some(file) =>
+            val raw = new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
+            val streaming = a.contains("-streaming")
+            val spark = session()
+            PipelineCompiler.compile(spark, raw, streaming = streaming) match {
+              case Left(err) =>
+                System.err.println(s"invalid pipeline: $err")
+                1
+              case Right(compiled) if streaming =>
+                val ckpt = valueOf("-checkpoint").getOrElse(
+                  Files.createTempDirectory("graft-ckpt").toString
+                )
+                val queries = PipelineCompiler.startStreaming(compiled, ckpt, availableNow = !block)
+                if (block) queries.foreach(_.awaitTermination())
+                else queries.foreach(_.awaitTermination(60000))
+                0
+              case Right(compiled) =>
+                PipelineCompiler.runBatch(compiled)
+                0
+            }
+        }
+
+      case Some("-apiServer") =>
+        val storeDir = valueOf("-apiConfig")
+          .map(f => new String(Files.readAllBytes(Paths.get(f)), "UTF-8").trim)
+          .filter(_.nonEmpty)
+          .getOrElse(Files.createTempDirectory("graft-pipelines").toString)
+        val port = valueOf("-port").map(_.toInt).getOrElse(8000)
+        val server = new api.ApiServer(session(), storeDir, port)
+        server.start()
+        println(s"graft api listening on :${server.boundPort}, store=$storeDir")
+        if (block) {
+          // Block like the reference's signal wait (api.go:57-81); the
+          // JVM shutdown hook gives the server a clean stop on SIGTERM.
+          sys.addShutdownHook(server.stop())
+          Thread.currentThread().join()
+        } else server.stop()
+        0
+
+      case Some("-checkRule") =>
+        valueOf("-checkRule") match {
+          case None => usage()
+          case Some(name) if PipelineCompiler.builtinRules.contains(name) =>
+            println(s"rule $name OK")
+            0
+          case Some(name) =>
+            System.err.println(
+              s"unknown rule $name; registered: ${PipelineCompiler.builtinRules.keys.toSeq.sorted.mkString(", ")}"
+            )
+            1
+        }
+
+      case _ => usage()
+    }
+  }
+
+  private def usage(): Int = {
+    System.err.println(
+      """usage:
+        |  graft.Main -pipelineConfig <file> [-streaming] [-checkpoint <dir>]
+        |  graft.Main -apiServer [-apiConfig <file>] [-port <n>]
+        |  graft.Main -checkRule <name>""".stripMargin
+    )
+    2
+  }
+}
