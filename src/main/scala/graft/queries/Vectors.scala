@@ -245,7 +245,67 @@ object Vectors {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  // ---- q76: int8 scalar quantization (vector compression) -------------------------
+  // The 100 TB storage lever for embedding tables: per-dimension min/max
+  // scaling to 8-bit codes (4× smaller than float32, 8× than float64),
+  // plus per-vector reconstruction-error audit. Shape: the per-dim
+  // stats table is 64 rows (broadcast), coding is map-side, and the
+  // only shuffles are the two aggregates. Cross-engine determinism:
+  // min/max need no summing, the code is floor() of an identical IEEE
+  // expression on both engines, and the error audit uses MAX (order-
+  // independent) — never a double SUM.
+  def q76ScalarQuant(s: SparkSession, dir: String): DataFrame = {
+    val x = emb(s, dir)
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+    val stats = x.groupBy(col("dim")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val coded = x
+      .join(broadcast(stats), "dim")
+      .withColumn(
+        "code",
+        when(
+          col("mx") > col("mn"),
+          least(lit(255), floor(((col("v") - col("mn")) * 255) / (col("mx") - col("mn"))))
+        ).otherwise(lit(0)).cast("int")
+      )
+      .withColumn(
+        "dequant",
+        col("mn") + (col("code").cast("double") + 0.5) * (col("mx") - col("mn")) / 256
+      )
+    coded
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("code")).cast("long").as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"),
+        max(abs(col("v") - col("dequant"))).as("max_abs_err")
+      )
+      .orderBy("vec_id")
+  }
+
+  val q76Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (SELECT vec_id, CAST(unnest(range(0, LEN(emb))) AS INTEGER) AS dim, emb FROM e),
+      |xv AS (SELECT vec_id, dim, emb[dim + 1] AS v FROM x),
+      |stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM xv GROUP BY dim),
+      |c AS (SELECT vec_id, v, mn, mx,
+      |        CASE WHEN mx > mn
+      |             THEN LEAST(255, CAST(FLOOR(((v - mn) * 255) / (mx - mn)) AS INTEGER))
+      |             ELSE 0 END AS code
+      |      FROM xv JOIN stats USING (dim)),
+      |d AS (SELECT vec_id, v, code,
+      |        mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 256 AS dequant
+      |      FROM c)
+      |SELECT vec_id,
+      |  CAST(SUM(code) AS BIGINT) AS code_sum,
+      |  CAST(MIN(code) AS INTEGER) AS code_min,
+      |  CAST(MAX(code) AS INTEGER) AS code_max,
+      |  MAX(ABS(v - dequant)) AS max_abs_err
+      |FROM d
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_scalar_quant" -> (q76ScalarQuant _),
     "q66_label_centroids" -> (q66LabelCentroids _),
     "q40_knn_brute_force" -> (q40KnnBruteForce _),
     "q41_norm_stats" -> (q41NormStats _),
@@ -256,6 +316,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_scalar_quant" -> q76Sql,
     "q66_label_centroids" -> q66Sql,
     "q40_knn_brute_force" -> q40Sql,
     "q41_norm_stats" -> q41Sql,
