@@ -498,7 +498,122 @@ object Documents {
       |FROM c
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- q77: n-gram novelty (corpus diversity profiling) ---------------------------
+  // For each doc: the fraction of its 3-gram shingles that no LOWER
+  // doc_id contains — the diversity metric curation uses to spot
+  // corpora drifting into repetition. A shingle's "first" doc is
+  // min(doc_id) over its occurrences: one groupBy + one equi-join on
+  // the shingle key, no pairwise comparison anywhere.
+  def q77Novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.expressions.TextHashExprs.shingleSet(split(trim(lower(col("text"))), "\\s+"), 3)
+        ).as("s")
+      )
+    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel")
+      )
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q77Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(CASE WHEN LEN(toks) >= 3
+      |                     THEN list_distinct(list_transform(range(0, LEN(toks) - 2),
+      |                            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |                     ELSE [] END) AS s
+      |       FROM d),
+      |f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS BIGINT) AS n_novel,
+      |  CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE) / COUNT(*) AS novelty_frac
+      |FROM sh JOIN f USING (s)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q78: cross-source shingle overlap (contamination matrix) -------------------
+  // Pairwise source-level 3-gram overlap — which sources duplicate each
+  // other's content. Same one-shuffle bucket-pairing shape as LSH
+  // candidate generation (Dedup.candidatePairs): group sources per
+  // shingle, explode pairs inside each bucket, aggregate per pair —
+  // the |sources|² pair space only materializes per shared shingle,
+  // never as a corpus self-join.
+  def q78SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = docs(s, dir)
+      .select(
+        col("source"),
+        explode(
+          graft.expressions.TextHashExprs.shingleSet(split(trim(lower(col("text"))), "\\s+"), 3)
+        ).as("s")
+      )
+      .distinct()
+    val totals = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = ss
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("srcs"),
+              (x, i) => transform(slice(col("srcs"), i + 2, size(col("srcs"))), y => array(x, y))
+            )
+          )
+        ).as("p")
+      )
+      .groupBy(element_at(col("p"), 1).as("source1"), element_at(col("p"), 2).as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.select(col("source").as("source1"), col("n_sh").as("n1"))), "source1")
+      .join(broadcast(totals.select(col("source").as("source2"), col("n_sh").as("n2"))), "source2")
+      .select(
+        col("source1"),
+        col("source2"),
+        col("n_shared"),
+        col("n1"),
+        col("n2"),
+        (col("n_shared").cast("double") / (col("n1") + col("n2") - col("n_shared"))).as("jaccard")
+      )
+      .orderBy("source1", "source2")
+  }
+
+  val q78Sql: String =
+    """WITH d AS (SELECT source, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         unnest(CASE WHEN LEN(toks) >= 3
+      |                     THEN list_distinct(list_transform(range(0, LEN(toks) - 2),
+      |                            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |                     ELSE [] END) AS s
+      |       FROM d),
+      |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+      |p AS (SELECT a.source AS source1, b.source AS source2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT source1, source2, n_shared, t1.n_sh AS n1, t2.n_sh AS n2,
+      |  CAST(n_shared AS DOUBLE) / (t1.n_sh + t2.n_sh - n_shared) AS jaccard
+      |FROM p
+      |JOIN tot t1 ON source1 = t1.source
+      |JOIN tot t2 ON source2 = t2.source
+      |ORDER BY source1, source2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_novelty" -> (q77Novelty _),
+    "q78_source_overlap" -> (q78SourceOverlap _),
     "q73_pack_spans" -> (q73PackSpans _),
     "q74_token_chunks" -> (q74TokenChunks _),
     "q67_lang_heavy_hitters" -> (q67LangHeavyHitters _),
@@ -518,6 +633,8 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_novelty" -> q77Sql,
+    "q78_source_overlap" -> q78Sql,
     "q73_pack_spans" -> q73Sql,
     "q74_token_chunks" -> q74Sql,
     "q67_lang_heavy_hitters" -> q67Sql,
