@@ -40,6 +40,25 @@ class MainSpec extends SparkSpec {
     cli("-pipelineConfig", s"$dir/bad.json") shouldBe 1
   }
 
+  test("-pipelineConfig -streaming runs the pipeline through readStream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_main_stream").toString
+    Files.createDirectories(Paths.get(s"$dir/input"))
+    Files.write(Paths.get(s"$dir/input/data.txt"), "a\nab".getBytes("UTF-8"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"check": {"source": "in", "plugin": "aRule", "sink": "mainCliStream"}},
+         |  "states": {},
+         |  "sources": {"in": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"mainCliStream": {"type": "Memory"}}
+         |}""".stripMargin
+    Files.write(Paths.get(s"$dir/pipeline.json"), config.getBytes("UTF-8"))
+
+    cli("-pipelineConfig", s"$dir/pipeline.json", "-streaming", "-checkpoint", s"$dir/ckpt") shouldBe 0
+    spark.table("mainCliStream").as[Boolean].collect().toSeq.sorted shouldBe Seq(false, true)
+  }
+
   test("-checkRule accepts registered rules and rejects unknown ones") {
     cli("-checkRule", "aRule") shouldBe 0
     cli("-checkRule", "noSuchRule") shouldBe 1

@@ -47,6 +47,40 @@ class ResampleSpec extends SparkSpec {
     out(0L) shouldBe Some(1.0) // obs at t=7 is after the tick — carry t=-13's value
   }
 
+  test("matches a brute-force reference on random series (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    val step = 10L
+    val obsGen = Gen
+      .listOfN(15, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-40L, 40L), Gen.choose(0.0, 9.0)))
+      .map(_.zipWithIndex.map { case ((k, t, v), i) => (k, t, s"o$i", v) })
+
+    val prop = forAll(obsGen) { obs =>
+      val out = Resample
+        .forwardFill(obs.toDF("k", "t", "id", "v"), "k", "t", "v", step, Some("id"))
+        .select("k", "tick_us", "v")
+        .as[(String, Long, Option[Double])]
+        .collect()
+        .map { case (k, tick, v) => (k, tick) -> v }
+        .toMap
+      // Brute force per key: floor grid from min to max, each tick
+      // carrying the latest observation at-or-before it (ties on time
+      // broken by the id column rendered as a string).
+      val want = obs.groupBy(_._1).flatMap { case (k, rows) =>
+        val ts = rows.map(_._2)
+        def fl(t: Long) = math.floorDiv(t, step) * step
+        (fl(ts.min) to fl(ts.max) by step).map { tick =>
+          val c = rows.filter(_._2 <= tick)
+          (k, tick) -> (if (c.isEmpty) None else Some(c.maxBy(r => (r._2, r._3))._4))
+        }
+      }.toMap
+      out == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("keys resample independently") {
     val obs = Seq(("a", 0L, "x", 1.0), ("a", 25L, "y", 2.0), ("b", 5L, "z", 9.0)).toDF("k", "t", "id", "v")
     val out = Resample
