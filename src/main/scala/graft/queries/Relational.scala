@@ -843,7 +843,63 @@ object Relational {
       |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- q79: KMV sketch — engine-portable approximate distinct ---------------------
+  // approx_count_distinct (q45) is HLL whose estimate depends on the
+  // engine's private hashing, so it can only be rows-gated. A k-minimum-
+  // values sketch over md5 is just as mergeable and bounded (keep the k
+  // smallest hashes per group; est = (k-1)/h_k) but every term is
+  // engine-portable, so the APPROXIMATION ITSELF hash-matches the
+  // oracle. h = first 60 md5 bits scaled by 2^-60 (a power-of-two
+  // divide — exact in IEEE, so both engines compute identical doubles).
+  def q79KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val d = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
+      .select(
+        col("l_returnflag"),
+        (conv(md5(col("l_partkey").cast("string")).substr(1, 15), 16, 10).cast("double") /
+          lit(math.pow(2, 60))).as("h")
+      )
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    d.withColumn("rk", row_number().over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        max(when(col("rk") === k, col("h"))).as("kth_h")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n_exact"),
+        when(col("kth_h").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("kth_h"))
+          .as("est_distinct")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val q79Sql: String =
+    """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+      |h AS (SELECT l_returnflag,
+      |        CAST(list_reduce(list_transform(range(1, 16),
+      |               ii -> CAST(strpos('0123456789abcdef',
+      |                            substr(md5(CAST(l_partkey AS VARCHAR)), ii, 1)) - 1 AS BIGINT)),
+      |               (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS h
+      |      FROM d),
+      |r AS (SELECT l_returnflag, h,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+      |      FROM h),
+      |a AS (SELECT l_returnflag,
+      |        CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |        MAX(CASE WHEN rk = 64 THEN h END) AS kth_h
+      |      FROM r GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_exact,
+      |  CASE WHEN kth_h IS NULL THEN CAST(n_exact AS DOUBLE) ELSE 63.0 / kth_h END AS est_distinct
+      |FROM a
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_kmv_distinct" -> (q79KmvDistinct _),
     "q69_lateral_topk" -> (q69LateralTopK _),
     "q70_small_qty_parts" -> (q70SmallQtyParts _),
     "q71_string_agg" -> (q71StringAgg _),
@@ -879,6 +935,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_kmv_distinct" -> q79Sql,
     "q69_lateral_topk" -> q69Sql,
     "q70_small_qty_parts" -> q70Sql,
     "q71_string_agg" -> q71Sql,
