@@ -354,7 +354,93 @@ object TextPipeline {
       |WHERE CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / LEN(c.sh) >= 0.1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q80: bloom-filter decontamination (bounded-memory q65) ---------------------
+  // q65 broadcasts the benchmark's exact shingle set — at 100 TB that
+  // set is itself huge. The bounded alternative: a 65536-bit bloom
+  // filter (2 md5-derived positions per shingle) built from the
+  // benchmark, stored as a DISTINCT-positions table (≤ 65536 rows no
+  // matter how big the benchmark grows), and corpus shingles tested by
+  // two successive semi-joins against it. Positions come from disjoint
+  // 60-bit md5 slices, so the filter AND its false positives are
+  // engine-identical — the approximation itself is oracle-checked.
+  def q80BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val m = 65536
+    def p1(c: org.apache.spark.sql.Column) = conv(md5(c).substr(1, 15), 16, 10).cast("long") % m
+    def p2(c: org.apache.spark.sql.Column) = conv(md5(c).substr(16, 15), 16, 10).cast("long") % m
+    val sh = docs(s, dir).select(
+      col("doc_id"),
+      col("lang"),
+      graft.expressions.TextHashExprs.shingleSet(Dedup.tokens(col("text")), 3).as("sh")
+    )
+    val benchBits = sh
+      .filter(col("lang") === "fr")
+      .select(explode(col("sh")).as("s"))
+      .select(explode(array(p1(col("s")), p2(col("s")))).as("bit"))
+      .distinct()
+    val corpusSh = sh
+      .filter(col("lang") =!= "fr")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), p1(col("s")).as("b1"), p2(col("s")).as("b2"))
+    val hits = corpusSh
+      .join(broadcast(benchBits.select(col("bit").as("b1"))), Seq("b1"), "left_semi")
+      .join(broadcast(benchBits.select(col("bit").as("b2"))), Seq("b2"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    sh.filter(col("lang") =!= "fr")
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles")).as("hit_frac")
+      )
+      .filter(col("hit_frac") >= 0.1)
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String =
+    """WITH d AS (SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |         CASE WHEN LEN(toks) >= 3
+      |              THEN list_distinct(list_transform(range(0, LEN(toks) - 2),
+      |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |              ELSE [] END AS sh
+      |       FROM d),
+      |be AS (SELECT unnest(sh) AS s FROM sh WHERE lang = 'fr'),
+      |bbits AS (
+      |  SELECT DISTINCT unnest([
+      |    list_reduce(list_transform(range(1, 16),
+      |      ii -> CAST(strpos('0123456789abcdef', substr(md5(s), ii, 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) % 65536,
+      |    list_reduce(list_transform(range(16, 31),
+      |      ii -> CAST(strpos('0123456789abcdef', substr(md5(s), ii, 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) % 65536]) AS bit
+      |  FROM be),
+      |ce AS (SELECT doc_id,
+      |         list_reduce(list_transform(range(1, 16),
+      |           ii -> CAST(strpos('0123456789abcdef', substr(md5(s), ii, 1)) - 1 AS BIGINT)),
+      |           (a, x) -> a * 16 + x) % 65536 AS b1,
+      |         list_reduce(list_transform(range(16, 31),
+      |           ii -> CAST(strpos('0123456789abcdef', substr(md5(s), ii, 1)) - 1 AS BIGINT)),
+      |           (a, x) -> a * 16 + x) % 65536 AS b2
+      |       FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE lang <> 'fr')),
+      |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |      FROM ce
+      |      WHERE b1 IN (SELECT bit FROM bbits) AND b2 IN (SELECT bit FROM bbits)
+      |      GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(LEN(c.sh) AS INTEGER) AS n_shingles,
+      |  COALESCE(m.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(m.n_hits, 0) AS DOUBLE) / LEN(c.sh) AS hit_frac
+      |FROM (SELECT doc_id, sh FROM sh WHERE lang <> 'fr' AND LEN(sh) > 0) c
+      |LEFT JOIN m USING (doc_id)
+      |WHERE CAST(COALESCE(m.n_hits, 0) AS DOUBLE) / LEN(c.sh) >= 0.1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_bloom_decontamination" -> (q80BloomDecontamination _),
     "q65_decontamination" -> (q65Decontamination _),
     "q64_curation" -> (q64Curation _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
@@ -366,6 +452,7 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_bloom_decontamination" -> q80Sql,
     "q65_decontamination" -> q65Sql,
     "q64_curation" -> q64Sql,
     "q35_minhash_lsh" -> q35Sql,
