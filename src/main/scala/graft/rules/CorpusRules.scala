@@ -72,5 +72,33 @@ object CorpusRules {
         .drop("_fp")
   }
 
-  val all: Seq[Rule] = Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule)
+  /** Near-duplicate dedup on the 16-bit SimHash bucket: docs whose
+    * token streams hash to the same signature are near-identical
+    * (Charikar '02), and the rule keeps one representative per bucket.
+    *
+    * Batch keeps the lexicographically smallest row (replayable, like
+    * [[ExactDedupRule]]). Streaming keeps first arrival via
+    * `dropDuplicates` on the signature — state is one 16-bit key per
+    * distinct bucket (bounded at 65536 entries by construction, unlike
+    * exact dedup whose fingerprint space grows with the corpus). For
+    * finer thresholds use the full MinHash-LSH batch path
+    * (operators.Dedup) — a 16-bit bucket is the coarse streaming tier.
+    */
+  object NearDupRule extends Rule {
+    val name = "nearDup"
+    private def sim = TextHashExprs.simhash16(Dedup.tokens(col("text")))
+    def apply(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.withColumn("_sim", sim)
+        .groupBy(col("_sim"))
+        .agg(min(struct(cols.map(col): _*)).as("_row"))
+        .select(cols.map(c => col(s"_row.$c")): _*)
+    }
+    override def applyStreaming(df: DataFrame): DataFrame =
+      df.withColumn("_sim", sim)
+        .dropDuplicates("_sim")
+        .drop("_sim")
+  }
+
+  val all: Seq[Rule] = Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule)
 }

@@ -136,6 +136,45 @@ class PipelineCompilerSpec extends SparkSpec {
     out.head._2 shouldBe "en" // "the" is an English indicator
   }
 
+  test("nearDup rule keeps one representative per simhash bucket, batch and streaming") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over one lazy dog while two curious cats watch three birds"
+    val nearA = a + " x" // one extra token: same 16-bit simhash bucket in practice? verify below
+    val distinct = "completely different subject matter about databases shuffles partitions and executors at scale"
+    val df = Seq((1L, a), (2L, nearA), (3L, distinct)).toDF("doc_id", "text")
+
+    val batch = graft.rules.CorpusRules.NearDupRule(df)
+    val kept = batch.select("doc_id").as[Long].collect().toSeq.sorted
+    // However the 16-bit buckets fall, the batch decision must be
+    // replayable (min row per bucket) and keep ≤ 1 doc per bucket.
+    val sim = org.apache.spark.sql.functions
+    val buckets = df
+      .select(
+        graft.expressions.TextHashExprs
+          .simhash16(graft.operators.Dedup.tokens(sim.col("text")))
+          .as("s")
+      )
+      .as[Int]
+      .collect()
+      .toSeq
+    kept.size shouldBe buckets.distinct.size
+    kept should contain(1L) // doc 1 ≤ doc 2 lexicographically if they share a bucket
+
+    // Streaming form: first arrival wins, same bucket count.
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    mem.addData((1L, a), (2L, nearA), (3L, distinct))
+    val q = graft.rules.CorpusRules.NearDupRule
+      .applyStreaming(mem.toDF.toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("nearDupStream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("nearDupStream").count() shouldBe buckets.distinct.size
+  }
+
   test("unknown source type compiles to a Left, not an exception") {
     val config =
       """{
