@@ -171,7 +171,14 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.0,
-      persistShingles: Boolean = true
+      persistShingles: Boolean = true,
+      /** Tokenize only candidate docs in the verify stage. Worth it when
+        * |candidates| << corpus (the 100 TB regime — saves two full
+        * corpus tokenization passes); on small corpora the extra
+        * candidate-id broadcast job costs more than it saves (measured
+        * +0.9s at sf0.1), so it is opt-in.
+        */
+      verifyCandidatesOnly: Boolean = false
   ): DataFrame = {
     // Shingle sets feed three consumers (banding, both verify sides) —
     // persist so tokenization+shingling runs once. MEMORY_AND_DISK:
@@ -189,12 +196,31 @@ object Dedup {
         col(idCol),
         posexplode(
           bandHashes(graft.expressions.TextHashExprs.minhashSig(col("sh"), numHashes), bands, numHashes / bands)
-        ).as(Seq("band", "band_hash"))
+        ).as(Seq(
+          "band",
+          "band_hash"
+        ))
       )
-    val pairs = candidatePairs(bandsDf, idCol)
+    // localCheckpoint when the candidate pairs feed three consumers
+    // (the id filter below + both verify joins): the band pipeline +
+    // bucket shuffle then run exactly once.
+    val pairs =
+      if (verifyCandidatesOnly) candidatePairs(bandsDf, idCol).localCheckpoint(false)
+      else candidatePairs(bandsDf, idCol)
+    // Candidate-only verify: the id filter joins the raw corpus BEFORE
+    // the shingle projection, so the two verify sides tokenize
+    // |candidates| docs, not the corpus twice.
+    val verifySh =
+      if (verifyCandidatesOnly) {
+        val candidateIds = pairs
+          .select(explode(array(col("id1"), col("id2"))).as(idCol))
+          .distinct()
+        df.join(broadcast(candidateIds), idCol)
+          .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
+      } else sh
     pairs
-      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .join(verifySh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(verifySh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

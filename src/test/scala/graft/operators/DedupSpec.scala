@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     exact.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 4L))
   }
 
+  test("candidate-only verify produces identical pairs and scores") {
+    val df = docs.toDF("doc_id", "text")
+    def sortedPairs(candOnly: Boolean) = Dedup
+      .minhashNearDups(df, "doc_id", "text", 3, 8, 4, persistShingles = false,
+        verifyCandidatesOnly = candOnly)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    sortedPairs(true) shouldBe sortedPairs(false)
+  }
+
   test("jaccard is exact") {
     // |{b,c}| / |{a,b,c,d}| = 0.5
     val out = spark
