@@ -1,20 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for every left row, attach the most recent right row with
-  * the same key whose time is <= the left row's time (last-write-wins).
+/** As-of join: for every left row, attach the nearest right row with the
+  * same key at-or-before (backward, the default) or at-or-after
+  * (forward) the left row's time, optionally within a tolerance.
   *
-  * This is the batch form of go-fish's KV-enrichment pattern
+  * Backward is the batch form of go-fish's KV-enrichment pattern
   * (reference: cloudTrail_s2s_join.go:68-130 — build side `Set(key, v)`,
   * probe side `Get(key)` at event arrival, last value wins, probe-miss
-  * passes through ⇒ left-outer semantics).
+  * passes through ⇒ left-outer semantics). Forward + tolerance complete
+  * the standard as-of surface (next-event attribution, conversion lag).
   *
   * Spark-first design: instead of a per-key KV store probed row-by-row,
   * union both sides, shuffle ONCE by key, and sweep each key's timeline
-  * with a running `last(ignoreNulls)` window. Cost is a single shuffle +
+  * with a running `last(ignoreNulls)` (backward) or `first(ignoreNulls)`
+  * over the following frame (forward). Cost is a single shuffle +
   * per-partition sort — no O(n·m) probing, no driver-side state; state
   * stays on the executors so key cardinality can grow with the cluster.
   * The streaming equivalent lives in graft.streaming (flatMapGroupsWithState).
@@ -29,13 +32,20 @@ object AsOfJoin {
     * @param rightVals     (rightColumn, outputName) pairs carried to the output
     * @param tieBreak      left column making (key, time, tieBreak) unique
     * @param rightTieBreak right column ordering build rows with equal
-    *                      (key, time) — without it, last-write-wins between
+    *                      (key, time) — without it, the winner between
     *                      simultaneous build rows is nondeterministic
+    * @param direction     "backward" (nearest right at-or-before; last
+    *                      write wins) or "forward" (nearest right
+    *                      at-or-after; first write wins)
+    * @param toleranceUs   max |left time − matched right time| (in the
+    *                      cast-to-long time unit); matches further away
+    *                      null out, preserving left-outer semantics
     *
-    * Build rows sort before probe rows at equal timestamps (matching the
-    * reference, where the KV write happens at event arrival, before any
-    * later probe). Output: all left columns + one column per `rightVals`
-    * entry (null when no right row precedes the left row).
+    * At equal timestamps the build row always matches (the reference's
+    * KV write happens at event arrival, before any later probe; the
+    * forward mirror includes same-instant builds symmetrically). Output:
+    * all left columns + one column per `rightVals` entry (null when no
+    * right row qualifies).
     */
   def apply(
       left: DataFrame,
@@ -45,8 +55,15 @@ object AsOfJoin {
       rightTime: String,
       rightVals: Seq[(String, String)],
       tieBreak: String,
-      rightTieBreak: Option[String] = None
+      rightTieBreak: Option[String] = None,
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None
   ): DataFrame = {
+    require(
+      direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction"
+    )
+    val fwd = direction == "forward"
     val rvType = rightVals.map { case (src, out) => out -> right.schema(src).dataType }.toMap
 
     // Internal helper columns must not shadow user columns; grow a "_"
@@ -60,7 +77,14 @@ object AsOfJoin {
     val tCol = fresh("_t")
     val sideCol = fresh("_side")
     val tbCol = fresh("_tb")
+    val mtCol = fresh("_mt") // matched right time (tolerance check)
     val rvCol = rightVals.map { case (_, out) => out -> fresh(s"_rv_$out") }.toMap
+
+    // Sort order must place build rows INSIDE the probe row's frame at
+    // equal timestamps: backward frame ends at the current row, so build
+    // sorts first; forward frame starts at the current row, so probe
+    // sorts first.
+    val (buildSide, probeSide) = if (fwd) (1, 0) else (0, 1)
 
     // The tie-break sorts as a string: it only has to make the order
     // deterministic, not meaningful.
@@ -68,8 +92,9 @@ object AsOfJoin {
       left.columns.map(col) ++
         Seq(
           col(leftTime).cast("long").as(tCol),
-          lit(1).as(sideCol),
-          col(tieBreak).cast("string").as(tbCol)
+          lit(probeSide).as(sideCol),
+          col(tieBreak).cast("string").as(tbCol),
+          lit(null).cast("long").as(mtCol)
         ) ++
         rightVals.map { case (_, out) => lit(null).cast(rvType(out)).as(rvCol(out)) }: _*
     )
@@ -78,24 +103,43 @@ object AsOfJoin {
       left.columns.map(c =>
         if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)
       ) ++
-        Seq(col(rightTime).cast("long").as(tCol), lit(0).as(sideCol), rTb.as(tbCol)) ++
+        Seq(
+          col(rightTime).cast("long").as(tCol),
+          lit(buildSide).as(sideCol),
+          rTb.as(tbCol),
+          col(rightTime).cast("long").as(mtCol)
+        ) ++
         rightVals.map { case (src, out) => col(src).as(rvCol(out)) }: _*
     )
 
-    val w = Window
-      .partitionBy(col(key))
-      .orderBy(col(tCol), col(sideCol), col(tbCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy(col(key)).orderBy(col(tCol), col(sideCol), col(tbCol))
+    val w =
+      if (fwd) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: Column): Column =
+      if (fwd) first(c, ignoreNulls = true).over(w) else last(c, ignoreNulls = true).over(w)
 
-    lAligned
+    val swept = lAligned
       .unionByName(rAligned)
       .select(
-        left.columns.map(col) ++ Seq(col(sideCol)) ++
-          rightVals.map { case (_, out) =>
-            last(col(rvCol(out)), ignoreNulls = true).over(w).as(out)
-          }: _*
+        left.columns.map(col) ++ Seq(col(sideCol), col(tCol)) ++
+          Seq(pick(col(mtCol)).as(mtCol)) ++
+          rightVals.map { case (_, out) => pick(col(rvCol(out))).as(out) }: _*
       )
-      .filter(col(sideCol) === 1)
-      .drop(sideCol)
+      .filter(col(sideCol) === probeSide)
+
+    val gated = toleranceUs match {
+      case None => swept
+      case Some(tol) =>
+        val gap = if (fwd) col(mtCol) - col(tCol) else col(tCol) - col(mtCol)
+        val within = col(mtCol).isNotNull && gap <= tol
+        swept.select(
+          left.columns.map(col) ++ Seq(col(sideCol), col(tCol), col(mtCol)) ++
+            rightVals.map { case (_, out) =>
+              when(within, col(out)).otherwise(lit(null).cast(rvType(out))).as(out)
+            }: _*
+        )
+    }
+    gated.drop(sideCol, tCol, mtCol)
   }
 }

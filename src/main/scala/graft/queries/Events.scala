@@ -343,7 +343,68 @@ object Events {
       |FROM ticks t
       |ORDER BY user_id, tick_us""".stripMargin
 
+  // ---- q81: next-event attribution (forward as-of + tolerance) --------------------
+  // Conversion lag: each signup attributed to the user's NEXT purchase
+  // within 7 days — the forward mirror of q22's enrichment, exercising
+  // AsOfJoin's direction + tolerance surface. Same single-shuffle sweep;
+  // the oracle is an independent formulation (correlated LATERAL top-1).
+  def q81NextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts_us")
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id").as("purchase_event_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("value").as("purchase_value")
+      )
+    AsOfJoin(
+      left = signups,
+      right = purchases,
+      key = "user_id",
+      leftTime = "ts_us",
+      rightTime = "ts_us",
+      rightVals = Seq(
+        "purchase_value" -> "next_purchase_value",
+        "purchase_ts_us" -> "next_purchase_ts_us"
+      ),
+      tieBreak = "event_id",
+      rightTieBreak = Some("purchase_event_id"),
+      direction = "forward",
+      toleranceUs = Some(604800000000L) // 7 days in micros
+    )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("next_purchase_value"),
+        (col("next_purchase_ts_us") - col("ts_us")).as("wait_us")
+      )
+      .orderBy("event_id")
+  }
+
+  val q81Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, value, event_type,
+      |         epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events WHERE event_type IN ('signup', 'purchase')),
+      |s AS (SELECT event_id, user_id, ts_us FROM base WHERE event_type = 'signup'),
+      |p AS (SELECT event_id AS pid, user_id, ts_us AS pts, value
+      |      FROM base WHERE event_type = 'purchase')
+      |SELECT s.event_id, s.user_id, n.next_purchase_value, n.wait_us
+      |FROM s LEFT JOIN LATERAL (
+      |  SELECT p.value AS next_purchase_value, p.pts - s.ts_us AS wait_us
+      |  FROM p
+      |  WHERE p.user_id = s.user_id AND p.pts >= s.ts_us
+      |    AND p.pts - s.ts_us <= 604800000000
+      |  ORDER BY p.pts, CAST(p.pid AS VARCHAR) LIMIT 1) n ON TRUE
+      |ORDER BY s.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_next_purchase" -> (q81NextPurchase _),
     "q62_resample" -> (q62Resample _),
     "q57_retention" -> (q57Retention _),
     "q58_sliding" -> (q58Sliding _),
@@ -358,6 +419,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_next_purchase" -> q81Sql,
     "q62_resample" -> q62Sql,
     "q57_retention" -> q57Sql,
     "q58_sliding" -> q58Sql,

@@ -92,6 +92,63 @@ class AsOfJoinSpec extends SparkSpec {
       (("keep1", "keep2", "keep3", "keep4", "v5"))
   }
 
+  test("forward direction matches the next right row at or after the probe") {
+    val l = Seq(("p1", "a", 10L), ("p2", "a", 25L), ("p3", "a", 40L)).toDF("id", "k", "t")
+    val r = Seq(("a", 10L, "v10"), ("a", 30L, "v30")).toDF("k", "t", "v")
+    val out = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id", direction = "forward")
+      .select("id", "v").as[(String, Option[String])].collect().toMap
+    out("p1") shouldBe Some("v10") // same instant is visible, like backward
+    out("p2") shouldBe Some("v30")
+    out("p3") shouldBe None // nothing after the last probe
+  }
+
+  test("tolerance nulls out matches beyond the window, both directions") {
+    val l = Seq(("p1", "a", 100L), ("p2", "a", 200L)).toDF("id", "k", "t")
+    val r = Seq(("a", 95L, "near"), ("a", 120L, "fwd")).toDF("k", "t", "v")
+    val back = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id", toleranceUs = Some(10L))
+      .select("id", "v").as[(String, Option[String])].collect().toMap
+    back("p1") shouldBe Some("near") // gap 5 <= 10
+    back("p2") shouldBe None // nearest preceding is 120, gap 80 > 10
+    val fwd = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id",
+      direction = "forward", toleranceUs = Some(25L))
+      .select("id", "v").as[(String, Option[String])].collect().toMap
+    fwd("p1") shouldBe Some("fwd") // gap 20 <= 25
+    fwd("p2") shouldBe None // nothing at or after 200
+  }
+
+  test("forward matches a brute-force reference on random inputs (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    val keyGen = Gen.oneOf("a", "b", "c")
+    val timeGen = Gen.choose(0L, 20L)
+    val leftGen = Gen.listOfN(25, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (s"L$i", k, t) })
+    val rightGen =
+      Gen.listOfN(25, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i", i.toLong) })
+
+    val prop = forAll(leftGen, rightGen, Gen.option(Gen.choose(0L, 8L))) { (left, right, tol) =>
+      val l = left.toDF("id", "k", "t")
+      val r = right.toDF("k", "t", "v", "rid")
+      val got = AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id",
+        rightTieBreak = Some("rid"), direction = "forward", toleranceUs = tol)
+        .select("id", "v")
+        .as[(String, Option[String])]
+        .collect()
+        .toMap
+      // Brute force: earliest right row at or after each left row's time
+      // (ties on time broken by rid AS A STRING, first wins), nulled when
+      // beyond the tolerance.
+      val want = left.map { case (id, k, t) =>
+        val candidates = right.filter(r => r._1 == k && r._2 >= t)
+        val m = if (candidates.isEmpty) None else Some(candidates.minBy(c => (c._2, c._4.toString)))
+        id -> m.filter(c => tol.forall(c._2 - t <= _)).map(_._3)
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("matches a brute-force reference on random inputs (property)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
