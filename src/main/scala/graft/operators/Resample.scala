@@ -69,4 +69,83 @@ object Resample {
       rightTieBreak = Some("_obs_tb")
     )
   }
+
+  /** Like [[forwardFill]] but LINEARLY INTERPOLATES between the
+    * surrounding observations — the gap-fill used when the series is a
+    * sampled continuous signal rather than a stepwise state.
+    *
+    * Composition of both as-of directions: one backward sweep attaches
+    * the previous (value, time), one forward sweep the next; the tick's
+    * value is the linear blend. Edges degrade gracefully: before the
+    * first observation the next value back-fills, after the last the
+    * previous carries forward; a tick ON an observation returns that
+    * observation exactly (last-write-wins among simultaneous ones).
+    * Two key-shuffles total — still no per-row probing anywhere.
+    */
+  def interpolate(
+      df: DataFrame,
+      key: String,
+      timeUs: String,
+      valueCol: String,
+      stepUs: Long,
+      obsTieBreak: Option[String] = None
+  ): DataFrame = {
+    val bounds = df
+      .groupBy(col(key))
+      .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
+    val ticks = bounds
+      .select(
+        col(key),
+        explode(
+          sequence(
+            expr(s"_min_t - pmod(_min_t, ${stepUs}L)"),
+            expr(s"_max_t - pmod(_max_t, ${stepUs}L)"),
+            lit(stepUs)
+          )
+        ).as("tick_us")
+      )
+    val tb = obsTieBreak.map(col).getOrElse(col(timeUs))
+    val obs = df.select(
+      col(key),
+      col(timeUs),
+      tb.as("_obs_tb"),
+      col(valueCol).as("_v"),
+      col(timeUs).cast("long").as("_obs_t")
+    )
+    val withPrev = AsOfJoin(
+      left = ticks,
+      right = obs,
+      key = key,
+      leftTime = "tick_us",
+      rightTime = timeUs,
+      rightVals = Seq("_v" -> "_pv", "_obs_t" -> "_pt"),
+      tieBreak = "tick_us",
+      rightTieBreak = Some("_obs_tb")
+    )
+    val withBoth = AsOfJoin(
+      left = withPrev,
+      right = obs,
+      key = key,
+      leftTime = "tick_us",
+      rightTime = timeUs,
+      rightVals = Seq("_v" -> "_nv", "_obs_t" -> "_nt"),
+      tieBreak = "tick_us",
+      rightTieBreak = Some("_obs_tb"),
+      direction = "forward"
+    )
+    // Identical operand order on any mirroring SQL engine keeps the
+    // interpolated double bit-deterministic.
+    val interp = col("_pv") + (col("_nv") - col("_pv")) *
+      ((col("tick_us") - col("_pt")).cast("double") / (col("_nt") - col("_pt")).cast("double"))
+    withBoth
+      .select(
+        col(key),
+        col("tick_us"),
+        when(col("_pt").isNull, col("_nv"))
+          .when(col("_nt").isNull, col("_pv"))
+          .when(col("_nt") === col("_pt"), col("_pv"))
+          .otherwise(interp)
+          .as(valueCol)
+      )
+  }
 }

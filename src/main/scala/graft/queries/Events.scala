@@ -403,7 +403,54 @@ object Events {
       |  ORDER BY p.pts, CAST(p.pid AS VARCHAR) LIMIT 1) n ON TRUE
       |ORDER BY s.event_id""".stripMargin
 
+  // ---- q82: linear-interpolation resample ------------------------------------------
+  // q62's grid with interpolated (not stepwise) values — the sampled-
+  // continuous-signal form of gap filling. Two as-of sweeps (prev/next
+  // observation) and a linear blend whose operand order matches the
+  // oracle exactly, so the interpolated doubles hash-match.
+  def q82Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val purchases = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    graft.operators.Resample
+      .interpolate(purchases, key = "user_id", timeUs = "ts_us", valueCol = "value",
+        stepUs = dayUs, obsTieBreak = Some("event_id"))
+      .select("user_id", "tick_us", "value")
+      .orderBy("user_id", "tick_us")
+  }
+
+  val q82Sql: String =
+    """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |                  CAST(event_id AS VARCHAR) AS eid, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM p GROUP BY user_id),
+      |ticks AS (SELECT user_id,
+      |            unnest(range((mn // 86400000000) * 86400000000,
+      |                         (mx // 86400000000) * 86400000000 + 1,
+      |                         86400000000)) AS tick_us
+      |          FROM b),
+      |j AS (SELECT t.user_id, t.tick_us,
+      |  (SELECT p2.value FROM p p2 WHERE p2.user_id = t.user_id AND p2.ts_us <= t.tick_us
+      |   ORDER BY p2.ts_us DESC, p2.eid DESC LIMIT 1) AS pv,
+      |  (SELECT p2.ts_us FROM p p2 WHERE p2.user_id = t.user_id AND p2.ts_us <= t.tick_us
+      |   ORDER BY p2.ts_us DESC, p2.eid DESC LIMIT 1) AS pt,
+      |  (SELECT p2.value FROM p p2 WHERE p2.user_id = t.user_id AND p2.ts_us >= t.tick_us
+      |   ORDER BY p2.ts_us ASC, p2.eid ASC LIMIT 1) AS nv,
+      |  (SELECT p2.ts_us FROM p p2 WHERE p2.user_id = t.user_id AND p2.ts_us >= t.tick_us
+      |   ORDER BY p2.ts_us ASC, p2.eid ASC LIMIT 1) AS nt
+      |  FROM ticks t)
+      |SELECT user_id, tick_us,
+      |  CASE WHEN pt IS NULL THEN nv
+      |       WHEN nt IS NULL THEN pv
+      |       WHEN nt = pt THEN pv
+      |       ELSE pv + (nv - pv) * (CAST(tick_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |  END AS value
+      |FROM j
+      |ORDER BY user_id, tick_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_interpolate" -> (q82Interpolate _),
     "q81_next_purchase" -> (q81NextPurchase _),
     "q62_resample" -> (q62Resample _),
     "q57_retention" -> (q57Retention _),
@@ -419,6 +466,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_interpolate" -> q82Sql,
     "q81_next_purchase" -> q81Sql,
     "q62_resample" -> q62Sql,
     "q57_retention" -> q57Sql,

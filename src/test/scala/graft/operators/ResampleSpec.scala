@@ -47,6 +47,33 @@ class ResampleSpec extends SparkSpec {
     out(0L) shouldBe Some(1.0) // obs at t=7 is after the tick — carry t=-13's value
   }
 
+  test("interpolate blends linearly between observations, steps at edges") {
+    // step=10: obs at t=0 (v=0.0) and t=20 (v=10.0) → ticks 0,10,20.
+    val obs = Seq(("k", 0L, "a", 0.0), ("k", 20L, "b", 10.0)).toDF("k", "t", "id", "v")
+    val out = Resample
+      .interpolate(obs, "k", "t", "v", 10L, Some("id"))
+      .select("tick_us", "v")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    out(0L) shouldBe Some(0.0) // on the observation
+    out(10L) shouldBe Some(5.0) // midpoint
+    out(20L) shouldBe Some(10.0)
+  }
+
+  test("interpolate back-fills before the first observation") {
+    // obs at t=15 and t=25 → grid 10..20; tick 10 precedes the first obs.
+    val obs = Seq(("k", 15L, "a", 3.0), ("k", 25L, "b", 7.0)).toDF("k", "t", "id", "v")
+    val out = Resample
+      .interpolate(obs, "k", "t", "v", 10L, Some("id"))
+      .select("tick_us", "v")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    out(10L) shouldBe Some(3.0) // head: next value back-fills
+    out(20L) shouldBe Some(3.0 + (7.0 - 3.0) * (5.0 / 10.0)) // between 15 and 25
+  }
+
   test("matches a brute-force reference on random series (property)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
