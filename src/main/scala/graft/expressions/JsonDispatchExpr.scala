@@ -90,12 +90,24 @@ object JsonDispatch {
     f != null && !f.isNull && compat(f, dt, zone)
   }
 
+  // Single-entry zone cache: typeOf runs per record and getZoneId
+  // parses the id each call; one session uses one zone in practice.
+  @volatile private var cachedZoneId: String = null
+  @volatile private var cachedZone: java.time.ZoneId = null
+  private def zoneFor(zoneId: String): java.time.ZoneId = {
+    if (zoneId != cachedZoneId) {
+      cachedZone = DateTimeUtils.getZoneId(zoneId)
+      cachedZoneId = zoneId
+    }
+    cachedZone
+  }
+
   /** First matching type name, null if none (or not a JSON object).
     * @param zoneId session time zone (from_json parses timestamps with
     *               the session zone's formatter)
     */
   def typeOf(value: UTF8String, types: TypeSpec, zoneId: String): UTF8String = {
-    val zone = DateTimeUtils.getZoneId(zoneId)
+    val zone = zoneFor(zoneId)
     var node: JsonNode = null
     var parsed = false
     var i = 0
