@@ -611,7 +611,38 @@ object Documents {
       |JOIN tot t2 ON source2 = t2.source
       |ORDER BY source1, source2""".stripMargin
 
+  // ---- q83: deterministic mixture sampling (corpus blending) ----------------------
+  // Data mixing: downsample each language to a target rate (the knob
+  // that rebalances a corpus before training). Bernoulli-by-hash, not
+  // rand(): keep a doc iff its 60-bit md5 fraction < rate, so the
+  // sample is reproducible across runs, partitionings and engines —
+  // and any shard can be sampled independently with no coordination.
+  def q83MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 0.5)
+      .when(col("lang") === "fr", 0.8)
+      .otherwise(0.25)
+    val h = conv(md5(col("doc_id").cast("string")).substr(1, 15), 16, 10).cast("double") /
+      lit(math.pow(2, 60))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"), rate.as("rate"))
+      .filter(col("h") < col("rate"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(list_reduce(list_transform(range(1, 16),
+      |           ii -> CAST(strpos('0123456789abcdef',
+      |                        substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 1 AS BIGINT)),
+      |           (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS h,
+      |    CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.8 ELSE 0.25 END AS rate
+      |  FROM documents)
+      |SELECT doc_id, lang FROM d WHERE h < rate
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_mixture_sample" -> (q83MixtureSample _),
     "q77_novelty" -> (q77Novelty _),
     "q78_source_overlap" -> (q78SourceOverlap _),
     "q73_pack_spans" -> (q73PackSpans _),
@@ -633,6 +664,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_mixture_sample" -> q83Sql,
     "q77_novelty" -> q77Sql,
     "q78_source_overlap" -> q78Sql,
     "q73_pack_spans" -> q73Sql,
