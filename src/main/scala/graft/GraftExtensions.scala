@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductExpr, LangScoresExpr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, SpaceSavingAgg, WinnowExpr}
+import graft.expressions.{DotProductExpr, LangScoresExpr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, SimHash64Expr, SpaceSavingAgg, WinnowExpr}
 
 /** SparkSessionExtensions registration: exposes the graft kernel
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -44,6 +44,11 @@ object GraftFunctions {
       "simhash16",
       new ExpressionInfo(classOf[SimHash16Expr].getName, "simhash16"),
       (args: Seq[Expression]) => SimHash16Expr(args.head)
+    ),
+    (
+      "simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)
     ),
     (
       "winnow_fingerprints",

@@ -46,6 +46,9 @@ object Main {
       case Some("-pipelineConfig") =>
         valueOf("-pipelineConfig") match {
           case None => usage()
+          case Some(file) if !Files.isReadable(Paths.get(file)) =>
+            System.err.println(s"cannot read pipeline config: $file")
+            1
           case Some(file) =>
             val raw = new String(Files.readAllBytes(Paths.get(file)), "UTF-8")
             val streaming = a.contains("-streaming")
@@ -69,21 +72,30 @@ object Main {
         }
 
       case Some("-apiServer") =>
-        val storeDir = valueOf("-apiConfig")
-          .map(f => new String(Files.readAllBytes(Paths.get(f)), "UTF-8").trim)
-          .filter(_.nonEmpty)
-          .getOrElse(Files.createTempDirectory("graft-pipelines").toString)
-        val port = valueOf("-port").map(_.toInt).getOrElse(8000)
-        val server = new api.ApiServer(session(), storeDir, port)
-        server.start()
-        println(s"graft api listening on :${server.boundPort}, store=$storeDir")
-        if (block) {
-          // Block like the reference's signal wait (api.go:57-81); the
-          // JVM shutdown hook gives the server a clean stop on SIGTERM.
-          sys.addShutdownHook(server.stop())
-          Thread.currentThread().join()
-        } else server.stop()
-        0
+        val apiConfig = valueOf("-apiConfig")
+        val port = valueOf("-port").map(p => scala.util.Try(p.toInt).getOrElse(-1)).getOrElse(8000)
+        if (apiConfig.exists(f => !Files.isReadable(Paths.get(f)))) {
+          System.err.println(s"cannot read api config: ${apiConfig.get}")
+          1
+        } else if (port < 0 || port > 65535) {
+          System.err.println(s"invalid -port: ${valueOf("-port").getOrElse("")}")
+          1
+        } else {
+          val storeDir = apiConfig
+            .map(f => new String(Files.readAllBytes(Paths.get(f)), "UTF-8").trim)
+            .filter(_.nonEmpty)
+            .getOrElse(Files.createTempDirectory("graft-pipelines").toString)
+          val server = new api.ApiServer(session(), storeDir, port)
+          server.start()
+          println(s"graft api listening on :${server.boundPort}, store=$storeDir")
+          if (block) {
+            // Block like the reference's signal wait (api.go:57-81); the
+            // JVM shutdown hook gives the server a clean stop on SIGTERM.
+            sys.addShutdownHook(server.stop())
+            Thread.currentThread().join()
+          } else server.stop()
+          0
+        }
 
       case Some("-checkRule") =>
         valueOf("-checkRule") match {

@@ -63,7 +63,18 @@ object JsonDispatch {
     case LongType    => f.isIntegralNumber && f.canConvertToLong
     case FloatType | DoubleType =>
       f.isNumber || (f.isTextual && nonNumerics.contains(f.textValue()))
-    case _: DecimalType => f.isNumber
+    case dt: DecimalType =>
+      // JacksonParser accepts number tokens AND decimal strings, then
+      // nulls values whose rounded precision overflows the declared
+      // (p, s) — mirror both sides.
+      val bd: java.math.BigDecimal =
+        if (f.isNumber) f.decimalValue()
+        else if (f.isTextual) {
+          try new java.math.BigDecimal(f.textValue())
+          catch { case _: NumberFormatException => null }
+        } else null
+      bd != null &&
+        bd.setScale(dt.scale, java.math.RoundingMode.HALF_UP).precision() <= dt.precision
     case TimestampType =>
       (f.isTextual && DateTimeUtils
         .stringToTimestamp(UTF8String.fromString(f.textValue()), zone)
@@ -92,14 +103,18 @@ object JsonDispatch {
 
   // Single-entry zone cache: typeOf runs per record and getZoneId
   // parses the id each call; one session uses one zone in practice.
-  @volatile private var cachedZoneId: String = null
-  @volatile private var cachedZone: java.time.ZoneId = null
+  // The (id, zone) pair is ONE volatile reference so concurrent tasks
+  // with different session zones can never mix one cache's id with the
+  // other's zone — worst case under contention is a recompute.
+  @volatile private var cachedZone: (String, java.time.ZoneId) = null
   private def zoneFor(zoneId: String): java.time.ZoneId = {
-    if (zoneId != cachedZoneId) {
-      cachedZone = DateTimeUtils.getZoneId(zoneId)
-      cachedZoneId = zoneId
+    val c = cachedZone
+    if (c != null && c._1 == zoneId) c._2
+    else {
+      val z = DateTimeUtils.getZoneId(zoneId)
+      cachedZone = (zoneId, z)
+      z
     }
-    cachedZone
   }
 
   /** First matching type name, null if none (or not a JSON object).

@@ -98,6 +98,32 @@ object HashKernels {
     v
   }
 
+  /** 64-bit SimHash: bit j set iff more tokens have bit j of their md5
+    * digest set than not (first 64 of the 128 digest bits). The wide
+    * form for bucket DEDUP decisions — 16 bits pigeonhole-collides
+    * unrelated docs once a corpus passes ~10^4 documents; 64 bits keep
+    * false merges negligible at any realistic size.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = tokens.numElements()
+    var t = 0
+    while (t < m) {
+      val d = md5(tokens.getUTF8String(t).getBytes)
+      var j = 0
+      while (j < 64) {
+        val bit = (d(j >> 3) >> (7 - (j & 7))) & 1
+        counts(j) += (if (bit == 1) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) v |= 1L << j; j += 1 }
+    v
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   private def md5hex(s: String): String = {
@@ -296,6 +322,16 @@ case class SimHash16Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class ShingleSetExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_set"
@@ -366,6 +402,8 @@ object TextHashExprs {
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(shingles), n))
   def simhash16(tokens: Column): Column =
     GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(tokens)))
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(tokens)))
   def shingleSet(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleSetExpr(GraftSqlBridge.expression(tokens), k))
   def winnow(tokens: Column, k: Int, w: Int): Column =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** As-of join: for every left row, attach the nearest right row with the
   * same key at-or-before (backward, the default) or at-or-after
@@ -16,11 +17,15 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first design: instead of a per-key KV store probed row-by-row,
   * union both sides, shuffle ONCE by key, and sweep each key's timeline
-  * with a running `last(ignoreNulls)` (backward) or `first(ignoreNulls)`
-  * over the following frame (forward). Cost is a single shuffle +
-  * per-partition sort — no O(n·m) probing, no driver-side state; state
-  * stays on the executors so key cardinality can grow with the cluster.
-  * The streaming equivalent lives in graft.streaming (flatMapGroupsWithState).
+  * with a running `last(ignoreNulls)`. Forward reuses the SAME O(n)
+  * running frame over a time-reversed sort — an
+  * (currentRow, unboundedFollowing) frame would recompute the aggregate
+  * per row, O(n²) on a hot key. The matched right row travels as ONE
+  * struct, so its value and its timestamp (used by the tolerance gate
+  * and by Resample.interpolate) always come from the same row, even
+  * when carried values are null. Cost is a single shuffle + sort; no
+  * driver-side state, so key cardinality grows with the cluster. The
+  * streaming equivalent lives in graft.streaming (flatMapGroupsWithState).
   */
 object AsOfJoin {
 
@@ -43,9 +48,11 @@ object AsOfJoin {
     *
     * At equal timestamps the build row always matches (the reference's
     * KV write happens at event arrival, before any later probe; the
-    * forward mirror includes same-instant builds symmetrically). Output:
-    * all left columns + one column per `rightVals` entry (null when no
-    * right row qualifies).
+    * forward mirror includes same-instant builds symmetrically). The
+    * nearest build ROW wins even if a carried value is null — row
+    * identity, not value presence, decides the match. Output: all left
+    * columns + one column per `rightVals` entry (null when no right row
+    * qualifies).
     */
   def apply(
       left: DataFrame,
@@ -77,13 +84,20 @@ object AsOfJoin {
     val tCol = fresh("_t")
     val sideCol = fresh("_side")
     val tbCol = fresh("_tb")
-    val mtCol = fresh("_mt") // matched right time (tolerance check)
-    val rvCol = rightVals.map { case (_, out) => out -> fresh(s"_rv_$out") }.toMap
+    val rowCol = fresh("_rrow") // the whole matched right row, atomically
+    val mtField = "_mt"
 
-    // Sort order must place build rows INSIDE the probe row's frame at
-    // equal timestamps: backward frame ends at the current row, so build
-    // sorts first; forward frame starts at the current row, so probe
-    // sorts first.
+    val rowType = StructType(
+      StructField(mtField, LongType) +:
+        rightVals.map { case (_, out) => StructField(out, rvType(out)) }
+    )
+
+    // Sort order must place build rows INSIDE the probe row's running
+    // frame at equal timestamps. Backward scans time ascending (build
+    // side 0 sorts before probe side 1); forward scans time DESCENDING
+    // with the same unboundedPreceding..currentRow frame (build side 1
+    // sorts before probe side 0 under desc) — both directions are an
+    // O(n) running sweep.
     val (buildSide, probeSide) = if (fwd) (1, 0) else (0, 1)
 
     // The tie-break sorts as a string: it only has to make the order
@@ -94,9 +108,8 @@ object AsOfJoin {
           col(leftTime).cast("long").as(tCol),
           lit(probeSide).as(sideCol),
           col(tieBreak).cast("string").as(tbCol),
-          lit(null).cast("long").as(mtCol)
-        ) ++
-        rightVals.map { case (_, out) => lit(null).cast(rvType(out)).as(rvCol(out)) }: _*
+          lit(null).cast(rowType).as(rowCol)
+        ): _*
     )
     val rTb = rightTieBreak.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
     val rAligned = right.select(
@@ -107,39 +120,41 @@ object AsOfJoin {
           col(rightTime).cast("long").as(tCol),
           lit(buildSide).as(sideCol),
           rTb.as(tbCol),
-          col(rightTime).cast("long").as(mtCol)
-        ) ++
-        rightVals.map { case (src, out) => col(src).as(rvCol(out)) }: _*
+          struct(
+            col(rightTime).cast("long").as(mtField) +:
+              rightVals.map { case (src, out) => col(src).as(out) }: _*
+          ).as(rowCol)
+        ): _*
     )
 
-    val ordered = Window.partitionBy(col(key)).orderBy(col(tCol), col(sideCol), col(tbCol))
-    val w =
-      if (fwd) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def pick(c: Column): Column =
-      if (fwd) first(c, ignoreNulls = true).over(w) else last(c, ignoreNulls = true).over(w)
+    val ordered =
+      if (fwd)
+        Window.partitionBy(col(key)).orderBy(col(tCol).desc, col(sideCol).desc, col(tbCol).desc)
+      else
+        Window.partitionBy(col(key)).orderBy(col(tCol), col(sideCol), col(tbCol))
+    val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = lAligned
       .unionByName(rAligned)
       .select(
-        left.columns.map(col) ++ Seq(col(sideCol), col(tCol)) ++
-          Seq(pick(col(mtCol)).as(mtCol)) ++
-          rightVals.map { case (_, out) => pick(col(rvCol(out))).as(out) }: _*
+        left.columns.map(col) ++ Seq(
+          col(sideCol),
+          col(tCol),
+          last(col(rowCol), ignoreNulls = true).over(w).as(rowCol)
+        ): _*
       )
       .filter(col(sideCol) === probeSide)
 
-    val gated = toleranceUs match {
-      case None => swept
+    val matched: Column = toleranceUs match {
+      case None => col(rowCol)
       case Some(tol) =>
-        val gap = if (fwd) col(mtCol) - col(tCol) else col(tCol) - col(mtCol)
-        val within = col(mtCol).isNotNull && gap <= tol
-        swept.select(
-          left.columns.map(col) ++ Seq(col(sideCol), col(tCol), col(mtCol)) ++
-            rightVals.map { case (_, out) =>
-              when(within, col(out)).otherwise(lit(null).cast(rvType(out))).as(out)
-            }: _*
-        )
+        val mt = col(rowCol).getField(mtField)
+        val gap = if (fwd) mt - col(tCol) else col(tCol) - mt
+        when(col(rowCol).isNotNull && gap <= tol, col(rowCol))
     }
-    gated.drop(sideCol, tCol, mtCol)
+    swept.select(
+      left.columns.map(col) ++
+        rightVals.map { case (_, out) => matched.getField(out).as(out) }: _*
+    )
   }
 }

@@ -56,16 +56,24 @@ object ConnectedComponents {
     // more tasks than work. Size the loop to the graph: for tiny edge
     // lists drop AQE and run narrow shuffles (2× faster here); big
     // graphs keep AQE (skew-join splitting matters for hot vertices).
+    // NOTE: the tiny-graph tuning flips SESSION-scoped conf for the
+    // duration of the loop (restored in finally). Queries planned
+    // concurrently on the SAME SparkSession during that window would
+    // see it — callers running CC alongside other work should give it
+    // a dedicated session (spark.newSession()).
     val edgeCount = sym.count()
     val conf = spark.conf
-    val tiny = edgeCount < 10000000L
     val oldAqe = conf.get("spark.sql.adaptive.enabled", "true")
     val oldParts = conf.get("spark.sql.shuffle.partitions", "200")
+    // shuffle.partitions may be non-numeric on some platforms ("auto");
+    // skip the tuning rather than fail.
+    val oldPartsNum = scala.util.Try(oldParts.toLong).toOption
+    val tiny = edgeCount < 10000000L && oldPartsNum.isDefined
     if (tiny) {
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set(
         "spark.sql.shuffle.partitions",
-        math.max(1L, math.min(oldParts.toLong, edgeCount / 500000L + 1)).toString
+        math.max(1L, math.min(oldPartsNum.get, edgeCount / 500000L + 1)).toString
       )
     }
     try {
@@ -100,7 +108,6 @@ object ConnectedComponents {
         labels = next
         iter += 1
       }
-      sym.unpersist()
       if (!converged) {
         System.err.println(
           s"WARN ConnectedComponents: maxIter=$maxIter reached without convergence — " +
@@ -109,6 +116,7 @@ object ConnectedComponents {
       }
       labels
     } finally {
+      sym.unpersist() // also on failure — don't leak the cached edge list
       if (tiny) {
         conf.set("spark.sql.adaptive.enabled", oldAqe)
         conf.set("spark.sql.shuffle.partitions", oldParts)

@@ -215,7 +215,10 @@ object Dedup {
         val candidateIds = pairs
           .select(explode(array(col("id1"), col("id2"))).as(idCol))
           .distinct()
-        df.join(broadcast(candidateIds), idCol)
+        // No broadcast hint: a pathological corpus can produce an id set
+        // past the broadcast limit — let AQE pick broadcast vs shuffle
+        // from the runtime size.
+        df.join(candidateIds, idCol)
           .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
       } else sh
     pairs

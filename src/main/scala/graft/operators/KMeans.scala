@@ -69,6 +69,7 @@ object KMeans {
     // (mean lookup for a dimension no row produced) while nearestCell
     // silently truncates — validate uniform length up front instead.
     val dims = corpus.agg(min(size(col("_emb"))).as("lo"), max(size(col("_emb"))).as("hi")).head
+    require(!dims.isNullAt(0), "k-means needs a non-empty corpus with non-null embeddings")
     require(
       dims.getInt(0) == dims.getInt(1),
       s"ragged embedding lengths: min=${dims.getInt(0)}, max=${dims.getInt(1)} — " +

@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** Per-key floor-aligned tick grid: (key, tick_us) from
+    * floor(min/step)·step to floor(max/step)·step.
+    *
+    * Grid alignment must be FLOOR division (`t - pmod(t, step)`), all
+    * in integer arithmetic: `div` truncates toward zero, shifting the
+    * grid one step for pre-1970 (negative) timestamps, and a double
+    * `/` could round across a grid boundary for large epoch-micros.
+    * pmod keeps the remainder in [0, step) regardless of sign.
+    */
+  private def tickGrid(df: DataFrame, key: String, timeUs: String, stepUs: Long): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
+      .select(
+        col(key),
+        explode(
+          sequence(
+            expr(s"_min_t - pmod(_min_t, ${stepUs}L)"),
+            expr(s"_max_t - pmod(_max_t, ${stepUs}L)"),
+            lit(stepUs)
+          )
+        ).as("tick_us")
+      )
+
   /** @param df       observations
     * @param key      series key column
     * @param timeUs   LONG epoch-micros observation time
@@ -34,25 +57,7 @@ object Resample {
       stepUs: Long,
       obsTieBreak: Option[String] = None
   ): DataFrame = {
-    val bounds = df
-      .groupBy(col(key))
-      .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
-    // Grid alignment must be FLOOR division (`t - pmod(t, step)`), all
-    // in integer arithmetic: `div` truncates toward zero, shifting the
-    // grid one step for pre-1970 (negative) timestamps, and a double
-    // `/` could round across a grid boundary for large epoch-micros.
-    // pmod keeps the remainder in [0, step) regardless of sign.
-    val ticks = bounds
-      .select(
-        col(key),
-        explode(
-          sequence(
-            expr(s"_min_t - pmod(_min_t, ${stepUs}L)"),
-            expr(s"_max_t - pmod(_max_t, ${stepUs}L)"),
-            lit(stepUs)
-          )
-        ).as("tick_us")
-      )
+    val ticks = tickGrid(df, key, timeUs, stepUs)
     // Tie-break among simultaneous observations: caller-provided unique
     // column when available, else the observation time itself (last-
     // write-wins is then nondeterministic between true duplicates).
@@ -90,20 +95,7 @@ object Resample {
       stepUs: Long,
       obsTieBreak: Option[String] = None
   ): DataFrame = {
-    val bounds = df
-      .groupBy(col(key))
-      .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
-    val ticks = bounds
-      .select(
-        col(key),
-        explode(
-          sequence(
-            expr(s"_min_t - pmod(_min_t, ${stepUs}L)"),
-            expr(s"_max_t - pmod(_max_t, ${stepUs}L)"),
-            lit(stepUs)
-          )
-        ).as("tick_us")
-      )
+    val ticks = tickGrid(df, key, timeUs, stepUs)
     val tb = obsTieBreak.map(col).getOrElse(col(timeUs))
     val obs = df.select(
       col(key),

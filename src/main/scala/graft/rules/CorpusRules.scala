@@ -72,21 +72,24 @@ object CorpusRules {
         .drop("_fp")
   }
 
-  /** Near-duplicate dedup on the 16-bit SimHash bucket: docs whose
+  /** Near-duplicate dedup on the 64-bit SimHash bucket: docs whose
     * token streams hash to the same signature are near-identical
     * (Charikar '02), and the rule keeps one representative per bucket.
+    * 64 bits, not the oracle-checked 16 (q36): a dedup DECISION needs a
+    * bucket space far wider than the corpus, or pigeonhole collisions
+    * silently delete unrelated docs past ~10^4 documents.
     *
     * Batch keeps the lexicographically smallest row (replayable, like
     * [[ExactDedupRule]]). Streaming keeps first arrival via
-    * `dropDuplicates` on the signature — state is one 16-bit key per
-    * distinct bucket (bounded at 65536 entries by construction, unlike
-    * exact dedup whose fingerprint space grows with the corpus). For
-    * finer thresholds use the full MinHash-LSH batch path
-    * (operators.Dedup) — a 16-bit bucket is the coarse streaming tier.
+    * `dropDuplicates` on the signature — state grows with distinct
+    * signatures; bound it with a watermark (StreamJoins.dedupExact
+    * pattern) when the stream carries event time. For graded
+    * thresholds use the full MinHash-LSH batch path (operators.Dedup) —
+    * the single-bucket form is the coarse streaming tier.
     */
   object NearDupRule extends Rule {
     val name = "nearDup"
-    private def sim = TextHashExprs.simhash16(Dedup.tokens(col("text")))
+    private def sim = TextHashExprs.simhash64(Dedup.tokens(col("text")))
     def apply(df: DataFrame): DataFrame = {
       val cols = df.columns
       df.withColumn("_sim", sim)

@@ -131,6 +131,28 @@ class DecodeSpec extends SparkSpec {
     fast shouldBe slow
   }
 
+  test("decimal required fields accept string decimals and reject precision overflow") {
+    // JacksonParser parses quoted decimals and nulls values that
+    // overflow the declared precision — the detector must mirror both.
+    val decEvent = graft.model.EventType(
+      name = "decEvent",
+      schema = org.apache.spark.sql.types.StructType.fromDDL("amount DECIMAL(10,2), tag STRING"),
+      required = Seq("amount")
+    )
+    val rows = Seq(
+      """{"amount": 1.23}""", // number token → claimed
+      """{"amount": "1.23"}""", // string decimal → claimed (JacksonParser parses it)
+      """{"amount": 12345678901.23}""", // precision 13 > 10 → nulled → unclaimed
+      """{"amount": "not a number"}""" // unparseable → unclaimed
+    )
+    val slow = Decode.dispatch(rows.toDF("value"), Seq(decEvent))
+      .select("_event_type").as[Option[String]].collect().toSeq
+    val fast = Decode.dispatchFast(rows.toDF("value"), Seq(decEvent))
+      .select("_event_type").as[Option[String]].collect().toSeq
+    slow shouldBe Seq(Some("decEvent"), Some("decEvent"), None, None)
+    fast shouldBe slow
+  }
+
   test("dispatchFast == dispatch on randomized records (property)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll

@@ -61,6 +61,31 @@ class TextHashExprsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("simhash64: identical token streams agree, near-dups are close, disjoint docs differ") {
+    val a = "the quick brown fox jumps over one lazy dog while two cats watch"
+    val df = Seq(
+      (1L, a),
+      (2L, a), // identical
+      (3L, a + " extra"), // near-dup: few bit flips
+      (4L, "totally different material about spark shuffles and executors at scale")
+    ).toDF("id", "text")
+    val sims = df
+      .select(col("id"), TextHashExprs.simhash64(Dedup.tokens(col("text"))).as("s"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    sims(1L) shouldBe sims(2L)
+    java.lang.Long.bitCount(sims(1L) ^ sims(3L)) should be <= 16 // near-dup: small Hamming distance
+    java.lang.Long.bitCount(sims(1L) ^ sims(4L)) should be > 16 // unrelated: far apart
+    // SQL registration round-trips
+    graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("sh64docs")
+    spark
+      .sql("SELECT simhash64(split(trim(lower(text)), '\\\\s+')) FROM sh64docs WHERE id = 1")
+      .as[Long]
+      .head() shouldBe sims(1L)
+  }
+
   test("kernel winnow == declarative winnowFingerprints (property)") {
     val docsGen = Gen.listOfN(15, docGen)
     val prop = forAll(docsGen) { texts =>

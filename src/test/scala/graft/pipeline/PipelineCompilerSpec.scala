@@ -145,16 +145,16 @@ class PipelineCompilerSpec extends SparkSpec {
 
     val batch = graft.rules.CorpusRules.NearDupRule(df)
     val kept = batch.select("doc_id").as[Long].collect().toSeq.sorted
-    // However the 16-bit buckets fall, the batch decision must be
-    // replayable (min row per bucket) and keep ≤ 1 doc per bucket.
+    // However the buckets fall, the batch decision must be replayable
+    // (min row per bucket) and keep exactly 1 doc per distinct bucket.
     val sim = org.apache.spark.sql.functions
     val buckets = df
       .select(
         graft.expressions.TextHashExprs
-          .simhash16(graft.operators.Dedup.tokens(sim.col("text")))
+          .simhash64(graft.operators.Dedup.tokens(sim.col("text")))
           .as("s")
       )
-      .as[Int]
+      .as[Long]
       .collect()
       .toSeq
     kept.size shouldBe buckets.distinct.size
