@@ -641,7 +641,51 @@ object Documents {
       |SELECT doc_id, lang FROM d WHERE h < rate
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q84: sharded sequence packing (the 100 TB form of q73) ---------------------
+  // Same concat-and-chunk map as q73 but the running sum partitions by
+  // the shard key (`source`): every shard packs its own token stream
+  // independently, so the window parallelizes across shards instead of
+  // serializing the corpus — SCALE.md's "per-shard packing" claim as a
+  // checked query, not prose.
+  def q84ShardedPack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        col("start_tok"),
+        expr("CAST(start_tok div 512 AS INT)").as("first_chunk"),
+        expr("CAST((start_tok + n_tokens - 1) div 512 AS INT)").as("last_chunk")
+      )
+      .orderBy("doc_id")
+  }
+
+  val q84Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |             LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n_tokens
+      |           FROM documents),
+      |p AS (SELECT doc_id, source, n_tokens,
+      |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+      |      FROM d WHERE n_tokens > 0)
+      |SELECT doc_id, source,
+      |  CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(start_tok // 512 AS INTEGER) AS first_chunk,
+      |  CAST((start_tok + n_tokens - 1) // 512 AS INTEGER) AS last_chunk
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_sharded_pack" -> (q84ShardedPack _),
     "q83_mixture_sample" -> (q83MixtureSample _),
     "q77_novelty" -> (q77Novelty _),
     "q78_source_overlap" -> (q78SourceOverlap _),
@@ -664,6 +708,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_sharded_pack" -> q84Sql,
     "q83_mixture_sample" -> q83Sql,
     "q77_novelty" -> q77Sql,
     "q78_source_overlap" -> q78Sql,
