@@ -136,6 +136,37 @@ class PipelineCompilerSpec extends SparkSpec {
     out.head._2 shouldBe "en" // "the" is an English indicator
   }
 
+  test("corpus rules chain in STREAMING mode (stateful dedup via readStream)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_corpus_stream")
+    val good =
+      "the quick brown fox jumps over one lazy dog while two curious cats watch three birds fly past four tall green trees"
+    Seq(
+      (1L, good),
+      (2L, "too short"),
+      (3L, ("spam ham " * 15).trim),
+      (4L, good) // exact dup of 1
+    ).toDF("doc_id", "text").write.parquet(s"$dir/input")
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "gate":  {"source": "docs", "plugin": "qualityFilter"},
+         |    "lid":   {"source": "gate", "plugin": "langId"},
+         |    "dedup": {"source": "lid", "plugin": "exactDedup", "sink": "memCuratedStream"}
+         |  },
+         |  "states": {},
+         |  "sources": {"docs": {"type": "File", "path": "$dir/input", "format": "parquet"}},
+         |  "sinks": {"memCuratedStream": {"type": "Memory"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    val queries = PipelineCompiler.startStreaming(compiled, s"$dir/ckpt")
+    queries.foreach(_.awaitTermination(60000))
+    val out = spark.table("memCuratedStream").select("doc_id", "lang_pred").as[(Long, String)].collect()
+    out.length shouldBe 1
+    out.head._2 shouldBe "en"
+  }
+
   test("nearDup rule keeps one representative per simhash bucket, batch and streaming") {
     import spark.implicits._
     val a = "the quick brown fox jumps over one lazy dog while two curious cats watch three birds"
