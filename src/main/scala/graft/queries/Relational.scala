@@ -898,7 +898,63 @@ object Relational {
       |FROM a
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q85: regex extraction family (groups, counts, anchors) ---------------------
+  def q85RegexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") < 500)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+) (\\w+) (\\w+)$", 3).as("type_material"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        // portable vowel count (regexp_count isn't everywhere: strip
+        // non-vowels, measure)
+        length(regexp_replace(col("p_name"), "[^aeiou]", "")).as("n_vowels"),
+        col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words")
+      )
+      .orderBy("p_partkey")
+
+  val q85Sql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_type, '^(\w+) (\w+) (\w+)$', 3) AS type_material,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  CAST(LENGTH(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS INTEGER) AS n_vowels,
+      |  regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words
+      |FROM part
+      |WHERE p_partkey < 500
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---- q86: date arithmetic over a join (lags, clamped month math, ISO dow) -------
+  def q86DateArithmetic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"),
+        // dates render as ISO strings: DATE logical types round-trip
+        // differently through parquet/pandas per engine, strings don't
+        last_day(col("l_shipdate")).cast("string").as("ship_month_end"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").cast("string").as("order_quarter"),
+        add_months(col("l_shipdate"), 3).cast("string").as("ship_plus_3m"),
+        (weekday(col("l_shipdate")) + 1).as("ship_iso_dow") // 1 = Monday on both engines
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q86Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_lag_days,
+      |  CAST(last_day(l_shipdate) AS VARCHAR) AS ship_month_end,
+      |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS order_quarter,
+      |  CAST(CAST(l_shipdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS ship_plus_3m,
+      |  CAST(isodow(l_shipdate) AS INTEGER) AS ship_iso_dow
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_regex_funcs" -> (q85RegexFuncs _),
+    "q86_date_arithmetic" -> (q86DateArithmetic _),
     "q79_kmv_distinct" -> (q79KmvDistinct _),
     "q69_lateral_topk" -> (q69LateralTopK _),
     "q70_small_qty_parts" -> (q70SmallQtyParts _),
@@ -935,6 +991,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_regex_funcs" -> q85Sql,
+    "q86_date_arithmetic" -> q86Sql,
     "q79_kmv_distinct" -> q79Sql,
     "q69_lateral_topk" -> q69Sql,
     "q70_small_qty_parts" -> q70Sql,
