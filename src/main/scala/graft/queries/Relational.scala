@@ -952,7 +952,41 @@ object Relational {
       |WHERE o_orderkey < 1000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- q87: bag set-ops (INTERSECT ALL / EXCEPT ALL) ------------------------------
+  // q12 covers the DISTINCT set ops; these preserve multiplicity —
+  // different operators entirely (Spark plans them as count-diff
+  // generate, not a dedup join). Bags = part keys shipped per year.
+  def q87SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    def shipped(year: Int) =
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= expr(s"timestamp_ntz'$year-01-01 00:00:00'") &&
+            col("l_shipdate") < expr(s"timestamp_ntz'${year + 1}-01-01 00:00:00'") &&
+            col("l_partkey") < 200
+        )
+        .select(col("l_partkey").as("pk"))
+    val a = shipped(1996)
+    val b = shipped(1997)
+    a.intersectAll(b)
+      .select(lit("intersect_all").as("op"), col("pk"))
+      .unionAll(a.exceptAll(b).select(lit("except_all").as("op"), col("pk")))
+      .orderBy("op", "pk")
+  }
+
+  val q87Sql: String =
+    """WITH a AS (SELECT l_partkey AS pk FROM lineitem
+      |           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00' AND l_partkey < 200),
+      |b AS (SELECT l_partkey AS pk FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00' AND l_partkey < 200)
+      |SELECT 'intersect_all' AS op, pk FROM (SELECT pk FROM a INTERSECT ALL SELECT pk FROM b) x
+      |UNION ALL
+      |SELECT 'except_all', pk FROM (SELECT pk FROM a EXCEPT ALL SELECT pk FROM b) y
+      |ORDER BY op, pk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_set_ops_all" -> (q87SetOpsAll _),
     "q85_regex_funcs" -> (q85RegexFuncs _),
     "q86_date_arithmetic" -> (q86DateArithmetic _),
     "q79_kmv_distinct" -> (q79KmvDistinct _),
@@ -991,6 +1025,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_set_ops_all" -> q87Sql,
     "q85_regex_funcs" -> q85Sql,
     "q86_date_arithmetic" -> q86Sql,
     "q79_kmv_distinct" -> q79Sql,
