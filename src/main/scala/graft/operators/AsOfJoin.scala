@@ -85,7 +85,13 @@ object AsOfJoin {
     val sideCol = fresh("_side")
     val tbCol = fresh("_tb")
     val rowCol = fresh("_rrow") // the whole matched right row, atomically
-    val mtField = "_mt"
+    // The struct's time field must not collide with a rightVals output
+    // name (getField by name would be ambiguous).
+    val mtField = {
+      var nm = "_mt"
+      while (rightVals.exists(_._2 == nm)) nm = "_" + nm
+      nm
+    }
 
     val rowType = StructType(
       StructField(mtField, LongType) +:

@@ -72,35 +72,54 @@ object CorpusRules {
         .drop("_fp")
   }
 
-  /** Near-duplicate dedup on the 64-bit SimHash bucket: docs whose
-    * token streams hash to the same signature are near-identical
-    * (Charikar '02), and the rule keeps one representative per bucket.
-    * 64 bits, not the oracle-checked 16 (q36): a dedup DECISION needs a
-    * bucket space far wider than the corpus, or pigeonhole collisions
-    * silently delete unrelated docs past ~10^4 documents.
+  /** Near-duplicate dedup on the BANDED 64-bit SimHash (Charikar '02):
+    * the signature splits into 4×16-bit bands, docs sharing ANY band
+    * become candidate pairs (by pigeonhole, any pair within Hamming
+    * distance 3 is guaranteed to share a band; small edits flip few
+    * bits, so near-dups collide with high probability while the 64-bit
+    * space keeps unrelated collisions negligible), candidates cluster
+    * by connected components, and each cluster keeps its minimum-id
+    * row — the same decision shape as the MinHash-LSH batch path (q51),
+    * at SimHash cost (no shingling).
     *
-    * Batch keeps the lexicographically smallest row (replayable, like
-    * [[ExactDedupRule]]). Streaming keeps first arrival via
-    * `dropDuplicates` on the signature — state grows with distinct
-    * signatures; bound it with a watermark (StreamJoins.dedupExact
-    * pattern) when the stream carries event time. For graded
-    * thresholds use the full MinHash-LSH batch path (operators.Dedup) —
-    * the single-bucket form is the coarse streaming tier.
+    * Row identity is the 60-bit md5 of the raw text (stable across
+    * runs/partitionings, so the decision is replayable); exact
+    * duplicates share an id and collapse in the final keeper step.
+    *
+    * Streaming cannot run the iterative clustering: applyStreaming
+    * keeps first arrival per EXACT 64-bit signature — the near-exact
+    * tier (reordered/trivially-edited docs whose signature is
+    * unchanged). Pipelines needing true streaming near-dup should
+    * micro-batch through the batch form.
     */
   object NearDupRule extends Rule {
     val name = "nearDup"
-    private def sim = TextHashExprs.simhash64(Dedup.tokens(col("text")))
+    private def sig = TextHashExprs.simhash64(Dedup.tokens(col("text")))
+    private def rowId = conv(md5(col("text")).substr(1, 15), 16, 10).cast("long")
     def apply(df: DataFrame): DataFrame = {
       val cols = df.columns
-      df.withColumn("_sim", sim)
-        .groupBy(col("_sim"))
+      val withId = df.withColumn("_ndid", rowId).withColumn("_sig", sig)
+      val bands = withId.select(
+        col("_ndid"),
+        posexplode(
+          array((0 to 3).map(b => shiftrightunsigned(col("_sig"), 16 * b).bitwiseAND(0xffffL)): _*)
+        ).as(Seq("band", "band_hash"))
+      )
+      val pairs = Dedup.candidatePairs(bands, "_ndid")
+      val clusters = graft.operators
+        .ConnectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "_ndid")
+      withId
+        .join(clusters, Seq("_ndid"), "left_outer")
+        .filter(col("component").isNull || col("component") === col("_ndid"))
+        .groupBy(col("_ndid")) // exact dups share an id — keep one row
         .agg(min(struct(cols.map(col): _*)).as("_row"))
         .select(cols.map(c => col(s"_row.$c")): _*)
     }
     override def applyStreaming(df: DataFrame): DataFrame =
-      df.withColumn("_sim", sim)
-        .dropDuplicates("_sim")
-        .drop("_sim")
+      df.withColumn("_sig", sig)
+        .dropDuplicates("_sig")
+        .drop("_sig")
   }
 
   val all: Seq[Rule] = Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule)

@@ -167,33 +167,52 @@ class PipelineCompilerSpec extends SparkSpec {
     out.head._2 shouldBe "en"
   }
 
-  test("nearDup rule keeps one representative per simhash bucket, batch and streaming") {
+  test("nearDup rule merges banded-simhash clusters, keeps exact semantics vs a reference") {
     import spark.implicits._
     val a = "the quick brown fox jumps over one lazy dog while two curious cats watch three birds"
-    val nearA = a + " x" // one extra token: same 16-bit simhash bucket in practice? verify below
-    val distinct = "completely different subject matter about databases shuffles partitions and executors at scale"
-    val df = Seq((1L, a), (2L, nearA), (3L, distinct)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, a),
+      (2L, a), // exact dup of 1 → always merged
+      (3L, a + " x"), // near-dup: merged iff some 16-bit band survives the edit
+      (4L, "completely different subject matter about databases shuffles partitions and executors at scale")
+    )
+    val df = docs.toDF("doc_id", "text")
 
-    val batch = graft.rules.CorpusRules.NearDupRule(df)
-    val kept = batch.select("doc_id").as[Long].collect().toSeq.sorted
-    // However the buckets fall, the batch decision must be replayable
-    // (min row per bucket) and keep exactly 1 doc per distinct bucket.
-    val sim = org.apache.spark.sql.functions
-    val buckets = df
+    val kept = graft.rules.CorpusRules.NearDupRule(df).select("doc_id").as[Long].collect().toSeq.sorted
+
+    // Independent reference mirroring the rule's contract: rows get a
+    // 60-bit md5 text id, ids sharing any 16-bit simhash band union-
+    // find together, each component keeps its min ID, and each kept id
+    // keeps its min doc_id (exact dups share an id).
+    import org.apache.spark.sql.functions.{col, conv, md5}
+    val rows = df
       .select(
-        graft.expressions.TextHashExprs
-          .simhash64(graft.operators.Dedup.tokens(sim.col("text")))
-          .as("s")
+        col("doc_id"),
+        conv(md5(col("text")).substr(1, 15), 16, 10).cast("long").as("ndid"),
+        graft.expressions.TextHashExprs.simhash64(graft.operators.Dedup.tokens(col("text"))).as("s")
       )
-      .as[Long]
+      .as[(Long, Long, Long)]
       .collect()
       .toSeq
-    kept.size shouldBe buckets.distinct.size
-    kept should contain(1L) // doc 1 ≤ doc 2 lexicographically if they share a bucket
+    def bandsOf(s: Long): Seq[Long] = (0 to 3).map(b => ((s >>> (16 * b)) & 0xffffL) | (b.toLong << 32))
+    val ids = rows.map(r => r._2 -> r._3).distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for (Seq((idx, sx), (idy, sy)) <- ids.combinations(2).map(_.toSeq)) {
+      if (bandsOf(sx).intersect(bandsOf(sy)).nonEmpty) {
+        val (rx, ry) = (find(idx), find(idy))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+    }
+    val keptIds = ids.map(_._1).filter(id => find(id) == id).toSet
+    val expected = rows.filter(r => keptIds(r._2)).groupBy(_._2).values.map(_.map(_._1).min).toSeq.sorted
+    kept shouldBe expected
+    kept should contain(4L) // unrelated doc always survives
+    kept.size should be <= 3 // docs 1 and 2 always collapse
 
-    // Streaming form: first arrival wins, same bucket count.
+    // Streaming tier: first arrival per exact signature (near-exact dedup).
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
-    mem.addData((1L, a), (2L, nearA), (3L, distinct))
+    mem.addData(docs: _*)
     val q = graft.rules.CorpusRules.NearDupRule
       .applyStreaming(mem.toDF.toDF("doc_id", "text"))
       .writeStream
@@ -203,7 +222,7 @@ class PipelineCompilerSpec extends SparkSpec {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table("nearDupStream").count() shouldBe buckets.distinct.size
+    spark.table("nearDupStream").count() shouldBe rows.map(_._3).distinct.size
   }
 
   test("unknown source type compiles to a Left, not an exception") {
