@@ -81,6 +81,29 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 2
   }
 
+  test("batch: ORC and JSON-lines sources run through the same generic format branch") {
+    import spark.implicits._
+    for (fmt <- Seq("orc", "json")) {
+      val dir = tmpDir(s"graft_$fmt")
+      Seq("a", "ab").toDF("Str").write.format(fmt).save(s"$dir/input")
+      val config =
+        s"""{
+           |  "eventFolder": "builtin",
+           |  "rules": {"lengthCheck": {"source": "in", "plugin": "lengthRule", "sink": "memFmt_$fmt"}},
+           |  "states": {},
+           |  "sources": {"in": {"type": "File", "path": "$dir/input", "format": "$fmt"}},
+           |  "sinks": {"memFmt_$fmt": {"type": "Memory"}}
+           |}""".stripMargin
+      val compiled = PipelineCompiler.compile(spark, config).toOption.get
+      PipelineCompiler.runBatch(compiled)
+      val out = spark.table(s"memFmt_$fmt").as[Boolean].collect().toSeq
+      withClue(s"format=$fmt: ") {
+        out.count(identity) shouldBe 1
+        out.length shouldBe 2
+      }
+    }
+  }
+
   test("streaming: structured parquet source (schema seeded from a batch read)") {
     import spark.implicits._
     val dir = tmpDir("graft_pq")
