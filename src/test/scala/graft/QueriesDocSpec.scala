@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** QUERIES.md is the reviewer's index of the catalog — keep it honest:
+  * every catalogued query number appears in the doc and vice versa.
+  */
+class QueriesDocSpec extends AnyFunSuite with Matchers {
+
+  test("QUERIES.md lists exactly the catalogued query numbers") {
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("QUERIES.md")),
+      "UTF-8"
+    )
+    val documented = "(?m)^- (q\\d+):".r.findAllMatchIn(doc).map(_.group(1)).toSet
+    val catalogued = SparkEntry.queries.keySet.map(_.split("_")(0))
+    documented shouldBe catalogued
+  }
+
+  test("every oracle key is a catalogued query") {
+    SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
+  }
+}
