@@ -50,6 +50,25 @@ object HashKernels {
     v % P
   }
 
+  /** 60-bit md5 slice: the integer value of 15 hex digits of the digest
+    * starting at `nibbleOffset` — identical to
+    * `conv(substr(md5(s), nibbleOffset+1, 15), 16, 10)` without
+    * materializing the hex string or parsing it back (the hot-path cost
+    * of the bloom/sampling position computations).
+    */
+  def md5Slice60(s: UTF8String, nibbleOffset: Int): Long = {
+    val d = md5(s.getBytes)
+    var v = 0L
+    var i = nibbleOffset
+    val end = nibbleOffset + 15
+    while (i < end) {
+      val nib = if ((i & 1) == 0) (d(i >> 1) & 0xf0) >> 4 else d(i >> 1) & 0x0f
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   /** MinHash signature over a shingle array: one md5 per shingle, n
     * universal hashes h_i = ((2i+1)·x + i²+i+7) mod P, min per i.
     * Empty input → null (callers filter empties; mirrors array_min's
@@ -332,6 +351,17 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+case class Md5Slice60Expr(child: Expression, nibbleOffset: Int) extends UnaryExpression {
+  require(nibbleOffset >= 0 && nibbleOffset <= 17, "md5 has 32 hex digits; offset+15 must fit")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_slice60"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.md5Slice60(input.asInstanceOf[UTF8String], nibbleOffset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.md5Slice60($c, $nibbleOffset)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class ShingleSetExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_set"
@@ -404,6 +434,8 @@ object TextHashExprs {
     GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(tokens)))
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(tokens)))
+  def md5Slice60(s: Column, nibbleOffset: Int): Column =
+    GraftSqlBridge.column(Md5Slice60Expr(GraftSqlBridge.expression(s), nibbleOffset))
   def shingleSet(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleSetExpr(GraftSqlBridge.expression(tokens), k))
   def winnow(tokens: Column, k: Int, w: Int): Column =

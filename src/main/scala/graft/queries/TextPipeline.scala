@@ -365,8 +365,11 @@ object TextPipeline {
   // engine-identical — the approximation itself is oracle-checked.
   def q80BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
     val m = 65536
-    def p1(c: org.apache.spark.sql.Column) = conv(md5(c).substr(1, 15), 16, 10).cast("long") % m
-    def p2(c: org.apache.spark.sql.Column) = conv(md5(c).substr(16, 15), 16, 10).cast("long") % m
+    // Kernel positions: one digest-to-long call instead of
+    // md5 → hex string → substr → conv parse (equality with the conv
+    // form is property-tested; the DuckDB oracle keeps that form).
+    def p1(c: org.apache.spark.sql.Column) = graft.expressions.TextHashExprs.md5Slice60(c, 0) % m
+    def p2(c: org.apache.spark.sql.Column) = graft.expressions.TextHashExprs.md5Slice60(c, 15) % m
     val sh = docs(s, dir).select(
       col("doc_id"),
       col("lang"),

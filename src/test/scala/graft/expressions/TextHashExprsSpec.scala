@@ -135,6 +135,23 @@ class TextHashExprsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("md5Slice60 == conv(substr(md5, o+1, 15), 16, 10) at both bloom offsets (property)") {
+    val prop = forAll(Gen.listOfN(30, wordGen)) { words =>
+      val df = words.toDF("s")
+      Seq(0, 15).forall { o =>
+        df.select(
+            TextHashExprs.md5Slice60(col("s"), o).as("fast"),
+            expr(s"CAST(conv(substr(md5(s), ${o + 1}, 15), 16, 10) AS BIGINT)").as("slow")
+          )
+          .as[(Long, Long)]
+          .collect()
+          .forall { case (f, s) => f == s }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("baseHash matches conv(substr(md5, 1, 15), 16, 10) % P") {
     val df = Seq("hello world", "x", "").toDF("s")
     val both = df.select(
