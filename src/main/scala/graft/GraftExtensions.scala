@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductExpr, LangScoresExpr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, SimHash64Expr, SpaceSavingAgg, WinnowExpr}
+import graft.expressions.{DotProductExpr, LangScoresExpr, Md5Slice60Expr, MinHashSigExpr, RollingHashExpr, ShingleSetExpr, SimHash16Expr, SimHash64Expr, SpaceSavingAgg, WinnowExpr}
 
 /** SparkSessionExtensions registration: exposes the graft kernel
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -49,6 +49,11 @@ object GraftFunctions {
       "simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)
+    ),
+    (
+      "md5_slice60",
+      new ExpressionInfo(classOf[Md5Slice60Expr].getName, "md5_slice60"),
+      (args: Seq[Expression]) => Md5Slice60Expr(args.head, intArg(args(1), "md5_slice60"))
     ),
     (
       "winnow_fingerprints",
