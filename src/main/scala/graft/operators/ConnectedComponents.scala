@@ -40,7 +40,18 @@ object ConnectedComponents {
     *         Only vertices that appear in `edges` are returned
     *         (singletons have no edges and are their own component).
     */
-  def apply(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+  /** @param tuneSession allow the tiny-graph conf tuning below (flips
+    *                     SESSION-scoped settings for the loop's
+    *                     duration). Pass false from code that may share
+    *                     its session with concurrently planned queries.
+    */
+  def apply(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25,
+      tuneSession: Boolean = true
+  ): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val sym = e
@@ -62,13 +73,20 @@ object ConnectedComponents {
     // see it — callers running CC alongside other work should give it
     // a dedicated session (spark.newSession()).
     val edgeCount = sym.count()
+    if (edgeCount == 0) {
+      // No edges → no labeled vertices (the sum-based convergence check
+      // would read a null aggregate). Callers treat absent ids as
+      // singleton components already.
+      sym.unpersist()
+      return sym.select(col("src").as("id"), col("src").as("component"))
+    }
     val conf = spark.conf
     val oldAqe = conf.get("spark.sql.adaptive.enabled", "true")
     val oldParts = conf.get("spark.sql.shuffle.partitions", "200")
     // shuffle.partitions may be non-numeric on some platforms ("auto");
     // skip the tuning rather than fail.
     val oldPartsNum = scala.util.Try(oldParts.toLong).toOption
-    val tiny = edgeCount < 10000000L && oldPartsNum.isDefined
+    val tiny = tuneSession && edgeCount < 10000000L && oldPartsNum.isDefined
     if (tiny) {
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set(

@@ -72,30 +72,42 @@ object CorpusRules {
         .drop("_fp")
   }
 
-  /** Near-duplicate dedup on the BANDED 64-bit SimHash (Charikar '02):
-    * the signature splits into 4×16-bit bands, docs sharing ANY band
-    * become candidate pairs (by pigeonhole, any pair within Hamming
-    * distance 3 is guaranteed to share a band; small edits flip few
-    * bits, so near-dups collide with high probability while the 64-bit
-    * space keeps unrelated collisions negligible), candidates cluster
-    * by connected components, and each cluster keeps its minimum-id
-    * row — the same decision shape as the MinHash-LSH batch path (q51),
-    * at SimHash cost (no shingling).
+  /** Near-duplicate dedup with EXACT semantics: two docs are near-dups
+    * iff their 64-bit SimHashes (Charikar '02) differ in at most 3
+    * bits. Candidate generation is banded LSH — the signature splits
+    * into 4×16-bit bands and any pair within Hamming distance 3 shares
+    * a band by pigeonhole, so recall is 100% — and every candidate is
+    * then VERIFIED with an exact popcount before clustering: random
+    * 16-bit band collisions (which would otherwise chain unrelated
+    * docs into giant components past ~10^4 docs) never survive.
+    * Components of verified pairs each keep their minimum-id row — the
+    * q51 decision shape at SimHash cost (no shingling).
+    * `maxBucketSize` guards the quadratic pair explosion of degenerate
+    * bands (the band space is only 65536 values; big corpora WILL fill
+    * it) — over-limit buckets are dropped, their members still pair in
+    * other bands.
     *
     * Row identity is the 60-bit md5 of the raw text (stable across
     * runs/partitionings, so the decision is replayable); exact
     * duplicates share an id and collapse in the final keeper step.
     *
+    * CAVEAT: the clustering stage runs Spark jobs EAGERLY when the
+    * rule is applied (plan construction), so compiling a batch pipeline
+    * with this rule executes the clustering then — sources must not
+    * change between compile and run. The ConnectedComponents call runs
+    * with tuneSession=false, so the shared pipeline session's conf is
+    * never mutated under concurrent queries.
+    *
     * Streaming cannot run the iterative clustering: applyStreaming
     * keeps first arrival per EXACT 64-bit signature — the near-exact
-    * tier (reordered/trivially-edited docs whose signature is
-    * unchanged). Pipelines needing true streaming near-dup should
+    * tier. Pipelines needing true streaming near-dup should
     * micro-batch through the batch form.
     */
   object NearDupRule extends Rule {
     val name = "nearDup"
+    private val MaxHamming = 3
     private def sig = TextHashExprs.simhash64(Dedup.tokens(col("text")))
-    private def rowId = conv(md5(col("text")).substr(1, 15), 16, 10).cast("long")
+    private def rowId = TextHashExprs.md5Slice60(col("text"), 0)
     def apply(df: DataFrame): DataFrame = {
       val cols = df.columns
       val withId = df.withColumn("_ndid", rowId).withColumn("_sig", sig)
@@ -105,9 +117,15 @@ object CorpusRules {
           array((0 to 3).map(b => shiftrightunsigned(col("_sig"), 16 * b).bitwiseAND(0xffffL)): _*)
         ).as(Seq("band", "band_hash"))
       )
-      val pairs = Dedup.candidatePairs(bands, "_ndid")
+      val sigs = withId.select(col("_ndid"), col("_sig")).distinct()
+      val pairs = Dedup
+        .candidatePairs(bands, "_ndid", maxBucketSize = 10000)
+        .join(sigs.select(col("_ndid").as("id1"), col("_sig").as("_s1")), "id1")
+        .join(sigs.select(col("_ndid").as("id2"), col("_sig").as("_s2")), "id2")
+        .filter(bit_count(col("_s1").bitwiseXOR(col("_s2"))) <= MaxHamming)
+        .select("id1", "id2")
       val clusters = graft.operators
-        .ConnectedComponents(pairs, "id1", "id2")
+        .ConnectedComponents(pairs, "id1", "id2", tuneSession = false)
         .withColumnRenamed("id", "_ndid")
       withId
         .join(clusters, Seq("_ndid"), "left_outer")

@@ -21,4 +21,11 @@ class QueriesDocSpec extends AnyFunSuite with Matchers {
   test("every oracle key is a catalogued query") {
     SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
   }
+
+  test("exactly q45 and q52 are rows-only (the doc header's claim)") {
+    val rowsOnly = SparkEntry.queries.keySet
+      .diff(SparkEntry.oracleSql.keySet)
+      .map(_.split("_")(0))
+    rowsOnly shouldBe Set("q45", "q52")
+  }
 }

@@ -42,6 +42,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     out.keySet shouldBe (1L to 9L).toSet
   }
 
+  test("empty edge list yields an empty labeling, not an NPE") {
+    val out = cc(Seq.empty)
+    out shouldBe Map.empty
+  }
+
   test("matches a union-find reference on random graphs (property)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll

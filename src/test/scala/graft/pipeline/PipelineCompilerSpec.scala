@@ -204,9 +204,11 @@ class PipelineCompilerSpec extends SparkSpec {
     val kept = graft.rules.CorpusRules.NearDupRule(df).select("doc_id").as[Long].collect().toSeq.sorted
 
     // Independent reference mirroring the rule's contract: rows get a
-    // 60-bit md5 text id, ids sharing any 16-bit simhash band union-
-    // find together, each component keeps its min ID, and each kept id
-    // keeps its min doc_id (exact dups share an id).
+    // 60-bit md5 text id, ids within Hamming distance 3 on simhash64
+    // union-find together (banding guarantees those pairs are found;
+    // the popcount verify rejects everything else), each component
+    // keeps its min ID, and each kept id keeps its min doc_id (exact
+    // dups share an id).
     import org.apache.spark.sql.functions.{col, conv, md5}
     val rows = df
       .select(
@@ -217,12 +219,11 @@ class PipelineCompilerSpec extends SparkSpec {
       .as[(Long, Long, Long)]
       .collect()
       .toSeq
-    def bandsOf(s: Long): Seq[Long] = (0 to 3).map(b => ((s >>> (16 * b)) & 0xffffL) | (b.toLong << 32))
     val ids = rows.map(r => r._2 -> r._3).distinct
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
     for (Seq((idx, sx), (idy, sy)) <- ids.combinations(2).map(_.toSeq)) {
-      if (bandsOf(sx).intersect(bandsOf(sy)).nonEmpty) {
+      if (java.lang.Long.bitCount(sx ^ sy) <= 3) {
         val (rx, ry) = (find(idx), find(idy))
         if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
       }
