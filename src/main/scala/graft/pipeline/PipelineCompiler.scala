@@ -222,20 +222,107 @@ object PipelineCompiler {
 }
 
 /** Message-queue sink seam: the reference posts each record's JSON to
-  * SQS (output/sqs.go:50-59). Offline stand-in: append one JSON line
-  * per record to a local queue file; swap `post` for an SQS/SNS client
-  * in a connected deployment — the pipeline wiring is identical.
+  * SQS (output/sqs.go:50-59, one SendMessage per record). Posting runs
+  * ON THE EXECUTORS — one client per non-empty partition, messages
+  * batched to the SQS SendMessageBatch limit of 10 — so no record ever
+  * passes through the driver. Swap [[FileQueueClient]] for a real
+  * SQS/SNS client in a connected deployment; the `foreachPartition`
+  * wiring is identical and the merge step below disappears (a queue
+  * service needs no single-file view).
+  *
+  * Offline stand-in: each task spools its partition's lines to a
+  * private temp file and atomically moves it to `<queue>.spool/
+  * part-NNNNN` on success (task retries just replace the part), then
+  * the driver stitches the parts into the queue file in partition
+  * order with zero-copy channel transfers — byte-identical to the old
+  * driver-collect output without materializing a single record.
   */
 object QueueSink {
-  def post(df: DataFrame, queuePath: String): Unit = {
-    val msgs = df.toJSON.collect() // one message per record, like SendMessage
-    val p = java.nio.file.Paths.get(queuePath)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(
-      p,
-      (msgs.mkString("\n") + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND
-    )
+  /** SQS SendMessageBatch accepts at most 10 messages per call. */
+  val MaxBatch = 10
+
+  /** Evidence for specs: posting happened in executor task context. */
+  final case class PostStats(partitionsPosted: Long, messagesPosted: Long)
+
+  /** Per-partition queue client. `send` is called with ≤ [[MaxBatch]]
+    * messages; `close` commits the partition (for the file stand-in,
+    * the atomic move — a real SQS client would close the HTTP pool).
+    */
+  final class FileQueueClient(spoolDir: String, partitionId: Int) {
+    private val dir = java.nio.file.Paths.get(spoolDir)
+    private val tmp =
+      java.nio.file.Files.createTempFile(dir, s".part-$partitionId-", ".tmp")
+    private val out = java.nio.file.Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
+    def send(batch: Seq[String]): Unit = batch.foreach { m => out.write(m); out.write('\n') }
+    def close(): Unit = {
+      out.close()
+      java.nio.file.Files.move(
+        tmp,
+        dir.resolve(f"part-$partitionId%05d"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING
+      )
+    }
+  }
+
+  def post(df: DataFrame, queuePath: String): PostStats = {
+    val sc = df.sparkSession.sparkContext
+    val partsPosted = sc.longAccumulator("queue.partitionsPosted")
+    val msgsPosted = sc.longAccumulator("queue.messagesPosted")
+    val spool = java.nio.file.Paths.get(queuePath + ".spool")
+    java.nio.file.Files.createDirectories(spool)
+    val spoolDir = spool.toString
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val tc = org.apache.spark.TaskContext.get()
+        // Accumulators only count inside a real task — a driver-side
+        // collect path could never produce these numbers.
+        if (tc != null) partsPosted.add(1)
+        val client = new FileQueueClient(spoolDir, if (tc != null) tc.partitionId() else 0)
+        try {
+          val batch = new scala.collection.mutable.ArrayBuffer[String](MaxBatch)
+          while (it.hasNext) {
+            batch += it.next()
+            if (tc != null) msgsPosted.add(1)
+            if (batch.size == MaxBatch) { client.send(batch.toSeq); batch.clear() }
+          }
+          if (batch.nonEmpty) client.send(batch.toSeq)
+        } finally client.close()
+      }
+    }
+    mergeSpool(spool, java.nio.file.Paths.get(queuePath))
+    PostStats(partsPosted.value, msgsPosted.value)
+  }
+
+  /** Stitch spool parts into the queue file in partition order (the
+    * same order `collect()` returned rows, so output is byte-identical
+    * to the old driver-side form). Zero-copy `transferFrom`: the
+    * stand-in's presentation step, absent with a real queue client.
+    */
+  private def mergeSpool(spool: java.nio.file.Path, queue: java.nio.file.Path): Unit = {
+    val parts = scala.util.Using.resource(java.nio.file.Files.list(spool)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.getFileName.toString)
+    }
+    if (queue.getParent != null) java.nio.file.Files.createDirectories(queue.getParent)
+    scala.util.Using.resource(
+      java.nio.file.channels.FileChannel.open(
+        queue,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE
+      )
+    ) { out =>
+      var outPos = out.size() // append semantics: start past existing messages
+      parts.foreach { part =>
+        scala.util.Using.resource(java.nio.file.channels.FileChannel.open(part)) { in =>
+          val size = in.size()
+          var done = 0L
+          while (done < size) done += out.transferFrom(in, outPos + done, size - done)
+          outPos += size
+        }
+        java.nio.file.Files.delete(part)
+      }
+    }
+    java.nio.file.Files.deleteIfExists(spool)
   }
 }
