@@ -214,7 +214,7 @@ object PipelineCompiler {
             .outputMode("append")
             .option("checkpointLocation", s"$checkpointRoot/$name")
             .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
-            .foreachBatch((batch: DataFrame, _: Long) => QueueSink.post(batch, path))
+            .foreachBatch { (batch: DataFrame, _: Long) => QueueSink.post(batch, path); () }
             .start()
         case other => sys.error(s"sink $name: unsupported $other")
       }
@@ -271,6 +271,9 @@ object QueueSink {
     val msgsPosted = sc.longAccumulator("queue.messagesPosted")
     val spool = java.nio.file.Paths.get(queuePath + ".spool")
     java.nio.file.Files.createDirectories(spool)
+    // Stale parts/tmps from a crashed prior run must not merge into this
+    // run's queue file.
+    cleanSpool(spool)
     val spoolDir = spool.toString
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
@@ -299,14 +302,36 @@ object QueueSink {
     * to the old driver-side form). Zero-copy `transferFrom`: the
     * stand-in's presentation step, absent with a real queue client.
     */
-  private def mergeSpool(spool: java.nio.file.Path, queue: java.nio.file.Path): Unit = {
-    val parts = scala.util.Using.resource(java.nio.file.Files.list(spool)) { s =>
+  private def listSpool(spool: java.nio.file.Path): Seq[java.nio.file.Path] =
+    scala.util.Using.resource(java.nio.file.Files.list(spool)) { s =>
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.getFileName.toString)
+      s.iterator().asScala.toSeq
     }
+
+  /** Remove all part files and orphaned task-attempt tmps so only this
+    * run's partitions are merged.
+    */
+  private def cleanSpool(spool: java.nio.file.Path): Unit =
+    listSpool(spool).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("part-") || n.endsWith(".tmp")) java.nio.file.Files.deleteIfExists(p)
+    }
+
+  /** Stitch spool parts into the queue file in partition order (the
+    * same order `collect()` returned rows, so non-empty output is
+    * byte-identical to the old driver-side form; an empty batch now
+    * writes nothing where the old form appended a lone newline).
+    * Parts sort numerically by parsed partition id, so ordering holds
+    * past the zero-pad width. Zero-copy `transferFrom`: the stand-in's
+    * presentation step, absent with a real queue client.
+    */
+  private def mergeSpool(spool: java.nio.file.Path, queue: java.nio.file.Path): Unit = {
+    val parts = listSpool(spool)
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(p => p.getFileName.toString.stripPrefix("part-").toLong)
     if (queue.getParent != null) java.nio.file.Files.createDirectories(queue.getParent)
     scala.util.Using.resource(
-      java.nio.file.channels.FileChannel.open(
+      java.nio.channels.FileChannel.open(
         queue,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE
@@ -314,7 +339,7 @@ object QueueSink {
     ) { out =>
       var outPos = out.size() // append semantics: start past existing messages
       parts.foreach { part =>
-        scala.util.Using.resource(java.nio.file.channels.FileChannel.open(part)) { in =>
+        scala.util.Using.resource(java.nio.channels.FileChannel.open(part)) { in =>
           val size = in.size()
           var done = 0L
           while (done < size) done += out.transferFrom(in, outPos + done, size - done)
@@ -323,6 +348,9 @@ object QueueSink {
         java.nio.file.Files.delete(part)
       }
     }
+    // Orphaned .tmp files from killed task attempts would make the
+    // directory non-empty; sweep them before removing it.
+    cleanSpool(spool)
     java.nio.file.Files.deleteIfExists(spool)
   }
 }

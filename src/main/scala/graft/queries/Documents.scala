@@ -418,22 +418,67 @@ object Documents {
   // Training prep: the corpus is conceptually concatenated in doc_id
   // order and split into fixed 512-token context windows; each document
   // maps to the span of windows it lands in (a doc can straddle a
-  // boundary). One global running sum gives every doc its start offset;
-  // all arithmetic is integral, so the map is engine-exact.
+  // boundary). All arithmetic is integral, so the map is engine-exact.
   //
-  // Scale note: the unpartitioned window is the *semantics* (one global
-  // sequence); at 100 TB you shard first (pack per shard/source so each
-  // partition packs independently) — the per-shard form is this same
-  // query with the window partitioned by the shard key.
+  // The global running sum is computed in TWO PASSES instead of one
+  // unpartitioned window (which would serialize the whole corpus
+  // through a single task): assign each doc a range BUCKET that is a
+  // pure function of doc_id, (1) aggregate per-bucket token totals
+  // (one row per bucket — bounded by bucket count, not data) and
+  // prefix-sum them on the driver, (2) broadcast the offsets and do
+  // the running sum map-side inside each bucket. Bit-identical to the
+  // single-window form — doc_id is unique, so bucket order + within-
+  // bucket order is the global order.
+  //
+  // The buckets are uniform-width slices of [min(doc_id), max(doc_id)]
+  // rather than repartitionByRange: RangePartitioner re-samples with
+  // an RDD-id-derived seed on every job, so two passes over the same
+  // plan can place rows in DIFFERENT partitions once row counts exceed
+  // the sample size — a silent mis-offset at scale. A pure bucket
+  // function makes the result independent of physical partitioning
+  // altogether (PartitioningStabilitySpec pins this). For pathological
+  // id distributions, swap the uniform width for approxQuantile bounds
+  // computed once on the driver; the span math is unchanged.
   def q73PackSpans(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                   org.apache.spark.sql.expressions.Window.currentRow)
-    docs(s, dir)
+    import s.implicits._
+    val toks = docs(s, dir)
       .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val (mn, mx) = {
+      val r = toks.agg(min("doc_id"), max("doc_id")).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    val nBuckets = s.sessionState.conf.numShufflePartitions
+    val width = math.max(1L, (mx - mn) / nBuckets + 1L)
+    val bucketed = toks.withColumn("bucket", expr(s"(doc_id - $mn) div $width"))
+    val bucketTotals: Array[(Long, Long)] = bucketed
+      .groupBy("bucket")
+      .agg(sum("n_tokens").as("toks"))
+      .as[(Long, Long)]
+      .collect()
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      bucketTotals.sortBy(_._1).map { case (b, toksInBucket) =>
+        val off = acc; acc += toksInBucket; b -> off
+      }.toMap
+    }
+    val bcOffsets = s.sparkContext.broadcast(offsets)
+    bucketed
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("doc_id") // buckets are doc_id ranges: doc_id order groups them
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        val off = bcOffsets.value
+        var cur = Long.MinValue
+        var acc = 0L
+        it.map { case (docId, nTokens, bucket) =>
+          if (bucket != cur) { cur = bucket; acc = off(bucket) } // keyed by bucket, not task id
+          val start = acc
+          acc += nTokens
+          (docId, nTokens, start)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "start_tok")
       .select(
         col("doc_id"),
         col("n_tokens"),

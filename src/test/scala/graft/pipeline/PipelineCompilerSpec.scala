@@ -468,6 +468,49 @@ class PipelineCompilerSpec extends SparkSpec {
     msgs.foreach(_ should include("result"))
   }
 
+  test("QueueSink posts from executor tasks and matches the driver-collect golden bytes") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = tmpDir("graft_queue_exec")
+    // Multi-partition batch: proves posting runs per-partition on
+    // executors, not via a driver collect.
+    val df = spark
+      .range(0, 100, 1, numPartitions = 8)
+      .select(col("id"), concat(lit("msg-"), col("id")).as("body"))
+    val stats = QueueSink.post(df, s"$dir/q/messages")
+    stats.partitionsPosted should be > 1L
+    stats.messagesPosted shouldBe 100L
+    // Golden: byte-identical to what the old driver-side
+    // df.toJSON.collect() form wrote (one JSON line per record, in
+    // partition order).
+    val expected = df.toJSON.collect().mkString("", "\n", "\n")
+    val actual = new String(
+      Files.readAllBytes(Paths.get(s"$dir/q/messages")),
+      java.nio.charset.StandardCharsets.UTF_8
+    )
+    actual shouldBe expected
+    // Spool is cleaned up after the merge.
+    Files.exists(Paths.get(s"$dir/q/messages.spool")) shouldBe false
+  }
+
+  test("QueueSink appends across posts and ignores stale spool debris") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_queue_stale")
+    val queue = s"$dir/q/messages"
+    // Plant debris simulating a crashed prior run: a committed part and
+    // an orphaned task-attempt tmp. Neither may leak into the output.
+    val spool = Paths.get(s"$queue.spool")
+    Files.createDirectories(spool)
+    Files.write(spool.resolve("part-00003"), "stale\n".getBytes("UTF-8"))
+    Files.write(spool.resolve(".part-3-x.tmp"), "orphan\n".getBytes("UTF-8"))
+    val df1 = spark.range(0, 3, 1, numPartitions = 2).select(col("id"))
+    val df2 = spark.range(3, 5, 1, numPartitions = 2).select(col("id"))
+    QueueSink.post(df1, queue)
+    QueueSink.post(df2, queue) // second post appends (queue semantics)
+    val lines = scala.io.Source.fromFile(queue).getLines().toSeq
+    lines shouldBe Seq(0, 1, 2, 3, 4).map(i => s"""{"id":$i}""")
+    Files.exists(spool) shouldBe false
+  }
+
   test("Kinesis source config is accepted and replays from a path") {
     import spark.implicits._
     val dir = tmpDir("graft_kinesis")

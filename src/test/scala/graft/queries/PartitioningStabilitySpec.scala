@@ -26,6 +26,7 @@ class PartitioningStabilitySpec extends SparkSpec {
     "q66_label_centroids", // quantized vector means
     "q68_revenue_share", // ratio-to-report
     "q72_stats_exact", // moment formulas
+    "q73_pack_spans", // two-pass prefix offsets (partition-count sensitive)
     "q76_scalar_quant", // quantization error audit
     "q79_kmv_distinct", // sketch estimate
     "q80_bloom_decontamination", // hit fractions

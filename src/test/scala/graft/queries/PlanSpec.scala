@@ -123,9 +123,12 @@ class PlanSpec extends SparkSpec {
     p should include("partial_") // the subquery aggregates combine map-side
   }
 
-  test("q73 packing: running sum is a single window, no self-join on the corpus") {
+  test("q73 packing: two-pass prefix sum — map-side, no unpartitioned window") {
     val p = plan("q73_pack_spans")
     p should not include "CartesianProduct"
+    // The old form was Window.orderBy with no partitionBy — one task
+    // holding the whole corpus. The two-pass form has no window at all.
+    p should not include "Window"
     "documents.parquet".r.findAllIn(p).size shouldBe 1
   }
 }
