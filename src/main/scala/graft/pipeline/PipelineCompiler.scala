@@ -231,37 +231,70 @@ object PipelineCompiler {
   * service needs no single-file view).
   *
   * Offline stand-in: each task spools its partition's lines to a
-  * private temp file and atomically moves it to `<queue>.spool/
-  * part-NNNNN` on success (task retries just replace the part), then
-  * the driver stitches the parts into the queue file in partition
-  * order with zero-copy channel transfers — byte-identical to the old
-  * driver-collect output without materializing a single record.
+  * private temp file and renames it to `<queue>.spool/part-NNNNN` on
+  * success (task retries just replace the part), then the driver
+  * stitches the parts into the queue file in partition order —
+  * byte-identical to the old driver-collect output without
+  * materializing a single record on the driver.
+  *
+  * All spool I/O goes through the Hadoop FileSystem of the queue path
+  * — `file://` in local mode, HDFS/S3A/GCS on a cluster — so the
+  * executor-written parts are visible to the driver's merge on ANY
+  * deployment, not just a shared local disk. The merge rewrites
+  * `existing queue + new parts` into a tmp and renames it into place
+  * (LocalFileSystem has no append), so each post costs O(queue size);
+  * that is the stand-in's presentation step only — a real queue
+  * client has no merge at all.
   */
 object QueueSink {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
   /** SQS SendMessageBatch accepts at most 10 messages per call. */
   val MaxBatch = 10
 
   /** Evidence for specs: posting happened in executor task context. */
   final case class PostStats(partitionsPosted: Long, messagesPosted: Long)
 
+  /** Hadoop Configuration is not java-Serializable; round-trip it
+    * through its Writable form to reach the executors.
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration
+  ) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Per-partition queue client. `send` is called with ≤ [[MaxBatch]]
     * messages; `close` commits the partition (for the file stand-in,
-    * the atomic move — a real SQS client would close the HTTP pool).
+    * the tmp→part rename — a real SQS client would close the HTTP
+    * pool).
     */
-  final class FileQueueClient(spoolDir: String, partitionId: Int) {
-    private val dir = java.nio.file.Paths.get(spoolDir)
+  final class FileQueueClient(
+      spoolDir: String,
+      partitionId: Int,
+      conf: org.apache.hadoop.conf.Configuration
+  ) {
+    private val dir = new HPath(spoolDir)
+    private val fs = dir.getFileSystem(conf)
     private val tmp =
-      java.nio.file.Files.createTempFile(dir, s".part-$partitionId-", ".tmp")
-    private val out = java.nio.file.Files.newBufferedWriter(tmp, java.nio.charset.StandardCharsets.UTF_8)
+      new HPath(dir, f".part-$partitionId%05d-${java.util.UUID.randomUUID()}.tmp")
+    private val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8)
+    )
     def send(batch: Seq[String]): Unit = batch.foreach { m => out.write(m); out.write('\n') }
     def close(): Unit = {
       out.close()
-      java.nio.file.Files.move(
-        tmp,
-        dir.resolve(f"part-$partitionId%05d"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING
-      )
+      val dest = new HPath(dir, f"part-$partitionId%05d")
+      if (fs.exists(dest)) fs.delete(dest, false) // retried attempt replaces the part
+      if (!fs.rename(tmp, dest)) sys.error(s"queue spool: rename $tmp -> $dest failed")
     }
   }
 
@@ -269,19 +302,22 @@ object QueueSink {
     val sc = df.sparkSession.sparkContext
     val partsPosted = sc.longAccumulator("queue.partitionsPosted")
     val msgsPosted = sc.longAccumulator("queue.messagesPosted")
-    val spool = java.nio.file.Paths.get(queuePath + ".spool")
-    java.nio.file.Files.createDirectories(spool)
+    val spool = new HPath(queuePath + ".spool")
+    val fs = spool.getFileSystem(sc.hadoopConfiguration)
+    fs.mkdirs(spool)
     // Stale parts/tmps from a crashed prior run must not merge into this
     // run's queue file.
-    cleanSpool(spool)
+    cleanSpool(fs, spool)
     val spoolDir = spool.toString
+    val serConf = new SerializableHadoopConf(sc.hadoopConfiguration)
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
         // Accumulators only count inside a real task — a driver-side
         // collect path could never produce these numbers.
         if (tc != null) partsPosted.add(1)
-        val client = new FileQueueClient(spoolDir, if (tc != null) tc.partitionId() else 0)
+        val client =
+          new FileQueueClient(spoolDir, if (tc != null) tc.partitionId() else 0, serConf.value)
         try {
           val batch = new scala.collection.mutable.ArrayBuffer[String](MaxBatch)
           while (it.hasNext) {
@@ -293,28 +329,27 @@ object QueueSink {
         } finally client.close()
       }
     }
-    mergeSpool(spool, java.nio.file.Paths.get(queuePath))
+    mergeSpool(fs, spool, new HPath(queuePath))
     PostStats(partsPosted.value, msgsPosted.value)
   }
-
-  /** Stitch spool parts into the queue file in partition order (the
-    * same order `collect()` returned rows, so output is byte-identical
-    * to the old driver-side form). Zero-copy `transferFrom`: the
-    * stand-in's presentation step, absent with a real queue client.
-    */
-  private def listSpool(spool: java.nio.file.Path): Seq[java.nio.file.Path] =
-    scala.util.Using.resource(java.nio.file.Files.list(spool)) { s =>
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq
-    }
 
   /** Remove all part files and orphaned task-attempt tmps so only this
     * run's partitions are merged.
     */
-  private def cleanSpool(spool: java.nio.file.Path): Unit =
-    listSpool(spool).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("part-") || n.endsWith(".tmp")) java.nio.file.Files.deleteIfExists(p)
+  private def cleanSpool(fs: FileSystem, spool: HPath): Unit =
+    fs.listStatus(spool).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("part-") || n.endsWith(".tmp")) fs.delete(st.getPath, false)
+    }
+
+  private def copyInto(fs: FileSystem, src: HPath, out: java.io.OutputStream): Unit =
+    scala.util.Using.resource(fs.open(src)) { in =>
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
     }
 
   /** Stitch spool parts into the queue file in partition order (the
@@ -322,35 +357,31 @@ object QueueSink {
     * byte-identical to the old driver-side form; an empty batch now
     * writes nothing where the old form appended a lone newline).
     * Parts sort numerically by parsed partition id, so ordering holds
-    * past the zero-pad width. Zero-copy `transferFrom`: the stand-in's
-    * presentation step, absent with a real queue client.
+    * past the zero-pad width. Append semantics are rewrite + rename
+    * (existing queue bytes first, then the new parts): LocalFileSystem
+    * does not support append, and the rename keeps readers from ever
+    * seeing a half-merged file.
     */
-  private def mergeSpool(spool: java.nio.file.Path, queue: java.nio.file.Path): Unit = {
-    val parts = listSpool(spool)
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(p => p.getFileName.toString.stripPrefix("part-").toLong)
-    if (queue.getParent != null) java.nio.file.Files.createDirectories(queue.getParent)
-    scala.util.Using.resource(
-      java.nio.channels.FileChannel.open(
-        queue,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE
-      )
-    ) { out =>
-      var outPos = out.size() // append semantics: start past existing messages
-      parts.foreach { part =>
-        scala.util.Using.resource(java.nio.channels.FileChannel.open(part)) { in =>
-          val size = in.size()
-          var done = 0L
-          while (done < size) done += out.transferFrom(in, outPos + done, size - done)
-          outPos += size
-        }
-        java.nio.file.Files.delete(part)
-      }
+  private def mergeSpool(fs: FileSystem, spool: HPath, queue: HPath): Unit = {
+    val parts = fs
+      .listStatus(spool)
+      .toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName.stripPrefix("part-").toLong)
+    if (queue.getParent != null) fs.mkdirs(queue.getParent)
+    val merged = new HPath(queue.getParent, queue.getName + ".merge.tmp")
+    scala.util.Using.resource(fs.create(merged, true)) { out =>
+      if (fs.exists(queue)) copyInto(fs, queue, out)
+      parts.foreach(p => copyInto(fs, p, out))
     }
+    if (fs.exists(queue)) fs.delete(queue, false)
+    if (!fs.rename(merged, queue)) sys.error(s"queue merge: rename $merged -> $queue failed")
+    parts.foreach(p => fs.delete(p, false))
     // Orphaned .tmp files from killed task attempts would make the
-    // directory non-empty; sweep them before removing it.
-    cleanSpool(spool)
-    java.nio.file.Files.deleteIfExists(spool)
+    // directory non-empty; sweep them, then remove the dir only if
+    // nothing foreign remains.
+    cleanSpool(fs, spool)
+    if (fs.listStatus(spool).isEmpty) fs.delete(spool, false)
   }
 }
