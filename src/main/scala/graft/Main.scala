@@ -22,9 +22,10 @@ import graft.pipeline.PipelineCompiler
   * (api.go:55-56) over a filesystem store; the default port 8000
   * matches api.go:145-152's default.
   *
-  * `-checkRule` validates that a rule name resolves in the registry —
-  * the plugin sanity check of `-checkRule` (rule.go:31-43); with a
-  * compiled-in registry the check is existence, not dlopen success.
+  * `-checkRule` validates that a rule reference resolves — registry
+  * hit or a runtime class-load of a [[graft.rules.Rule]] implementor —
+  * the plugin sanity check of `-checkRule` (rule.go:31-43), with the
+  * JVM classloader standing in for dlopen.
   */
 object Main {
 
@@ -100,14 +101,19 @@ object Main {
       case Some("-checkRule") =>
         valueOf("-checkRule") match {
           case None => usage()
-          case Some(name) if PipelineCompiler.builtinRules.contains(name) =>
-            println(s"rule $name OK")
-            0
           case Some(name) =>
-            System.err.println(
-              s"unknown rule $name; registered: ${PipelineCompiler.builtinRules.keys.toSeq.sorted.mkString(", ")}"
-            )
-            1
+            // Registry hit or runtime class-load, like the reference's
+            // -checkRule dlopen sanity check (rule.go:31-43).
+            graft.rules.RuleLoader.load(name, PipelineCompiler.builtinRules) match {
+              case Right(_) =>
+                println(s"rule $name OK")
+                0
+              case Left(err) =>
+                System.err.println(
+                  s"$err; registered: ${PipelineCompiler.builtinRules.keys.toSeq.sorted.mkString(", ")}"
+                )
+                1
+            }
         }
 
       case _ => usage()

@@ -59,7 +59,12 @@ object PipelineCompiler {
   ): Either[String, Compiled] =
     for {
       parsed <- PipelineConfig.parse(rawConfig)
-      valid <- PipelineConfig.validate(parsed, rules.keySet)
+      // Plugin references outside the registry load by class name at
+      // runtime (RuleLoader — the reference's plugin.Open parity);
+      // unresolvable ones stay absent so validate reports them.
+      effective = graft.rules.RuleLoader
+        .resolveAll(parsed.rules.valuesIterator.map(_.plugin).toSeq, rules)
+      valid <- PipelineConfig.validate(parsed, effective.keySet)
       // eventFolder semantics (event_types.go:18-50): a real directory
       // loads the pipeline's schema registry from JSON files in it;
       // anything else ("builtin", "") uses the compiled-in registry.
@@ -67,7 +72,7 @@ object PipelineCompiler {
         if (graft.model.SchemaFolder.isFolder(valid.eventFolder))
           graft.model.SchemaFolder.load(valid.eventFolder)
         else registry
-      compiled <- compileValidated(spark, valid, reg, rules, streaming)
+      compiled <- compileValidated(spark, valid, reg, effective, streaming)
     } yield compiled
 
   private def compileValidated(

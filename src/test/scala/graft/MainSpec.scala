@@ -64,6 +64,11 @@ class MainSpec extends SparkSpec {
     cli("-checkRule", "noSuchRule") shouldBe 1
   }
 
+  test("-checkRule validates runtime-loadable rule classes both ways (rule.go:31-43)") {
+    cli("-checkRule", "graft.plugins.ShoutRule") shouldBe 0 // loads + is a Rule
+    cli("-checkRule", "graft.plugins.NotARule") shouldBe 1 // loads but is not a Rule
+  }
+
   test("-apiServer starts, reports its port, and stops in non-blocking mode") {
     cli("-apiServer", "-port", "0") shouldBe 0
   }

@@ -511,6 +511,44 @@ class PipelineCompilerSpec extends SparkSpec {
     Files.exists(spool) shouldBe false
   }
 
+  test("runtime-loaded rules: plugin by class name, object and class forms (plugin.Open parity)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_runtime_rule")
+    writeLines(s"$dir/input", Seq("a", "ab"))
+    // Neither plugin is in builtinRules — they resolve via RuleLoader.
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "shout": {"source": "fileInput", "plugin": "graft.plugins.ShoutRule", "sink": "memShout"},
+         |    "suffix": {"source": "fileInput", "plugin": "graft.plugins.SuffixRule", "sink": "memSuffix"}
+         |  },
+         |  "states": {},
+         |  "sources": {"fileInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memShout": {"type": "Memory"}, "memSuffix": {"type": "Memory"}}
+         |}""".stripMargin
+    PipelineCompiler.builtinRules.keySet should not contain "graft.plugins.ShoutRule"
+    val compiled = PipelineCompiler.compile(spark, config).toOption.get
+    PipelineCompiler.runBatch(compiled)
+    spark.table("memShout").as[String].collect().toSet shouldBe Set("A", "AB")
+    spark.table("memSuffix").as[String].collect().toSet shouldBe Set("a!", "ab!")
+  }
+
+  test("a classpath class that is not a Rule fails validation, not compilation") {
+    val dir = tmpDir("graft_notarule")
+    writeLines(s"$dir/input", Seq("a"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"bad": {"source": "fileInput", "plugin": "graft.plugins.NotARule", "sink": "memBad"}},
+         |  "states": {},
+         |  "sources": {"fileInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memBad": {"type": "Memory"}}
+         |}""".stripMargin
+    val err = PipelineCompiler.compile(spark, config).left.toOption.get
+    err should include("Invalid plugin for rule bad")
+  }
+
   test("Kinesis source config is accepted and replays from a path") {
     import spark.implicits._
     val dir = tmpDir("graft_kinesis")
