@@ -84,4 +84,82 @@ class SimilaritySpec extends SparkSpec {
       .head()
     out shouldBe 1.0 +- 1e-12
   }
+
+  // ---- ANN recall gates ------------------------------------------------
+  // Retrieval QUALITY, not just plan shape: the approximate tiers must
+  // recover the brute-force truth when the data has neighbor structure.
+  // (On isotropic data — like the synthetic embeddings table — single-
+  // probe recall is intrinsically ≈ the probed fraction of the corpus;
+  // a bound there would measure the data, not the index. Clustered data
+  // is where an IVF/LSH index has something to find.)
+
+  /** Deterministic uniform in [0,1) from md5 — no RNG state, same trick
+    * as Similarity.planeComponent.
+    */
+  private def u(s: String): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Integer.toUnsignedLong(java.nio.ByteBuffer.wrap(dig).getInt).toDouble / 4294967295.0
+  }
+
+  /** 8 well-separated clusters × 60 points in 16 dims, hash-noise. */
+  private lazy val clustered = {
+    val rows = for { k <- 0 until 8; i <- 0 until 60 } yield {
+      val emb = (0 until 16).map { d =>
+        (u(s"c:$k:$d") * 2 - 1) * 10.0 + (u(s"p:$k:$i:$d") * 2 - 1) * 0.5
+      }
+      ((k * 60 + i).toLong, emb)
+    }
+    rows.toDF("id", "emb")
+  }
+
+  private def recallAtK(approx: org.apache.spark.sql.DataFrame, truth: Map[Long, Set[Long]], k: Int): Double = {
+    val got = approx
+      .select(col("qid"), col("nid"))
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val per = truth.map { case (q, t) => got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / k }
+    per.sum / per.size
+  }
+
+  test("recall gate: trained-IVF (k-means cells) recovers >=0.9 of brute-force truth") {
+    val k = 5
+    val q = clustered.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("emb").as("qemb"))
+    val c = clustered.select(col("id").as("nid"), col("emb").as("nemb"))
+    val truth = Similarity
+      .bruteForceTopK(q, c, k)
+      .select(col("qid"), col("nid"))
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (qq, xs) => qq -> xs.map(_._2).toSet }
+
+    val centroids = KMeans.fit(clustered, idCol = "id", embCol = "emb", k = 8, iters = 5)
+    val cells = KMeans.assign(clustered, "emb", centroids)
+    val qc = cells.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("cell"), col("emb").as("qemb"))
+    val cc = cells.select(col("id").as("nid"), col("cell"), col("emb").as("nemb"))
+    val ivf = Similarity.cellTopK(qc, cc, k)
+    recallAtK(ivf, truth, k) should be >= 0.9
+  }
+
+  test("recall gate: sign-LSH buckets recover >=0.7 of brute-force truth") {
+    val k = 5
+    val q = clustered.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("emb").as("qemb"))
+    val c = clustered.select(col("id").as("nid"), col("emb").as("nemb"))
+    val truth = Similarity
+      .bruteForceTopK(q, c, k)
+      .select(col("qid"), col("nid"))
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (qq, xs) => qq -> xs.map(_._2).toSet }
+
+    val buckets = Similarity.signLshBuckets(clustered, idCol = "id", embCol = "emb", planes = 8, dims = 16)
+    val cells = clustered.join(buckets, "id").withColumnRenamed("bucket", "cell")
+    val qc = cells.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("cell"), col("emb").as("qemb"))
+    val cc = cells.select(col("id").as("nid"), col("cell"), col("emb").as("nemb"))
+    val lsh = Similarity.cellTopK(qc, cc, k)
+    recallAtK(lsh, truth, k) should be >= 0.7
+  }
 }
