@@ -28,3 +28,28 @@ final class SuffixRule extends Rule {
   * rule type" assertion failure (rule.go:55-57).
   */
 final class NotARule
+
+/** Fault injection: every task throws while the flag file exists, so a
+  * streaming batch can be killed mid-flight (offsets logged, commit
+  * log not) and the restart path exercised. Local-mode tests share the
+  * JVM, so the object var reaches the "executor" closure; the path is
+  * captured as a plain string at plan time.
+  */
+object FaultInjectingRule extends Rule {
+  @volatile var flagPath: String = ""
+  val name = "faultInject"
+  override val eventType: Option[String] = Some("exampleEventType")
+  def apply(df: DataFrame): DataFrame = {
+    val flag = flagPath
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("Str"))
+      .as[String]
+      .map { v =>
+        if (flag.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(flag)))
+          throw new RuntimeException(s"injected fault on $v")
+        v
+      }
+      .toDF("result")
+  }
+}
