@@ -163,4 +163,132 @@ object AsOfJoin {
         rightVals.map { case (_, out) => matched.getField(out).as(out) }: _*
     )
   }
+
+  /** Hot-key fallback: [[apply]] with the per-key timeline split into
+    * fixed time bands of `bandUs` (same unit as the cast-to-long time
+    * columns), so one key with 10⁸ events no longer serializes through
+    * a single task — each (key, band) sweeps independently, and probes
+    * whose nearest build row lives in an earlier (backward) / later
+    * (forward) band resolve through per-band build summaries (ONE row
+    * per non-empty (key, band) — bounded by time span / band, not by
+    * data) with a recursive as-of on the band index. Result is
+    * bit-identical to [[apply]] (AsOfJoinSpec pins equality).
+    *
+    * Pick `bandUs` so a band of the hottest key fits a task (e.g. an
+    * hour for ~10⁶ events/hour keys). Plain [[apply]] stays the right
+    * call when no key is hot: it is one shuffle, this is three (events,
+    * summaries, carry join).
+    */
+  def banded(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[(String, String)],
+      tieBreak: String,
+      rightTieBreak: Option[String] = None,
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None,
+      bandUs: Long = 3600000000L
+  ): DataFrame = {
+    require(bandUs > 0, s"bandUs must be positive, got $bandUs")
+    val fwd = direction == "forward"
+
+    val taken = (left.columns ++ right.columns).toSet ++ rightVals.map(_._2)
+    def fresh(base: String): String = {
+      var nm = base
+      while (taken.contains(nm)) nm = "_" + nm
+      nm
+    }
+    val bandCol = fresh("_band")
+    val bkCol = fresh("_bk")
+    val mtOut = fresh("_mt_out") // matched build time, null ⇔ no within-band match
+    val cPfx = fresh("_carry_")
+
+    // Floor division in exact arithmetic: long `/` is a DOUBLE divide
+    // in Spark and loses bits past 2^53 (epoch micros are bigger), so
+    // the divisible numerator goes through decimal. pmod keeps
+    // negative times rounding toward -∞ — band edges consistent
+    // across zero.
+    def floorDiv(t: Column): Column =
+      ((t - pmod(t, lit(bandUs))).cast("decimal(38,0)") / lit(bandUs)).cast("long")
+
+    val lb = left.withColumn(bandCol, floorDiv(col(leftTime).cast("long")))
+    val rb = right.withColumn(bandCol, floorDiv(col(rightTime).cast("long")))
+    val lk = lb.withColumn(bkCol, struct(col(key), col(bandCol)))
+    val rk = rb.withColumn(bkCol, struct(col(key), col(bandCol)))
+
+    // Pass 1: the ordinary sweep, partitioned by (key, band). The
+    // matched build time rides along so "no match in this band" is
+    // distinguishable from "matched a build row carrying nulls".
+    // Tolerance is gated at the end, uniformly for both match paths.
+    val within = apply(
+      lk,
+      rk,
+      bkCol,
+      leftTime,
+      rightTime,
+      rightVals :+ (rightTime -> mtOut),
+      tieBreak,
+      rightTieBreak,
+      direction,
+      toleranceUs = None
+    )
+
+    // Pass 2: per-(key, band) build summaries — the band's winning row
+    // under the same order the sweep uses (backward: last (t, tb);
+    // forward: first (t, tb)).
+    val tb = rightTieBreak.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
+    val summaryRow = struct(
+      col(rightTime).cast("long").as(mtOut) +:
+        rightVals.map { case (src, out) => col(src).as(out) }: _*
+    )
+    val orderKey = struct(col(rightTime).cast("long"), tb)
+    val perBand = rb
+      .groupBy(col(key), col(bandCol))
+      .agg((if (fwd) min_by(summaryRow, orderKey) else max_by(summaryRow, orderKey)).as("_row"))
+      .select(
+        Seq(col(key), col(bandCol), col("_row").getField(mtOut).as(cPfx + mtOut)) ++
+          rightVals.map { case (_, out) => col("_row").getField(out).as(cPfx + out) }: _*
+      )
+
+    // Pass 3: probes with no within-band match resolve to the nearest
+    // earlier (later, forward) non-empty band — an as-of on the band
+    // index over the tiny summary table. Shifting the probe band by ∓1
+    // makes the match STRICTLY cross-band.
+    val probeBands = within
+      .filter(col(mtOut).isNull)
+      .select(col(key), col(bandCol))
+      .distinct()
+      .withColumn("_qband", col(bandCol) + (if (fwd) lit(1L) else lit(-1L)))
+    val carried = apply(
+      probeBands,
+      perBand,
+      key,
+      "_qband",
+      bandCol,
+      ((cPfx + mtOut) -> (cPfx + mtOut)) +: rightVals.map { case (_, out) => (cPfx + out, cPfx + out) },
+      tieBreak = bandCol,
+      rightTieBreak = None,
+      direction = direction,
+      toleranceUs = None
+    ).drop("_qband")
+
+    val merged = within.join(carried, Seq(key, bandCol), "left")
+    val useWithin = col(mtOut).isNotNull
+    val mtAll = coalesce(col(mtOut), col(cPfx + mtOut))
+    val keep: Column = toleranceUs match {
+      case None => mtAll.isNotNull
+      case Some(tol) =>
+        val gap = if (fwd) mtAll - col(leftTime).cast("long") else col(leftTime).cast("long") - mtAll
+        mtAll.isNotNull && gap <= tol
+    }
+    merged.select(
+      left.columns.map(col) ++
+        rightVals.map { case (_, out) =>
+          when(keep, when(useWithin, col(out)).otherwise(col(cPfx + out))).as(out)
+        }: _*
+    )
+  }
 }

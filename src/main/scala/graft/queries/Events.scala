@@ -121,6 +121,49 @@ object Events {
       |FROM seq WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  // ---- q88: banded as-of — q22 through the hot-key fallback -----------------
+  // Identical semantics and oracle to q22; the physical shape is the
+  // time-banded two-pass (AsOfJoin.banded): each (user, hour band)
+  // sweeps independently and cross-band matches resolve on per-band
+  // summaries, so a user with a 10⁸-event timeline no longer
+  // serializes through one task. Hash-matching q22's oracle attests
+  // the fallback end-to-end.
+  def q88AsOfBanded(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id").as("signup_event_id"),
+        col("ts_us").as("signup_ts_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("signup_k")
+      )
+    AsOfJoin
+      .banded(
+        left = purchases,
+        right = signups,
+        key = "user_id",
+        leftTime = "ts_us",
+        rightTime = "ts_us",
+        rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
+        tieBreak = "event_id",
+        rightTieBreak = Some("signup_event_id"),
+        bandUs = 3600000000L // 1 h bands
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("value").as("purchase_value"),
+        col("signup_ts_us"),
+        col("signup_k")
+      )
+      .orderBy("event_id")
+  }
+
   // ---- q23: sessionization (gap-based) ---------------------------------------
   def q23Sessions(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 3600L * 1000000L // 1 hour
@@ -459,6 +502,7 @@ object Events {
     "q20_event_type_stats" -> (q20TypeStats _),
     "q21_event_hourly" -> (q21Hourly _),
     "q22_asof_enrich" -> (q22AsOfEnrich _),
+    "q88_asof_banded" -> (q88AsOfBanded _),
     "q23_sessions" -> (q23Sessions _),
     "q24_funnel" -> (q24Funnel _),
     "q25_interval_join" -> (q25IntervalJoin _),
@@ -474,6 +518,8 @@ object Events {
     "q20_event_type_stats" -> q20Sql,
     "q21_event_hourly" -> q21Sql,
     "q22_asof_enrich" -> q22Sql,
+    "q88_asof_banded" -> q22Sql, // bit-identical by design
+
     "q23_sessions" -> q23Sql,
     "q24_funnel" -> q24Sql,
     "q25_interval_join" -> q25Sql,

@@ -188,4 +188,56 @@ class AsOfJoinSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("id", "k", "t", "x", "v")
     out.select("x").as[Double].head() shouldBe 3.5
   }
+
+  test("banded (hot-key fallback) is bit-identical to the plain sweep (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    // Times span many small bands so carries cross band boundaries
+    // constantly; empty bands, band-edge timestamps (t = multiple of
+    // bandUs), and keys with no builds all occur under these gens.
+    val keyGen = Gen.oneOf("a", "b")
+    val timeGen = Gen.choose(0L, 40L)
+    val leftGen = Gen.listOfN(30, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (s"L$i", k, t) })
+    val rightGen =
+      Gen.listOfN(30, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i", i.toLong) })
+
+    val prop = forAll(
+      leftGen,
+      rightGen,
+      Gen.oneOf("backward", "forward"),
+      Gen.option(Gen.choose(0L, 10L)),
+      Gen.choose(3L, 9L) // band width
+    ) { (left, right, dir, tol, band) =>
+      val l = left.toDF("id", "k", "t")
+      val r = right.toDF("k", "t", "v", "rid")
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "v").as[(String, Option[String])].collect().toMap
+      val plain = collect(
+        AsOfJoin(l, r, "k", "t", "t", Seq("v" -> "v"), "id",
+          rightTieBreak = Some("rid"), direction = dir, toleranceUs = tol)
+      )
+      val banded = collect(
+        AsOfJoin.banded(l, r, "k", "t", "t", Seq("v" -> "v"), "id",
+          rightTieBreak = Some("rid"), direction = dir, toleranceUs = tol, bandUs = band)
+      )
+      plain == banded
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("banded carries a match across empty bands and keeps left-outer semantics") {
+    val l = Seq(("p1", "a", 1000L), ("p2", "a", 5L), ("p3", "b", 1000L)).toDF("id", "k", "t")
+    val r = Seq(("a", 3L, "early")).toDF("k", "t", "v")
+    val out = AsOfJoin
+      .banded(l, r, "k", "t", "t", Seq("v" -> "v"), "id", bandUs = 10L)
+      .select("id", "v")
+      .as[(String, Option[String])]
+      .collect()
+      .toMap
+    out("p1") shouldBe Some("early") // ~100 empty bands between build and probe
+    out("p2") shouldBe Some("early") // same-band match
+    out("p3") shouldBe None // no build for key b
+  }
 }
