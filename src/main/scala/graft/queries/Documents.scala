@@ -729,7 +729,177 @@ object Documents {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q89: duplicate n-gram span masking (Lee et al. 2022 style) ---------------
+  // Span-level dedup: for every 5-gram that occurs in >=2 distinct docs,
+  // mark the 5 token positions it covers; report per doc how many gram
+  // occurrences are duplicated and how many tokens the duplicated spans
+  // cover. This is the bounded-gram Spark form of suffix-array substring
+  // dedup ("Deduplicating Training Data Makes Language Models Better"):
+  // candidate generation is one shuffle on the gram key (never a doc
+  // cross-product), coverage is a per-doc distinct count — both scale
+  // linearly in corpus size at fixed gram width.
+  private val spanN = 5
+
+  private def gramPositions(s: SparkSession, dir: String, n: Int): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= n)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), col("n_tokens") - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+        ).as(Seq("pos", "gram"))
+      )
+
+  def q89DupNgramSpans(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
+    val grams = gramPositions(s, dir, spanN)
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val dupPos = grams.join(dup, "gram").select("doc_id", "pos")
+    val perDoc = dupPos.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    val covered = dupPos
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (spanN - 1))).as("idx"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("idx")).as("n_dup_tokens"))
+    base
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_grams", "n_dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q89Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |t AS (SELECT doc_id, toks, LEN(toks) AS n_tokens FROM d),
+      |g0 AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 4)) AS pos FROM t WHERE n_tokens >= 5),
+      |g AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+5], ' ') AS gram FROM g0),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |pg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams FROM dp GROUP BY doc_id),
+      |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_dup_tokens
+      |        FROM (SELECT doc_id, unnest(range(pos, pos+5)) AS idx FROM dp) GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+      |  COALESCE(pg.n_dup_grams, 0) AS n_dup_grams,
+      |  COALESCE(cov.n_dup_tokens, 0) AS n_dup_tokens
+      |FROM t LEFT JOIN pg USING (doc_id) LEFT JOIN cov USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---- q90: sparse document similarity (feature-blocked TF inner product) -------
+  // The sparse complement of the dense-vector ANN family: documents as
+  // trigram TF vectors, similarity = integer dot product, candidate
+  // pairs generated by an equi-join on the shared trigram — the inverted-
+  // index shape. Features occurring in >30 docs are dropped (stop-feature
+  // cap): it bounds pair generation at sum(min(df,cap)^2) regardless of
+  // corpus size — the standard common-feature guard of sparse similarity
+  // joins — and features in a single doc pair with nothing. Integer math
+  // end-to-end, so the oracle hash-matches exactly.
+  def q90SparseDocsim(s: SparkSession, dir: String): DataFrame = {
+    val maxDf = 30
+    val topK = 3
+    val tf = gramPositions(s, dir, 3)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val kept = tf.join(keep, "gram")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr_id"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("dot").desc, col("nbr_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "nbr_id", "dot", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  val q90Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |t AS (SELECT doc_id, toks, LEN(toks) AS n_tokens FROM d),
+      |g AS (SELECT doc_id, array_to_string(toks[pos+1:pos+3], ' ') AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(0, n_tokens - 2)) AS pos
+      |            FROM t WHERE n_tokens >= 3)),
+      |tf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+      |keep AS (SELECT gram FROM tf GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 30),
+      |k AS (SELECT * FROM tf WHERE gram IN (SELECT gram FROM keep)),
+      |p AS (SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+      |        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |      GROUP BY 1, 2),
+      |r AS (SELECT doc_id, nbr_id, dot,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dot DESC, nbr_id) AS INTEGER) AS rank
+      |      FROM p)
+      |SELECT doc_id, nbr_id, dot, rank FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- q91: gram-blocked fuzzy dedup (Levenshtein verify) -----------------------
+  // Edit-distance near-dup: candidate pairs are doc pairs sharing at
+  // least one exact 5-gram (the same inverted-index blocking as q89 —
+  // never a doc cross-product), pre-filtered by |length difference| and
+  // verified with exact Levenshtein distance. The expensive O(len^2)
+  // distance only runs on blocked candidates, which is what makes
+  // edit-distance dedup feasible at corpus scale.
+  def q91FuzzyEditdist(s: SparkSession, dir: String): DataFrame = {
+    val maxDist = 40
+    val grams = gramPositions(s, dir, spanN).select("doc_id", "gram").distinct()
+    // Aggregate straight to (pair, shared-gram count): one shuffle does
+    // both the dedup a plain DISTINCT would need and yields the block
+    // strength as a free output column.
+    val cand = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    // The thresholded levenshtein banded-bails at maxDist instead of
+    // filling the full len^2 matrix for far-apart pairs. No broadcast
+    // hint on txt: it is the corpus, not a dimension — AQE broadcasts
+    // it at test scale and shuffles on doc_id at corpus scale.
+    cand
+      .join(txt.as("t1"), col("doc1") === col("t1.doc_id"))
+      .join(txt.as("t2"), col("doc2") === col("t2.doc_id"))
+      .filter(abs(length(col("t1.t")) - length(col("t2.t"))) <= maxDist)
+      .select(col("doc1"), col("doc2"), col("n_shared"),
+        levenshtein(col("t1.t"), col("t2.t"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy("doc1", "doc2")
+  }
+
+  val q91Sql: String =
+    """WITH d AS (SELECT doc_id, LOWER(TRIM(text)) AS t,
+      |             regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        array_to_string(toks[pos+1:pos+5], ' ') AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(0, LEN(toks) - 4)) AS pos
+      |            FROM d WHERE LEN(toks) >= 5)),
+      |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT doc1, doc2, n_shared, CAST(levenshtein(t1.t, t2.t) AS INTEGER) AS dist
+      |FROM cand
+      |JOIN d t1 ON doc1 = t1.doc_id
+      |JOIN d t2 ON doc2 = t2.doc_id
+      |WHERE ABS(LENGTH(t1.t) - LENGTH(t2.t)) <= 40
+      |  AND levenshtein(t1.t, t2.t) <= 40
+      |ORDER BY doc1, doc2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_dup_ngram_spans" -> (q89DupNgramSpans _),
+    "q90_sparse_docsim" -> (q90SparseDocsim _),
+    "q91_fuzzy_editdist" -> (q91FuzzyEditdist _),
     "q84_sharded_pack" -> (q84ShardedPack _),
     "q83_mixture_sample" -> (q83MixtureSample _),
     "q77_novelty" -> (q77Novelty _),
@@ -753,6 +923,9 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_dup_ngram_spans" -> q89Sql,
+    "q90_sparse_docsim" -> q90Sql,
+    "q91_fuzzy_editdist" -> q91Sql,
     "q84_sharded_pack" -> q84Sql,
     "q83_mixture_sample" -> q83Sql,
     "q77_novelty" -> q77Sql,

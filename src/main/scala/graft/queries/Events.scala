@@ -492,7 +492,41 @@ object Events {
       |FROM j
       |ORDER BY user_id, tick_us""".stripMargin
 
+  // ---- q92: event-type transition matrix (per-user Markov path analysis) -------
+  // The per-key sequence operator: each user's event stream ordered by
+  // time, paired with its successor via lead(), aggregated into a
+  // transition matrix (how often type A is followed by type B, and by
+  // how many users). One shuffle on user_id for the window, one for the
+  // matrix agg — the matrix itself is |types|^2 rows regardless of data
+  // size. event_id breaks timestamp ties deterministically.
+  def q92EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+      .orderBy("event_type", "next_type")
+  }
+
+  val q92Sql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM s WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_event_transitions" -> (q92EventTransitions _),
     "q82_interpolate" -> (q82Interpolate _),
     "q81_next_purchase" -> (q81NextPurchase _),
     "q62_resample" -> (q62Resample _),
@@ -510,6 +544,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_event_transitions" -> q92Sql,
     "q82_interpolate" -> q82Sql,
     "q81_next_purchase" -> q81Sql,
     "q62_resample" -> q62Sql,

@@ -131,4 +131,30 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
     "documents.parquet".r.findAllIn(p).size shouldBe 1
   }
+
+  test("q89 dup spans: candidates via the gram key, never a doc cross-product") {
+    val p = plan("q89_dup_ngram_spans")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q90 sparse docsim: inverted-index equi-join; top-k limited below the rank shuffle") {
+    val p = plan("q90_sparse_docsim")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // rank <= 3 prunes each doc's candidate list before the final sort
+    p should include("WindowGroupLimit")
+  }
+
+  test("q91 fuzzy dedup: Levenshtein only on gram-blocked candidates") {
+    val p = plan("q91_fuzzy_editdist")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q92 transitions: one shuffle keyed by user, then the bounded matrix agg") {
+    val p = plan("q92_event_transitions")
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
+    p should include("partial_")
+  }
 }
