@@ -19,7 +19,11 @@ object PlanDiag {
         "q03_revenue_by_nation",
         "q22_asof_enrich",
         "q35_minhash_lsh",
-        "q42_ann_ivf"
+        "q42_ann_ivf",
+        "q89_dup_ngram_spans",
+        "q90_sparse_docsim",
+        "q91_fuzzy_editdist",
+        "q92_event_transitions"
       )
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
