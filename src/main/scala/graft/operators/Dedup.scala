@@ -178,8 +178,61 @@ object Dedup {
         * candidate-id broadcast job costs more than it saves (measured
         * +0.9s at sf0.1), so it is opt-in.
         */
-      verifyCandidatesOnly: Boolean = false
+      verifyCandidatesOnly: Boolean = false,
+      /** Collapse exact-duplicate texts to one representative and run
+        * the whole LSH pipeline over DISTINCT texts only, expanding
+        * group pairs back to doc pairs at the end. Output-identical to
+        * the direct form: identical texts have identical shingle sets,
+        * hence identical signatures and band buckets, so (a) every
+        * cross-group doc pair collides iff its representative pair
+        * collides and shares its exact Jaccard, and (b) every
+        * within-group pair (of shingle-eligible text) collides with
+        * Jaccard exactly 1.0. Near-dup corpora repeat texts heavily
+        * (the sf1 soak holds 4,992 distinct texts across 50k docs), so
+        * every stage — shingling, banding, the bucket shuffle, the
+        * verify joins — shrinks by the duplication factor; the standard
+        * exact-dedup-before-near-dup composition of production
+        * pipelines. Costs one extra full-text shuffle (the grouping),
+        * so it is opt-in like the other staging knobs.
+        */
+      dedupFirst: Boolean = false
   ): DataFrame = {
+    if (dedupFirst) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
+      val withGid = df
+        .select(col(idCol), col(textCol))
+        .withColumn("gid", min(col(idCol)).over(w))
+      val reps = withGid
+        .filter(col(idCol) === col("gid"))
+        .select(col("gid").as(idCol), col(textCol))
+      val members = withGid.select(col("gid"), col(idCol).as("mid"))
+      val repPairs = minhashNearDups(
+        reps, idCol, textCol, k, numHashes, bands, threshold,
+        persistShingles, verifyCandidatesOnly, dedupFirst = false)
+      val cross = repPairs
+        .join(members.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
+        .join(members.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))
+        .select(
+          least(col("a"), col("b")).as("id1"),
+          greatest(col("a"), col("b")).as("id2"),
+          col("jaccard"))
+      // Within-group pairs exist iff the shared text shingles at all
+      // (the direct form drops empty shingle sets before banding).
+      // Shingle-set nonempty ⟺ token count >= k — use the cheap token
+      // count: Catalyst pushes this filter below the grouping window
+      // (it only references the partition key), so it runs per corpus
+      // row and the full shingle HOF here would cost more than the
+      // whole rep pipeline.
+      val eligible = reps
+        .filter(size(tokens(col(textCol))) >= k)
+        .select(col(idCol).as("gid"))
+      val em = members.join(eligible, "gid")
+      val within = em.as("x")
+        .join(em.as("y"), col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+        .select(col("x.mid").as("id1"), col("y.mid").as("id2"), lit(1.0).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      return cross.unionByName(within)
+    }
     // Shingle sets feed three consumers (banding, both verify sides) —
     // persist so tokenization+shingling runs once. MEMORY_AND_DISK:
     // spills instead of OOMing when the corpus outgrows executor memory.

@@ -880,13 +880,28 @@ object Documents {
     // filling the full len^2 matrix for far-apart pairs. No broadcast
     // hint on txt: it is the corpus, not a dimension — AQE broadcasts
     // it at test scale and shuffles on doc_id at corpus scale.
-    cand
+    val withTexts = cand
       .join(txt.as("t1"), col("doc1") === col("t1.doc_id"))
       .join(txt.as("t2"), col("doc2") === col("t2.doc_id"))
       .filter(abs(length(col("t1.t")) - length(col("t2.t"))) <= maxDist)
       .select(col("doc1"), col("doc2"), col("n_shared"),
-        levenshtein(col("t1.t"), col("t2.t"), maxDist).as("dist"))
+        col("t1.t").as("ta"), col("t2.t").as("tb"))
+    // Near-dup corpora repeat the same text under many doc_ids, so the
+    // same TEXT pair recurs across many doc pairs (50× at the sf1
+    // soak: 271,700 doc pairs but 5,444 distinct text pairs). Verify
+    // once per distinct text pair and join the distances back — the
+    // distance table is tiny (one row per distinct pair that shares a
+    // 5-gram), so the join back is a broadcast and the expensive
+    // O(len·maxDist) kernel runs ~2% as often. On a fully diverse
+    // corpus this degenerates to one extra partial-aggregated shuffle.
+    val dists = withTexts
+      .select(col("ta"), col("tb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0)
+    withTexts
+      .join(dists, Seq("ta", "tb"))
+      .select(col("doc1"), col("doc2"), col("n_shared"), col("dist"))
       .orderBy("doc1", "doc2")
   }
 

@@ -26,8 +26,13 @@ object TextPipeline {
       // the shingle projection is cheaper than building a deserialized
       // array cache (measured 1.7s vs 6.7s cold at sf0.1); at 100 TB
       // the equivalent is a staging table, not executor cache (SCALE.md).
+      // dedupFirst: run LSH over distinct texts only and expand the
+      // group pairs — output-identical (DedupSpec property), and on a
+      // duplicate-heavy corpus every stage shrinks by the duplication
+      // factor (sf1 soak: 50k docs but 4,992 distinct texts; 42s → see
+      // SCALE.md).
       .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
-        persistShingles = false)
+        persistShingles = false, dedupFirst = true)
       .orderBy("id1", "id2")
 
   /** Shared CTE chain computing the LSH candidate pairs of q35 —

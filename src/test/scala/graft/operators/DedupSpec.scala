@@ -49,6 +49,47 @@ class DedupSpec extends SparkSpec {
     sortedPairs(true) shouldBe sortedPairs(false)
   }
 
+  test("dedupFirst produces identical pairs and scores on a duplicate-heavy corpus") {
+    // heavy exact duplication + near-dups + shingle-ineligible shorties
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with no overlap at all whatsoever"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (5L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (6L, "the quick brown fox jumps over the lazy cat"), // dup of 2
+      (7L, "too short"), // below shingle k — never pairs
+      (8L, "too short"), // exact dup of 7, still never pairs
+      (9L, "completely different text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    def sortedPairs(dedup: Boolean) = Dedup
+      .minhashNearDups(corpus, "doc_id", "text", 3, 8, 4, persistShingles = false,
+        dedupFirst = dedup)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    val direct = sortedPairs(false)
+    direct.nonEmpty shouldBe true
+    sortedPairs(true) shouldBe direct
+  }
+
+  test("dedupFirst respects the score threshold across within-group pairs") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh"),
+      (3L, "aa bb cc dd ee ff gg zz")
+    ).toDF("doc_id", "text")
+    val exact = Dedup
+      .minhashNearDups(corpus, "doc_id", "text", 3, 8, 4, threshold = 1.0,
+        persistShingles = false, dedupFirst = true)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    exact shouldBe Seq((1L, 2L, 1.0))
+  }
+
   test("jaccard is exact") {
     // |{b,c}| / |{a,b,c,d}| = 0.5
     val out = spark
