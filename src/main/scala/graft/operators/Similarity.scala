@@ -115,7 +115,8 @@ object Similarity {
     * @param df (id, emb, cell) — cell from a quantizer, LSH bucket
     *           ([[signLshBuckets]]), or a semantic partition key
     */
-  def cellNearDups(df: DataFrame, threshold: Double): DataFrame = {
+  def cellNearDups(df: DataFrame, threshold: Double, dedupFirst: Boolean = false): DataFrame = {
+    if (dedupFirst) return cellNearDupsDedupFirst(df, threshold)
     // Norms are per-row facts: compute them once before the pair join
     // (O(n) dots) instead of inside it (O(pairs) extra dots).
     val withNorm = df.select(col("cell"), col("id"), col("emb"), norm(col("emb")).as("_n"))
@@ -125,5 +126,40 @@ object Similarity {
       .filter(col("id1") < col("id2"))
       .select(col("cell"), col("id1"), col("id2"), (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[cellNearDups]] over DISTINCT (cell, embedding) vectors only,
+    * expanding group pairs back to id pairs — output-identical:
+    * duplicate vectors in a cell form a group whose representative
+    * carries the exact same dot/norm arithmetic, so cross-group pairs
+    * reproduce the direct form's cosines bit-for-bit and within-group
+    * pairs share the group's self-cosine (computed through the SAME
+    * `dot(e,e)/(n·n)` expression, not shortcut to 1.0 — `sqrt(x)²≠x`
+    * in floating point, and the oracle computes the long form).
+    * Embedding dedup rates are high in crawled corpora (the sf1 soak
+    * holds 2,000 distinct vectors across 20k rows), and the pair join
+    * shrinks quadratically in the duplication factor.
+    */
+  private def cellNearDupsDedupFirst(df: DataFrame, threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("cell"), col("emb"))
+    val withGid = df
+      .select(col("cell"), col("id"), col("emb"))
+      .withColumn("gid", min(col("id")).over(w))
+    val reps = withGid.filter(col("id") === col("gid")).select(col("cell"), col("gid").as("id"), col("emb"))
+    val members = withGid.select(col("gid"), col("id").as("mid"))
+    val cross = cellNearDups(reps, threshold)
+      .join(members.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
+      .join(members.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))
+      .select(col("cell"), least(col("a"), col("b")).as("id1"), greatest(col("a"), col("b")).as("id2"), col("cosine"))
+    val selfCos = reps
+      .select(col("cell"), col("id").as("gid"),
+        (dot(col("emb"), col("emb")) / (norm(col("emb")) * norm(col("emb")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val em = members
+    val within = selfCos
+      .join(em.select(col("gid"), col("mid").as("a")), "gid")
+      .join(em.select(col("gid").as("g2"), col("mid").as("b")), col("gid") === col("g2") && col("a") < col("b"))
+      .select(col("cell"), col("a").as("id1"), col("b").as("id2"), col("cosine"))
+    cross.unionByName(within)
   }
 }

@@ -171,7 +171,10 @@ object Vectors {
       graft.operators.Similarity.asDouble(col("embedding")).as("emb")
     )
     graft.operators.Similarity
-      .cellNearDups(e, threshold = 0.35)
+      // dedupFirst: crawled corpora duplicate embeddings heavily (sf1
+      // soak: 2,000 distinct vectors across 20k rows) — pair space
+      // shrinks quadratically; output-identical (SimilaritySpec).
+      .cellNearDups(e, threshold = 0.35, dedupFirst = true)
       .select("cell", "id1", "id2", "cosine")
       .orderBy("id1", "id2")
   }

@@ -15,34 +15,7 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    import graft.operators.Dedup
-    import graft.tables.Tables
-    val docs = Tables.documents(spark, dir)
-    println("direct rows: " + Dedup.minhashNearDups(docs, "doc_id", "text", 3, 8, 4, persistShingles = false).count())
-    val w0 = org.apache.spark.sql.expressions.Window.partitionBy("text")
-    val withGid0 = docs.select(col("doc_id"), col("text")).withColumn("gid", min(col("doc_id")).over(w0))
-    val reps0 = withGid0.filter(col("doc_id") === col("gid")).select(col("gid").as("doc_id"), col("text"))
-    val members0 = withGid0.select(col("gid"), col("doc_id").as("mid"))
-    val repPairs0 = Dedup.minhashNearDups(reps0, "doc_id", "text", 3, 8, 4, persistShingles = false)
-    println("repPairs rows: " + repPairs0.count())
-    time("cross") {
-      repPairs0
-        .join(members0.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
-        .join(members0.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))
-        .select(least(col("a"), col("b")).as("id1"), greatest(col("a"), col("b")).as("id2"), col("jaccard"))
-    }
-    time("dedup1st") { Dedup.minhashNearDups(docs, "doc_id", "text", 3, 8, 4, persistShingles = false, dedupFirst = true) }
-    time("reps") {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
-      docs.select(col("doc_id"), col("text")).withColumn("gid", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("gid"))
-    }
-    time("repPairs") {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
-      val reps = docs.select(col("doc_id"), col("text")).withColumn("gid", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("gid")).select(col("gid").as("doc_id"), col("text"))
-      Dedup.minhashNearDups(reps, "doc_id", "text", 3, 8, 4, persistShingles = false)
-    }
+    time("q44") { graft.queries.Vectors.q44EmbeddingNearDup(spark, dir) }
     spark.stop()
   }
 

@@ -123,6 +123,30 @@ class SimilaritySpec extends SparkSpec {
     per.sum / per.size
   }
 
+  test("cellNearDups dedupFirst is bit-identical on a duplicate-heavy table") {
+    // duplicate vectors within and across cells, plus near-dups
+    val dup = Seq(
+      (0L, Seq(1.0, 0.0, 0.2), 0),
+      (1L, Seq(1.0, 0.0, 0.2), 0), // exact dup of 0, same cell
+      (2L, Seq(1.0, 0.0, 0.2), 0), // exact dup of 0, same cell
+      (3L, Seq(0.9, 0.1, 0.2), 0), // near-dup, same cell
+      (4L, Seq(1.0, 0.0, 0.2), 1), // same vector, DIFFERENT cell — never pairs with 0-2
+      (5L, Seq(0.0, 1.0, 0.0), 1),
+      (6L, Seq(0.0, 1.0, 0.0), 1)  // exact dup of 5
+    ).toDF("id", "emb", "cell")
+    def run(dedup: Boolean) = Similarity
+      .cellNearDups(dup, threshold = 0.3, dedupFirst = dedup)
+      .orderBy("id1", "id2")
+      .as[(Int, Long, Long, Double)]
+      .collect()
+      .toSeq
+    val direct = run(false)
+    direct.nonEmpty shouldBe true
+    // bit-identical, including the self-cosine of duplicate groups
+    // (computed through the same dot/norm expression, not lit(1.0))
+    run(true) shouldBe direct
+  }
+
   test("recall gate: trained-IVF (k-means cells) recovers >=0.9 of brute-force truth") {
     val k = 5
     val q = clustered.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("emb").as("qemb"))
