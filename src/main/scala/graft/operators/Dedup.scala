@@ -137,6 +137,60 @@ object Dedup {
       .select(element_at(col("p"), 1).as("id1"), element_at(col("p"), 2).as("id2"))
       .distinct()
 
+  /** Near-duplicate clusters: ConnectedComponents over the LSH
+    * candidate-pair graph, as (id, component) with component = the
+    * minimum id in the cluster.
+    *
+    * `dedupFirst` runs banding + pairing + CC over DISTINCT texts only
+    * and expands group labels back to doc ids — output-identical:
+    * identical texts always collide (same signatures), so a group's
+    * members are pairwise-connected and its representative gid (the
+    * group's min id) carries the component. Labels are preserved
+    * exactly because CC labels components by min id and the min id of
+    * an expanded component IS the min gid of its rep-graph component.
+    * Docs appear in the output iff they appear in the direct pair
+    * graph: members of a shingle-eligible group of >=2 (they collide
+    * within the group), or members of a singleton group whose rep
+    * collided with another rep.
+    */
+  def nearDupComponents(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      dedupFirst: Boolean = false
+  ): DataFrame = {
+    if (!dedupFirst) {
+      val pairs = candidatePairs(explodeBands(df, idCol, textCol, k, numHashes, bands), idCol)
+      return graft.operators.ConnectedComponents(pairs, "id1", "id2")
+    }
+    // Eligibility (token count >= k ⟺ shingle set nonempty) is a
+    // function of the text, so filtering BEFORE grouping leaves the
+    // groups/gids unchanged while every downstream consumer carries
+    // only docs that can ever enter the pair graph.
+    val elig = df
+      .filter(size(tokens(col(textCol))) >= k)
+      .select(col(idCol), col(textCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
+    val withGid = elig.withColumn("gid", min(col(idCol)).over(w))
+    val reps = withGid.filter(col(idCol) === col("gid")).select(col("gid").as(idCol), col(textCol))
+    val members = withGid.select(col("gid"), col(idCol).as("_mid"))
+    val repPairs = candidatePairs(explodeBands(reps, idCol, textCol, k, numHashes, bands), idCol)
+    val cc = graft.operators.ConnectedComponents(repPairs, "id1", "id2")
+    val eligibleSizes = withGid
+      .groupBy("gid")
+      .agg(count(lit(1)).as("_gsz"))
+    val gidComp = eligibleSizes
+      .join(cc.select(col("id").as("gid"), col("component")), Seq("gid"), "left_outer")
+      .filter(col("_gsz") >= 2 || col("component").isNotNull)
+      .select(col("gid"), coalesce(col("component"), col("gid")).as("component"))
+    members
+      .join(gidComp, "gid")
+      .select(col("_mid").as("id"), col("component"))
+  }
+
   /** Pick the band count for a target Jaccard threshold: with b bands
     * of r = n/b rows, the LSH S-curve crosses ~50% collision chance at
     * J ≈ (1/b)^(1/r) (MMDS ch.3). Returns the divisor of `numHashes`
@@ -198,10 +252,16 @@ object Dedup {
       dedupFirst: Boolean = false
   ): DataFrame = {
     if (dedupFirst) {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
-      val withGid = df
+      // Drop shingle-ineligible docs BEFORE grouping: eligibility
+      // (token count >= k ⟺ shingle set nonempty) is a function of
+      // the text, so every group is all-eligible or all-ineligible and
+      // the grouping/gids are unchanged — but the grouping window and
+      // both expansion sides now carry only docs that can ever pair.
+      val elig = df
+        .filter(size(tokens(col(textCol))) >= k)
         .select(col(idCol), col(textCol))
-        .withColumn("gid", min(col(idCol)).over(w))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
+      val withGid = elig.withColumn("gid", min(col(idCol)).over(w))
       val reps = withGid
         .filter(col(idCol) === col("gid"))
         .select(col("gid").as(idCol), col(textCol))
@@ -216,19 +276,10 @@ object Dedup {
           least(col("a"), col("b")).as("id1"),
           greatest(col("a"), col("b")).as("id2"),
           col("jaccard"))
-      // Within-group pairs exist iff the shared text shingles at all
-      // (the direct form drops empty shingle sets before banding).
-      // Shingle-set nonempty ⟺ token count >= k — use the cheap token
-      // count: Catalyst pushes this filter below the grouping window
-      // (it only references the partition key), so it runs per corpus
-      // row and the full shingle HOF here would cost more than the
-      // whole rep pipeline.
-      val eligible = reps
-        .filter(size(tokens(col(textCol))) >= k)
-        .select(col(idCol).as("gid"))
-      val em = members.join(eligible, "gid")
-      val within = em.as("x")
-        .join(em.as("y"), col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+      // Within-group pairs: identical eligible texts always collide
+      // with Jaccard exactly 1.0.
+      val within = members.as("x")
+        .join(members.as("y"), col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
         .select(col("x.mid").as("id1"), col("y.mid").as("id2"), lit(1.0).as("jaccard"))
         .filter(col("jaccard") >= threshold)
       return cross.unionByName(within)

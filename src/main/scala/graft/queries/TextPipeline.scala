@@ -207,13 +207,15 @@ object TextPipeline {
   // (min doc_id of the component — keep that doc, drop the rest of the
   // cluster). Distributed min-label propagation; the oracle replays the
   // same pair set through a recursive CTE. Only clustered docs appear.
-  def q51NearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val bands = Dedup.explodeBands(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
-    val pairs = Dedup.candidatePairs(bands, idCol = "doc_id")
-    graft.operators.ConnectedComponents(pairs, "id1", "id2")
+  def q51NearDupClusters(s: SparkSession, dir: String): DataFrame =
+    // dedupFirst: band + pair + CC over distinct texts, expand group
+    // labels — output-identical (DedupSpec), graph shrinks by the
+    // corpus duplication factor before the iterative CC loop.
+    Dedup
+      .nearDupComponents(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
+        dedupFirst = true)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   val q51Sql: String =
     s"""WITH RECURSIVE $lshPairsCte,
@@ -253,8 +255,9 @@ object TextPipeline {
       when(nBi > 0, (nBi - nDist).cast("double") / nBi).otherwise(lit(0.0)).as("dup_fraction")
     )
 
-    val bands = Dedup.explodeBands(d, idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4)
-    val clusters = graft.operators.ConnectedComponents(Dedup.candidatePairs(bands, "doc_id"), "id1", "id2")
+    val clusters = Dedup
+      .nearDupComponents(d, idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
+        dedupFirst = true)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
 
     val kept = metrics

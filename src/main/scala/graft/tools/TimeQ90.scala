@@ -15,7 +15,8 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    time("q44") { graft.queries.Vectors.q44EmbeddingNearDup(spark, dir) }
+    time("q51") { graft.queries.TextPipeline.q51NearDupClusters(spark, dir) }
+    time("q64") { graft.queries.TextPipeline.q64Curation(spark, dir) }
     spark.stop()
   }
 

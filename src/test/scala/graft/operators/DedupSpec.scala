@@ -90,6 +90,29 @@ class DedupSpec extends SparkSpec {
     exact shouldBe Seq((1L, 2L, 1.0))
   }
 
+  test("nearDupComponents dedupFirst matches the direct clustering exactly") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with no overlap at all whatsoever"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (5L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (6L, "the quick brown fox jumps over the lazy cat"), // dup of 2
+      (7L, "too short"),
+      (8L, "too short"), // dup of 7 but shingle-ineligible: not in the graph
+      (9L, "completely different text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    def clusters(dedup: Boolean) = Dedup
+      .nearDupComponents(corpus, "doc_id", "text", 3, 8, 4, dedupFirst = dedup)
+      .orderBy("id")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    val direct = clusters(false)
+    direct.nonEmpty shouldBe true
+    clusters(true) shouldBe direct
+  }
+
   test("jaccard is exact") {
     // |{b,c}| / |{a,b,c,d}| = 0.5
     val out = spark
