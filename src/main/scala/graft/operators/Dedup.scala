@@ -269,6 +269,12 @@ object Dedup {
       val repPairs = minhashNearDups(
         reps, idCol, textCol, k, numHashes, bands, threshold,
         persistShingles, verifyCandidatesOnly, dedupFirst = false)
+        // Barrier: stops Catalyst collapsing the exact-Jaccard
+        // projection above the expansion joins (which would re-run the
+        // set intersection once per DOC pair instead of once per text
+        // pair, and ship both shingle arrays with every expanded row).
+        // One row per colliding text pair — tiny.
+        .localCheckpoint(false)
       val cross = repPairs
         .join(members.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
         .join(members.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))

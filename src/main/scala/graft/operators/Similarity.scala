@@ -148,6 +148,10 @@ object Similarity {
     val reps = withGid.filter(col("id") === col("gid")).select(col("cell"), col("gid").as("id"), col("emb"))
     val members = withGid.select(col("gid"), col("id").as("mid"))
     val cross = cellNearDups(reps, threshold)
+      // Barrier: stops Catalyst collapsing the cosine projection above
+      // the expansion joins (re-running the dot product per DOC pair
+      // and shipping both embeddings with every expanded row).
+      .localCheckpoint(false)
       .join(members.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
       .join(members.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))
       .select(col("cell"), least(col("a"), col("b")).as("id1"), greatest(col("a"), col("b")).as("id2"), col("cosine"))

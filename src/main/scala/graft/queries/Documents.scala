@@ -866,43 +866,71 @@ object Documents {
   // edit-distance dedup feasible at corpus scale.
   def q91FuzzyEditdist(s: SparkSession, dir: String): DataFrame = {
     val maxDist = 40
-    val grams = gramPositions(s, dir, spanN).select("doc_id", "gram").distinct()
+    // Every output column is a function of the two LOWERCASED TEXTS
+    // (shared 5-gram count, length filter, Levenshtein) — only the doc
+    // ids differ between duplicate docs. So the whole query runs over
+    // DISTINCT texts (group representative = min doc_id) and expands
+    // group pairs back to doc pairs at the end: near-dup corpora
+    // repeat texts heavily (sf1 soak: 4,992 distinct texts across 50k
+    // docs), and gram explode, candidate self-join AND verify all
+    // shrink by the duplication factor. Identical-text pairs share ALL
+    // of the text's distinct grams at distance 0, which is what the
+    // direct form computes for them. On a fully diverse corpus this
+    // degenerates to one extra narrow window pass.
+    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val withGid = txt.withColumn("gid", min(col("doc_id")).over(w))
+    val members = withGid.select(col("gid"), col("doc_id").as("mid"))
+    val reps = withGid.filter(col("doc_id") === col("gid")).select(col("gid"), col("t"))
+    // distinct 5-grams per representative; array_distinct before the
+    // explode keeps the distinct map-side (no shuffle)
+    val repGrams = reps
+      .select(col("gid"), split(col("t"), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= spanN)
+      .select(
+        col("gid"),
+        explode(array_distinct(
+          transform(sequence(lit(0), col("n_tokens") - spanN),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(spanN)))))).as("gram"))
     // Aggregate straight to (pair, shared-gram count): one shuffle does
     // both the dedup a plain DISTINCT would need and yields the block
     // strength as a free output column.
-    val cand = grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val repCand = repGrams.as("a")
+      .join(repGrams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.gid") < col("b.gid"))
+      .groupBy(col("a.gid").as("g1"), col("b.gid").as("g2"))
       .agg(count(lit(1)).as("n_shared"))
-    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
     // The thresholded levenshtein banded-bails at maxDist instead of
-    // filling the full len^2 matrix for far-apart pairs. No broadcast
-    // hint on txt: it is the corpus, not a dimension — AQE broadcasts
-    // it at test scale and shuffles on doc_id at corpus scale.
-    val withTexts = cand
-      .join(txt.as("t1"), col("doc1") === col("t1.doc_id"))
-      .join(txt.as("t2"), col("doc2") === col("t2.doc_id"))
-      .filter(abs(length(col("t1.t")) - length(col("t2.t"))) <= maxDist)
-      .select(col("doc1"), col("doc2"), col("n_shared"),
-        col("t1.t").as("ta"), col("t2.t").as("tb"))
-    // Near-dup corpora repeat the same text under many doc_ids, so the
-    // same TEXT pair recurs across many doc pairs (50× at the sf1
-    // soak: 271,700 doc pairs but 5,444 distinct text pairs). Verify
-    // once per distinct text pair and join the distances back — the
-    // distance table is tiny (one row per distinct pair that shares a
-    // 5-gram), so the join back is a broadcast and the expensive
-    // O(len·maxDist) kernel runs ~2% as often. On a fully diverse
-    // corpus this degenerates to one extra partial-aggregated shuffle.
-    val dists = withTexts
-      .select(col("ta"), col("tb"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+    // filling the full len^2 matrix for far-apart pairs; it runs once
+    // per distinct text pair by construction here.
+    val repVerified = repCand
+      .join(reps.select(col("gid").as("g1"), col("t").as("ta")), "g1")
+      .join(reps.select(col("gid").as("g2"), col("t").as("tb")), "g2")
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("g1"), col("g2"), col("n_shared"),
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
-    withTexts
-      .join(dists, Seq("ta", "tb"))
-      .select(col("doc1"), col("doc2"), col("n_shared"), col("dist"))
-      .orderBy("doc1", "doc2")
+      // Barrier: without it Catalyst collapses this projection above
+      // the expansion joins below and re-runs levenshtein once per DOC
+      // pair instead of once per text pair (measured 15s vs 1s for the
+      // expansion at sf1). The table is one row per verified text pair
+      // — tiny — and the lazy checkpoint materializes inside the same
+      // job (CC uses the same idiom for its iteration barrier).
+      .localCheckpoint(false)
+    val cross = repVerified
+      .join(members.select(col("gid").as("g1"), col("mid").as("a")), "g1")
+      .join(members.select(col("gid").as("g2"), col("mid").as("b")), "g2")
+      .select(
+        least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"),
+        col("n_shared"), col("dist"))
+    val repGramCount = repGrams.groupBy(col("gid")).agg(count(lit(1)).as("n_shared"))
+    val within = members.join(repGramCount, "gid").as("x")
+      .join(members.as("y"), col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("doc1"), col("y.mid").as("doc2"),
+        col("x.n_shared"), lit(0).as("dist"))
+    cross.unionByName(within).orderBy("doc1", "doc2")
   }
 
   val q91Sql: String =
