@@ -754,30 +754,54 @@ object Documents {
       )
 
   def q89DupNgramSpans(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
-    // "gram appears in >= 2 distinct docs" == min(doc_id) != max(doc_id)
-    // over the gram's window — no countDistinct groupBy + join back
-    // (which re-evaluates the explode subtree), one pass instead.
+    // All per-doc outputs are functions of the lowercased text plus the
+    // corpus-level duplicated-gram set, so the gram explode, the dup
+    // test and the span aggregation run over DISTINCT texts (group
+    // representative = min doc_id) and expand back per doc at the end.
+    // The dup predicate generalizes under grouping: a gram appears in
+    // >= 2 distinct DOCS iff it appears in >= 2 distinct groups OR in
+    // one group with >= 2 members — min(gid) != max(gid) or
+    // max(group size) >= 2 over the gram's window.
+    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val withGid = txt.withColumn("gid", min(col("doc_id")).over(gw))
+    val members = withGid.select(col("gid"), col("doc_id").as("mid"))
+    val reps = withGid
+      .filter(col("doc_id") === col("gid"))
+      .select(col("gid"), split(col("t"), "\\s+").as("toks"))
+      .select(col("gid"), col("toks"), size(col("toks")).as("n_tokens"))
+    val sizes = members.groupBy("gid").agg(count(lit(1)).as("gsz"))
+    val repGrams = reps
+      .filter(col("n_tokens") >= spanN)
+      .select(
+        col("gid"),
+        posexplode(
+          transform(sequence(lit(0), col("n_tokens") - spanN),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(spanN))))
+        ).as(Seq("pos", "gram")))
+      .join(sizes, "gid")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val dupPos = gramPositions(s, dir, spanN)
-      .withColumn("d_min", min(col("doc_id")).over(w))
-      .withColumn("d_max", max(col("doc_id")).over(w))
-      .filter(col("d_min") =!= col("d_max"))
-      .select("doc_id", "pos")
+    val dupPos = repGrams
+      .withColumn("g_min", min(col("gid")).over(w))
+      .withColumn("g_max", max(col("gid")).over(w))
+      .withColumn("g_sz", max(col("gsz")).over(w))
+      .filter(col("g_min") =!= col("g_max") || col("g_sz") >= 2)
+      .select(col("gid"), col("pos"))
     // One fused aggregation: every duplicated position contributes
     // exactly spanN idx rows, so n_dup_grams = count/spanN (integral
     // by construction) — avoids a second pass over dupPos and a
     // second join into the result.
     val dupAgg = dupPos
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (spanN - 1))).as("idx"))
-      .groupBy("doc_id")
+      .select(col("gid"), explode(sequence(col("pos"), col("pos") + (spanN - 1))).as("idx"))
+      .groupBy("gid")
       .agg(
         (count(lit(1)) / spanN).cast("long").as("n_dup_grams"),
         countDistinct(col("idx")).as("n_dup_tokens"))
-    base
-      .join(dupAgg, Seq("doc_id"), "left")
+    members
+      .join(reps.select(col("gid"), col("n_tokens")), "gid")
+      .join(dupAgg, Seq("gid"), "left")
       .na.fill(0L, Seq("n_dup_grams", "n_dup_tokens"))
+      .select(col("mid").as("doc_id"), col("n_tokens"), col("n_dup_grams"), col("n_dup_tokens"))
       .orderBy("doc_id")
   }
 

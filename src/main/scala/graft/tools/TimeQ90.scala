@@ -16,8 +16,7 @@ object TimeQ90 {
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
     time("q91") { graft.queries.Documents.q91FuzzyEditdist(spark, dir) }
-    time("q35") { graft.queries.TextPipeline.q35MinhashLsh(spark, dir) }
-    time("q44") { graft.queries.Vectors.q44EmbeddingNearDup(spark, dir) }
+    time("q89") { graft.queries.Documents.q89DupNgramSpans(spark, dir) }
     spark.stop()
   }
 
