@@ -199,20 +199,25 @@ object Documents {
     val urlPat = "https?://\\S+"
     val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
     val numPat = "[0-9]+"
-    val scrubbed = regexp_replace(
-      regexp_replace(regexp_replace(col("text"), urlPat, "<URL>"), emailPat, "<EMAIL>"),
-      numPat,
-      "<NUM>"
-    )
-    val normalized = lower(regexp_replace(trim(scrubbed), "\\s+", " "))
-    docs(s, dir)
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).as("n_urls"),
-        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_nums"),
-        md5(normalized).as("norm_hash")
-      )
+    def normalized(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lower(regexp_replace(trim(
+        regexp_replace(
+          regexp_replace(regexp_replace(t, urlPat, "<URL>"), emailPat, "<EMAIL>"),
+          numPat, "<NUM>")), "\\s+", " "))
+    // Memoized by distinct RAW text (TextGroups): every output column
+    // is a pure function of `text`, and the java-regex passes are the
+    // whole cost — run them once per distinct text. Raw text is the
+    // key because case differences change the redaction counts.
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(
+          col("gid"),
+          size(regexp_extract_all(col("t"), lit(urlPat), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(numPat), lit(0))).as("n_nums"),
+          md5(normalized(col("t"))).as("norm_hash")
+        )
+      }
       .orderBy("doc_id")
   }
 
@@ -314,29 +319,34 @@ object Documents {
   // Shape: bigram explode → corpus counts → join back per doc bigram →
   // per-doc avg. The join key (bigram) is the high-cardinality side;
   // partial aggs absorb the head bigrams before both shuffles.
-  def q61BigramFluency(s: SparkSession, dir: String): DataFrame = {
-    val bigrams = docs(s, dir)
-      .select(
-        col("doc_id"),
-        explode(graft.expressions.TextHashExprs.shingleSet(split(trim(lower(col("text"))), "\\s+"), 2))
-          .as("bigram")
-      )
-    val corpusFreq = bigrams.groupBy(col("bigram")).agg(countDistinct(col("doc_id")).as("bg_docs"))
-    bigrams
-      .join(corpusFreq, "bigram")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("bg_docs")).as("sum_bg_docs")
-      )
-      .select(
-        col("doc_id"),
-        col("n_bigrams"),
-        col("sum_bg_docs"),
-        (col("sum_bg_docs").cast("double") / col("n_bigrams")).as("fluency")
-      )
+  def q61BigramFluency(s: SparkSession, dir: String): DataFrame =
+    // Memoized by distinct text (TextGroups): the bigram explode and
+    // per-doc aggregation run once per distinct text; the corpus
+    // document frequency of a bigram is the sum of group sizes over
+    // the groups containing it (== countDistinct(doc_id) in the
+    // direct form, since a text's distinct-bigram set repeats
+    // identically for each duplicate doc).
+    graft.operators.TextGroups
+      .perDocWithSizes(docs(s, dir), "doc_id", lower(trim(col("text")))) { (reps, sizes) =>
+        val bigrams = reps
+          .select(
+            col("gid"),
+            explode(graft.expressions.TextHashExprs.shingleSet(split(col("t"), "\\s+"), 2)).as("bigram"))
+          .join(sizes, "gid")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bigram")
+        bigrams
+          .withColumn("bg_docs", sum(col("gsz")).over(w))
+          .groupBy(col("gid"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(col("bg_docs")).as("sum_bg_docs"))
+          .select(
+            col("gid"),
+            col("n_bigrams"),
+            col("sum_bg_docs"),
+            (col("sum_bg_docs").cast("double") / col("n_bigrams")).as("fluency"))
+      }
       .orderBy("doc_id")
-  }
 
   val q61Sql: String =
     """WITH b AS (

@@ -15,8 +15,10 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    time("q91") { graft.queries.Documents.q91FuzzyEditdist(spark, dir) }
-    time("q89") { graft.queries.Documents.q89DupNgramSpans(spark, dir) }
+    time("q61") { graft.queries.Documents.q61BigramFluency(spark, dir) }
+    time("q48") { graft.queries.Documents.q48Scrub(spark, dir) }
+    time("q65") { graft.queries.TextPipeline.q65Decontamination(spark, dir) }
+    time("q80") { graft.queries.TextPipeline.q80BloomDecontamination(spark, dir) }
     spark.stop()
   }
 
