@@ -560,26 +560,39 @@ object Documents {
   // min(doc_id) over its occurrences: one groupBy + one equi-join on
   // the shingle key, no pairwise comparison anywhere.
   def q77Novelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .select(
-        col("doc_id"),
-        explode(
-          graft.expressions.TextHashExprs.shingleSet(split(trim(lower(col("text"))), "\\s+"), 3)
-        ).as("s")
-      )
-    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firsts, "s")
-      .groupBy(col("doc_id"))
+    // Memoized by distinct text: a shingle's "first" doc is the min
+    // doc_id over its occurrences == the min GROUP id over the groups
+    // containing it (gid = the group's min doc_id). Only a group's
+    // representative can own novelty — every other member of the group
+    // shares a lower-id doc (the rep) with ALL its shingles, so its
+    // novel count is 0. The shingle explode, the min-aggregation and
+    // the per-doc counts all run once per distinct text.
+    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val withGid = txt.withColumn("gid", min(col("doc_id")).over(gw))
+    val members = withGid.select(col("gid"), col("doc_id").as("mid"))
+    val reps = withGid.filter(col("doc_id") === col("gid")).select(col("gid"), col("t"))
+    val sh = reps.select(
+      col("gid"),
+      explode(graft.expressions.TextHashExprs.shingleSet(split(col("t"), "\\s+"), 3)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val perRep = sh
+      .withColumn("first_gid", min(col("gid")).over(w))
+      .groupBy(col("gid"))
       .agg(
         count(lit(1)).as("n_shingles"),
-        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel")
-      )
+        count(when(col("first_gid") === col("gid"), lit(1))).as("n_novel"))
+    members
+      .join(perRep, "gid")
+      .select(
+        col("mid").as("doc_id"),
+        col("n_shingles"),
+        when(col("mid") === col("gid"), col("n_novel")).otherwise(lit(0L)).as("n_novel"))
       .select(
         col("doc_id"),
         col("n_shingles"),
         col("n_novel"),
-        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac")
-      )
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"))
       .orderBy("doc_id")
   }
 
@@ -608,12 +621,16 @@ object Documents {
   // the |sources|² pair space only materializes per shared shingle,
   // never as a corpus self-join.
   def q78SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // Pre-distinct on (source, lowercased text) before the explode:
+    // the final (source, shingle) distinct makes this a no-op
+    // semantically, but duplicate texts within a source shingle once
+    // instead of once per copy.
     val ss = docs(s, dir)
+      .select(col("source"), lower(trim(col("text"))).as("t"))
+      .distinct()
       .select(
         col("source"),
-        explode(
-          graft.expressions.TextHashExprs.shingleSet(split(trim(lower(col("text"))), "\\s+"), 3)
-        ).as("s")
+        explode(graft.expressions.TextHashExprs.shingleSet(split(col("t"), "\\s+"), 3)).as("s")
       )
       .distinct()
     val totals = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))

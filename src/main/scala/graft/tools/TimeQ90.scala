@@ -15,10 +15,8 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    time("q61") { graft.queries.Documents.q61BigramFluency(spark, dir) }
-    time("q48") { graft.queries.Documents.q48Scrub(spark, dir) }
-    time("q65") { graft.queries.TextPipeline.q65Decontamination(spark, dir) }
-    time("q80") { graft.queries.TextPipeline.q80BloomDecontamination(spark, dir) }
+    time("q77") { graft.queries.Documents.q77Novelty(spark, dir) }
+    time("q78") { graft.queries.Documents.q78SourceOverlap(spark, dir) }
     spark.stop()
   }
 
