@@ -283,20 +283,31 @@ object Documents {
   // hash-compares exactly (ln() rounding differs across engines).
   // Shape: explode → (doc, term) counts → df join (term-keyed) →
   // per-doc top-k window; WindowGroupLimit caps the shuffle.
-  def q60Keywords(s: SparkSession, dir: String): DataFrame = {
-    val terms = docs(s, dir)
-      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("doc_freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("term"))
-    tf.join(df_, "term")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+  def q60Keywords(s: SparkSession, dir: String): DataFrame =
+    // Memoized by distinct text (TextGroups): term frequencies and the
+    // top-3 rank are functions of the text; a term's corpus document
+    // frequency is the sum of group sizes over the groups containing
+    // it (== countDistinct(doc_id) in the direct form).
+    graft.operators.TextGroups
+      .perDocWithSizes(docs(s, dir), "doc_id", lower(trim(col("text")))) { (reps, sizes) =>
+        val terms = reps.select(col("gid"), explode(split(col("t"), "\\s+")).as("term"))
+        val tf = terms.groupBy(col("gid"), col("term")).agg(count(lit(1)).as("tf"))
+        val df_ = terms
+          .select("gid", "term")
+          .distinct()
+          .join(sizes, "gid")
+          .groupBy(col("term"))
+          .agg(sum(col("gsz")).as("doc_freq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gid"))
+          .orderBy(col("tf").desc, col("term"))
+        tf.join(df_, "term")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("gid"), col("rk"), col("term"), col("tf"), col("doc_freq"))
+      }
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("doc_freq"))
       .orderBy("doc_id", "rk")
-  }
 
   val q60Sql: String =
     """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term

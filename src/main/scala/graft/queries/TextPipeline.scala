@@ -244,16 +244,20 @@ object TextPipeline {
   // checks their composition bit-for-bit.
   def q64Curation(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val toks = split(trim(lower(col("text"))), "\\s+")
-    val nTok = size(toks)
-    val nBi = greatest(nTok - 1, lit(0))
-    val nDist = when(nTok >= 2, size(graft.expressions.TextHashExprs.shingleSet(toks, 2))).otherwise(lit(0))
-    val metrics = d.select(
-      col("doc_id"),
-      col("lang"),
-      nTok.as("n_tokens"),
-      when(nBi > 0, (nBi - nDist).cast("double") / nBi).otherwise(lit(0.0)).as("dup_fraction")
-    )
+    // Text metrics memoized by distinct text (TextGroups); lang is a
+    // doc attribute, not a text function, so it joins back per doc.
+    val textMetrics = graft.operators.TextGroups
+      .perDoc(d, "doc_id", lower(trim(col("text")))) { reps =>
+        val toks = split(col("t"), "\\s+")
+        val nTok = size(toks)
+        val nBi = greatest(nTok - 1, lit(0))
+        val nDist = when(nTok >= 2, size(graft.expressions.TextHashExprs.shingleSet(toks, 2))).otherwise(lit(0))
+        reps.select(
+          col("gid"),
+          nTok.as("n_tokens"),
+          when(nBi > 0, (nBi - nDist).cast("double") / nBi).otherwise(lit(0.0)).as("dup_fraction"))
+      }
+    val metrics = d.select(col("doc_id"), col("lang")).join(textMetrics, "doc_id")
 
     val clusters = Dedup
       .nearDupComponents(d, idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,

@@ -15,8 +15,8 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    time("q77") { graft.queries.Documents.q77Novelty(spark, dir) }
-    time("q78") { graft.queries.Documents.q78SourceOverlap(spark, dir) }
+    time("q60") { graft.queries.Documents.q60Keywords(spark, dir) }
+    time("q64") { graft.queries.TextPipeline.q64Curation(spark, dir) }
     spark.stop()
   }
 
