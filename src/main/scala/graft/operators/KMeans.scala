@@ -57,12 +57,39 @@ object KMeans {
     * @return centroid matrix, row c = centroid of cell c. Cells left
     *         empty by an iteration keep their previous centroid.
     */
-  def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): Seq[Seq[Double]] = {
+  /** @param dedupVectors collapse exact-duplicate embeddings to one
+    *         row weighted by multiplicity before iterating —
+    *         bit-identical centroids: the weighted per-dimension mean
+    *         `sum(v·w)/sum(w)` over distinct vectors equals the direct
+    *         `sum(v)/count` over all rows EXACTLY because both sides
+    *         stay in decimal arithmetic end-to-end (v casts to
+    *         decimal(18,12), w to decimal(10,0): the product's 29
+    *         digits keep scale 12 un-rounded, and both sums reach the
+    *         same decimal(38,12) before the one division). Init is
+    *         unchanged (the k lowest-id ROWS of the original corpus).
+    *         Equality is property-pinned in KMeansSpec; embedding
+    *         tables from crawled corpora duplicate heavily (the sf1
+    *         soak: 2,000 distinct vectors across 20k rows), and every
+    *         iteration's explode+shuffle shrinks by that factor.
+    */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int,
+      dedupVectors: Boolean = false
+  ): Seq[Seq[Double]] = {
     // Every iteration and the init scan the corpus — cache it for the
     // duration of the fit (spill-safe) instead of re-reading parquet
     // iters+1 times.
-    val corpus = df
-      .select(col(idCol).as("_id"), col(embCol).as("_emb"))
+    val corpusAll = df.select(col(idCol).as("_id"), col(embCol).as("_emb"))
+    val corpus = (if (dedupVectors)
+                    corpusAll
+                      .groupBy(col("_emb"))
+                      .agg(min(col("_id")).as("_id"), count(lit(1)).as("_w"))
+                      .select(col("_id"), col("_emb"), col("_w"))
+                  else corpusAll.withColumn("_w", lit(1L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Ragged embeddings would otherwise fail deep inside an iteration
@@ -76,7 +103,9 @@ object KMeans {
         "k-means needs a uniform dimensionality"
     )
 
-    var centroids: Seq[Seq[Double]] = corpus
+    // Init reads the ORIGINAL rows either way — "the k vectors with
+    // the lowest ids" must not change when duplicates collapse.
+    var centroids: Seq[Seq[Double]] = (if (dedupVectors) corpusAll else corpus)
       .orderBy("_id")
       .limit(k)
       .select("_emb")
@@ -86,10 +115,22 @@ object KMeans {
     require(centroids.size == k, s"k=$k but corpus has only ${centroids.size} rows")
 
     for (_ <- 1 to iters) {
-      val means = corpus
-        .select(nearestCell(col("_emb"), centroids).as("_cell"), posexplode(col("_emb")).as(Seq("_dim", "_v")))
-        .groupBy(col("_cell"), col("_dim"))
-        .agg((sum(col("_v").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("_mean"))
+      val rows = corpus
+        .select(
+          nearestCell(col("_emb"), centroids).as("_cell"),
+          col("_w"),
+          posexplode(col("_emb")).as(Seq("_dim", "_v")))
+      val agged =
+        if (dedupVectors)
+          rows
+            .groupBy(col("_cell"), col("_dim"))
+            .agg((sum(col("_v").cast("decimal(18,12)") * col("_w").cast("decimal(10,0)")) /
+              sum(col("_w"))).cast("double").as("_mean"))
+        else
+          rows
+            .groupBy(col("_cell"), col("_dim"))
+            .agg((sum(col("_v").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("_mean"))
+      val means = agged
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
         .toMap

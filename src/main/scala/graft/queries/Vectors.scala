@@ -205,7 +205,10 @@ object Vectors {
       col("vec_id"),
       graft.operators.Similarity.asDouble(col("embedding")).as("e")
     )
-    val centroids = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3)
+    // dedupVectors: Lloyd iterations run over distinct embeddings
+    // weighted by multiplicity — bit-identical centroids (KMeansSpec).
+    val centroids = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3,
+      dedupVectors = true)
     val cells = graft.operators.KMeans.assign(e, "e", centroids)
     val q = cells.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("cell"), col("e").as("qemb"))
     val c = cells.select(col("vec_id").as("nid"), col("cell"), col("e").as("nemb"))

@@ -15,8 +15,7 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    time("q60") { graft.queries.Documents.q60Keywords(spark, dir) }
-    time("q64") { graft.queries.TextPipeline.q64Curation(spark, dir) }
+    time("q52") { graft.queries.Vectors.q52AnnKmeans(spark, dir) }
     spark.stop()
   }
 

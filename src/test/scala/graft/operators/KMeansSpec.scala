@@ -38,6 +38,20 @@ class KMeansSpec extends SparkSpec {
     KMeans.fit(df1, "id", "emb", 3, 4) shouldBe KMeans.fit(df8, "id", "emb", 3, 4)
   }
 
+  test("dedupVectors fit is bit-identical on a duplicate-heavy corpus") {
+    // duplicate vectors with uneven multiplicities across clumps —
+    // the weighted mean must reproduce the direct mean EXACTLY
+    val dups = clusters ++ Seq(
+      (30L, Seq(0.1, 0.0)), (31L, Seq(0.1, 0.0)), (32L, Seq(0.1, 0.0)), // ×4 total
+      (33L, Seq(10.1, 0.0)), // ×2 total
+      (34L, Seq(0.0, 10.1)), (35L, Seq(0.0, 10.1)) // ×3 total
+    )
+    val df = dups.toDF("id", "emb")
+    val direct = KMeans.fit(df, "id", "emb", k = 3, iters = 4)
+    val deduped = KMeans.fit(df, "id", "emb", k = 3, iters = 4, dedupVectors = true)
+    deduped shouldBe direct
+  }
+
   test("kernel nearestCell == declarative argmin form") {
     val df = clusters.toDF("id", "emb")
     val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(0.05, 0.0))
