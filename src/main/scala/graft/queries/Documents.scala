@@ -52,20 +52,23 @@ object Documents {
       |ORDER BY doc_id""".stripMargin
 
   // ---- q32: quality scoring (length / punctuation / stopword ratios) ---------
+  // Memoized by distinct raw text (TextGroups) — pure text function.
   def q32TextQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
+    val toks = split(trim(lower(col("t"))), "\\s+")
     val nTok = size(toks)
     val nStop = size(filter(toks, w => w.isInCollection(stopwords)))
-    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    docs(s, dir)
-      .select(
-        col("doc_id"),
-        nTok.as("n_tokens"),
-        nStop.as("n_stopwords"),
-        nPunct.as("n_punct"),
-        (nStop.cast("double") / nTok).as("stopword_ratio"),
-        (nPunct.cast("double") / length(col("text"))).as("punct_ratio")
-      )
+    val nPunct = length(col("t")) - length(regexp_replace(col("t"), "[.,;:!?]", ""))
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(
+          col("gid"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stopwords"),
+          nPunct.as("n_punct"),
+          (nStop.cast("double") / nTok).as("stopword_ratio"),
+          (nPunct.cast("double") / length(col("t"))).as("punct_ratio")
+        )
+      }
       .orderBy("doc_id")
   }
 
@@ -105,17 +108,19 @@ object Documents {
   // ---- q34: n-gram shingles (dedup building block, exact-SQL-checkable) --------
   // 3-gram shingle count per document: the first stage of MinHash dedup,
   // verified exactly here; hashing stages are property-tested in ScalaTest.
+  // Memoized by distinct raw text (TextGroups) — pure text function.
   def q34Shingles(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
-    docs(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        // kernel expression; equal to the declarative distinct-transform
-        // form (property-tested in TextHashExprsSpec)
-        size(graft.expressions.TextHashExprs.shingleSet(col("toks"), 3)).as("n_distinct_shingles")
-      )
+    val toks = split(trim(lower(col("t"))), "\\s+")
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(
+          col("gid"),
+          size(toks).as("n_tokens"),
+          // kernel expression; equal to the declarative distinct-transform
+          // form (property-tested in TextHashExprsSpec)
+          size(graft.expressions.TextHashExprs.shingleSet(toks, 3)).as("n_distinct_shingles")
+        )
+      }
       .orderBy("doc_id")
   }
 
@@ -133,22 +138,26 @@ object Documents {
   // Duplicate-bigram fraction per document — the standard repetition
   // signal for filtering TV-static docs from a training corpus. Pure
   // per-row map work: embarrassingly parallel, no shuffle at any scale.
+  // Memoized by distinct raw text (TextGroups) — pure text function.
   def q46Repetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
+    val toks = split(trim(lower(col("t"))), "\\s+")
     val nTok = size(toks)
     val nBi = greatest(nTok - 1, lit(0))
     val nDist = when(nTok >= 2, size(graft.expressions.TextHashExprs.shingleSet(toks, 2))).otherwise(lit(0))
-    docs(s, dir)
-      .select(col("doc_id"), nBi.as("n_bigrams"), nDist.as("n_distinct_bigrams"))
-      .select(
-        col("doc_id"),
-        col("n_bigrams"),
-        col("n_distinct_bigrams"),
-        when(
-          col("n_bigrams") > 0,
-          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")
-        ).otherwise(lit(0.0)).as("dup_fraction")
-      )
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps
+          .select(col("gid"), nBi.as("n_bigrams"), nDist.as("n_distinct_bigrams"))
+          .select(
+            col("gid"),
+            col("n_bigrams"),
+            col("n_distinct_bigrams"),
+            when(
+              col("n_bigrams") > 0,
+              (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")
+            ).otherwise(lit(0.0)).as("dup_fraction")
+          )
+      }
       .orderBy("doc_id")
   }
 

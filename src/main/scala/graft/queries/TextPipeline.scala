@@ -97,15 +97,18 @@ object TextPipeline {
       |ORDER BY doc_id""".stripMargin
 
   // ---- q37: winnowing fingerprints (k-gram=3, window=4) ----------------------
+  // Memoized by distinct raw text (TextGroups) — pure text function.
   def q37Winnow(s: SparkSession, dir: String): DataFrame = {
-    val fps = graft.expressions.TextHashExprs.winnow(Dedup.tokens(col("text")), k = 3, w = 4)
-    docs(s, dir)
-      .select(
-        col("doc_id"),
-        size(fps).as("n_fingerprints"),
-        array_min(fps).as("min_fp"),
-        array_max(fps).as("max_fp")
-      )
+    val fps = graft.expressions.TextHashExprs.winnow(Dedup.tokens(col("t")), k = 3, w = 4)
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(
+          col("gid"),
+          size(fps).as("n_fingerprints"),
+          array_min(fps).as("min_fp"),
+          array_max(fps).as("max_fp")
+        )
+      }
       .orderBy("doc_id")
   }
 
@@ -137,12 +140,15 @@ object TextPipeline {
     // declarative per-language filter + argmax CASE chain re-evaluates
     // the hit counts ~15× per row (equality property-tested).
     val langs = TextAnalysis.indicators.map(_._1)
-    val staged = docs(s, dir)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        graft.expressions.TextHashExprs.langScores(Dedup.tokens(col("text"))).as("scores")
-      )
+    // Scores memoized by distinct raw text (TextGroups); lang is a doc
+    // attribute and joins back per doc.
+    val scored = graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(
+          col("gid"),
+          graft.expressions.TextHashExprs.langScores(Dedup.tokens(col("t"))).as("scores"))
+      }
+    val staged = docs(s, dir).select(col("doc_id"), col("lang")).join(scored, "doc_id")
     val best = array_max(col("scores"))
     val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
       when(col("scores").getItem(i) > 0 && col("scores").getItem(i) === best, lang).otherwise(elseCol)
@@ -176,15 +182,18 @@ object TextPipeline {
   }
 
   // ---- q39: document fingerprints (canonical md5 + positional rolling hash) ---
+  // Memoized by distinct raw text (TextGroups) — pure text function.
   def q39Fingerprints(s: SparkSession, dir: String): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
-    docs(s, dir)
-      .select(
-        col("doc_id"),
-        TextAnalysis.canonicalFingerprint(col("text")).as("canon_fp"),
-        // kernel form of TextAnalysis.rollingHash (equality property-tested)
-        graft.expressions.TextHashExprs.rollingHash(toks).as("rolling_hash")
-      )
+    val toks = Dedup.tokens(col("t"))
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(
+          col("gid"),
+          TextAnalysis.canonicalFingerprint(col("t")).as("canon_fp"),
+          // kernel form of TextAnalysis.rollingHash (equality property-tested)
+          graft.expressions.TextHashExprs.rollingHash(toks).as("rolling_hash")
+        )
+      }
       .orderBy("doc_id")
   }
 

@@ -15,7 +15,12 @@ object TimeQ90 {
       }
       println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
     }
-    time("q52") { graft.queries.Vectors.q52AnnKmeans(spark, dir) }
+    time("q32") { graft.queries.Documents.q32TextQuality(spark, dir) }
+    time("q34") { graft.queries.Documents.q34Shingles(spark, dir) }
+    time("q46") { graft.queries.Documents.q46Repetition(spark, dir) }
+    time("q37") { graft.queries.TextPipeline.q37Winnow(spark, dir) }
+    time("q38") { graft.queries.TextPipeline.q38LangId(spark, dir) }
+    time("q39") { graft.queries.TextPipeline.q39Fingerprints(spark, dir) }
     spark.stop()
   }
 
