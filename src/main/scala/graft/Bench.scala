@@ -39,11 +39,18 @@ object Bench {
 
     val results = names.map { n =>
       val times = (1 to runs).map(_ => runOne(n)).sorted
-      n -> times(times.length / 2)
+      (n, times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // min-of-N alongside the protocol median: on a host with bursty
+    // external interference the min approximates the uncontended cost,
+    // so a reader can tell noise from a real regression (a code
+    // regression moves BOTH numbers; interference moves only the
+    // median). The headline value stays the BASELINE.md median.
+    val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -157,4 +157,20 @@ class PlanSpec extends SparkSpec {
     "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
     p should include("partial_")
   }
+
+  test("whole catalog: no global (no-partition) window outside q68's 25-row nation rank") {
+    // A window with an empty partition spec serializes its whole input
+    // through ONE task — the scale bug the q73 rewrite removed. Audit
+    // every catalog query's optimized plan; the only acceptable global
+    // window is q68's rank over the per-NATION aggregate, whose input
+    // is bounded by dimension cardinality (<=25 rows), not data size.
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val global = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    offenders shouldBe Seq("q68_revenue_share")
+  }
 }
