@@ -172,7 +172,10 @@ object AsOfJoin {
     * (forward) band resolve through per-band build summaries (ONE row
     * per non-empty (key, band) — bounded by time span / band, not by
     * data) with a recursive as-of on the band index. Result is
-    * bit-identical to [[apply]] (AsOfJoinSpec pins equality).
+    * bit-identical to [[apply]] (AsOfJoinSpec pins equality), including
+    * null-time rows, which both forms place at -infinity (banded via an
+    * internal sentinel of Long.MinValue/2 — a real timestamp at exactly
+    * that value is conflated with null).
     *
     * Pick `bandUs` so a band of the hottest key fits a task (e.g. an
     * hour for ~10⁶ events/hour keys). Plain [[apply]] stays the right
@@ -203,8 +206,21 @@ object AsOfJoin {
     }
     val bandCol = fresh("_band")
     val bkCol = fresh("_bk")
-    val mtOut = fresh("_mt_out") // matched build time, null ⇔ no within-band match
+    val mtOut = fresh("_mt_out") // matched build time (normalized), null ⇔ no within-band match
+    val ltN = fresh("_ltn")
+    val rtN = fresh("_rtn")
     val cPfx = fresh("_carry_")
+
+    // Null times: apply's sweep places a null-time row at -infinity in
+    // BOTH directions (backward sorts asc with nulls first; forward
+    // sorts desc with nulls last — either way "before every real
+    // instant"). Band arithmetic cannot run on null, so both sides'
+    // times normalize to a sentinel reproducing that ordering exactly;
+    // the ORIGINAL times still drive the tolerance gate, where apply
+    // parity demands that any comparison against a null time fails.
+    // Caveat: a real timestamp equal to the sentinel (Long.MinValue/2,
+    // year ≈ -146,000) is indistinguishable from null here.
+    val sentinel = Long.MinValue / 2
 
     // Floor division in exact arithmetic: long `/` is a DOUBLE divide
     // in Spark and loses bits past 2^53 (epoch micros are bigger), so
@@ -214,8 +230,12 @@ object AsOfJoin {
     def floorDiv(t: Column): Column =
       ((t - pmod(t, lit(bandUs))).cast("decimal(38,0)") / lit(bandUs)).cast("long")
 
-    val lb = left.withColumn(bandCol, floorDiv(col(leftTime).cast("long")))
-    val rb = right.withColumn(bandCol, floorDiv(col(rightTime).cast("long")))
+    val lb = left
+      .withColumn(ltN, coalesce(col(leftTime).cast("long"), lit(sentinel)))
+      .withColumn(bandCol, floorDiv(col(ltN)))
+    val rb = right
+      .withColumn(rtN, coalesce(col(rightTime).cast("long"), lit(sentinel)))
+      .withColumn(bandCol, floorDiv(col(rtN)))
     val lk = lb.withColumn(bkCol, struct(col(key), col(bandCol)))
     val rk = rb.withColumn(bkCol, struct(col(key), col(bandCol)))
 
@@ -227,9 +247,9 @@ object AsOfJoin {
       lk,
       rk,
       bkCol,
-      leftTime,
-      rightTime,
-      rightVals :+ (rightTime -> mtOut),
+      ltN,
+      rtN,
+      rightVals :+ (rtN -> mtOut),
       tieBreak,
       rightTieBreak,
       direction,
@@ -241,10 +261,10 @@ object AsOfJoin {
     // forward: first (t, tb)).
     val tb = rightTieBreak.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
     val summaryRow = struct(
-      col(rightTime).cast("long").as(mtOut) +:
+      col(rtN).as(mtOut) +:
         rightVals.map { case (src, out) => col(src).as(out) }: _*
     )
-    val orderKey = struct(col(rightTime).cast("long"), tb)
+    val orderKey = struct(col(rtN), tb)
     val perBand = rb
       .groupBy(col(key), col(bandCol))
       .agg((if (fwd) min_by(summaryRow, orderKey) else max_by(summaryRow, orderKey)).as("_row"))
@@ -281,8 +301,11 @@ object AsOfJoin {
     val keep: Column = toleranceUs match {
       case None => mtAll.isNotNull
       case Some(tol) =>
-        val gap = if (fwd) mtAll - col(leftTime).cast("long") else col(leftTime).cast("long") - mtAll
-        mtAll.isNotNull && gap <= tol
+        // apply parity: a tolerance comparison against a null time
+        // always fails — a sentinel on either side means the original
+        // time was null, so the gate rejects it outright.
+        val gap = if (fwd) mtAll - col(ltN) else col(ltN) - mtAll
+        mtAll.isNotNull && mtAll =!= sentinel && col(ltN) =!= sentinel && gap <= tol
     }
     merged.select(
       left.columns.map(col) ++

@@ -63,10 +63,13 @@ object KMeans {
     *         `sum(v·w)/sum(w)` over distinct vectors equals the direct
     *         `sum(v)/count` over all rows EXACTLY because both sides
     *         stay in decimal arithmetic end-to-end (v casts to
-    *         decimal(18,12), w to decimal(10,0): the product's 29
-    *         digits keep scale 12 un-rounded, and both sums reach the
-    *         same decimal(38,12) before the one division). Init is
-    *         unchanged (the k lowest-id ROWS of the original corpus).
+    *         decimal(28,12) in BOTH modes, w to decimal(9,0): the
+    *         product is exactly decimal(38,12) — no precision cap, so
+    *         scale 12 is never rounded — and both sums reach the same
+    *         decimal(38,12) before the one division by a bigint).
+    *         Multiplicities >= 1e9 are rejected up front rather than
+    *         silently overflowing. Init is unchanged (the k lowest-id
+    *         ROWS of the original corpus).
     *         Equality is property-pinned in KMeansSpec; embedding
     *         tables from crawled corpora duplicate heavily (the sf1
     *         soak: 2,000 distinct vectors across 20k rows), and every
@@ -95,12 +98,22 @@ object KMeans {
     // Ragged embeddings would otherwise fail deep inside an iteration
     // (mean lookup for a dimension no row produced) while nearestCell
     // silently truncates — validate uniform length up front instead.
-    val dims = corpus.agg(min(size(col("_emb"))).as("lo"), max(size(col("_emb"))).as("hi")).head
+    val dims = corpus
+      .agg(min(size(col("_emb"))).as("lo"), max(size(col("_emb"))).as("hi"), max(col("_w")).as("w"))
+      .head
     require(!dims.isNullAt(0), "k-means needs a non-empty corpus with non-null embeddings")
     require(
       dims.getInt(0) == dims.getInt(1),
       s"ragged embedding lengths: min=${dims.getInt(0)}, max=${dims.getInt(1)} — " +
         "k-means needs a uniform dimensionality"
+    )
+    // The weighted mean keeps the v·w product at exactly decimal(38,12)
+    // by holding w to 9 integer digits — enforce it loudly instead of
+    // letting a silent decimal overflow null out a centroid dimension.
+    require(
+      dims.getLong(2) < 1000000000L,
+      s"dedupVectors: a single embedding repeats ${dims.getLong(2)} times (>= 1e9) — " +
+        "beyond the weighted mean's exact-decimal range"
     )
 
     // Init reads the ORIGINAL rows either way — "the k vectors with
@@ -122,9 +135,14 @@ object KMeans {
           posexplode(col("_emb")).as(Seq("_dim", "_v")))
       val agged =
         if (dedupVectors)
+          // decimal(28,12) matches the direct path's value domain
+          // (|v| < 1e16) so both modes overflow — or don't — together;
+          // w at decimal(9,0) keeps the product at exactly (38,12)
+          // (28+9+1 = 38: no precision cap, no scale rounding). The
+          // multiplicity bound is validated up front.
           rows
             .groupBy(col("_cell"), col("_dim"))
-            .agg((sum(col("_v").cast("decimal(18,12)") * col("_w").cast("decimal(10,0)")) /
+            .agg((sum(col("_v").cast("decimal(28,12)") * col("_w").cast("decimal(9,0)")) /
               sum(col("_w"))).cast("double").as("_mean"))
         else
           rows

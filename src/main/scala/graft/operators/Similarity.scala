@@ -146,23 +146,27 @@ object Similarity {
       .select(col("cell"), col("id"), col("emb"))
       .withColumn("gid", min(col("id")).over(w))
     val reps = withGid.filter(col("id") === col("gid")).select(col("cell"), col("gid").as("id"), col("emb"))
-    val members = withGid.select(col("gid"), col("id").as("mid"))
+    // Groups are keyed by (cell, gid), and every expansion join must
+    // match on BOTH: with multi-probe cell assignments (the doc'd LSH
+    // shape) the same id sits in several cells, and a gid-only join
+    // would expand each pair once per cell the group recurs in.
+    val m1 = withGid.select(col("cell").as("c1"), col("gid").as("g1"), col("id").as("a"))
+    val m2 = withGid.select(col("cell").as("c2"), col("gid").as("g2"), col("id").as("b"))
     val cross = cellNearDups(reps, threshold)
       // Barrier: stops Catalyst collapsing the cosine projection above
       // the expansion joins (re-running the dot product per DOC pair
       // and shipping both embeddings with every expanded row).
       .localCheckpoint(false)
-      .join(members.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
-      .join(members.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))
+      .join(m1, col("cell") === col("c1") && col("id1") === col("g1"))
+      .join(m2, col("cell") === col("c2") && col("id2") === col("g2"))
       .select(col("cell"), least(col("a"), col("b")).as("id1"), greatest(col("a"), col("b")).as("id2"), col("cosine"))
     val selfCos = reps
       .select(col("cell"), col("id").as("gid"),
         (dot(col("emb"), col("emb")) / (norm(col("emb")) * norm(col("emb")))).as("cosine"))
       .filter(col("cosine") >= threshold)
-    val em = members
     val within = selfCos
-      .join(em.select(col("gid"), col("mid").as("a")), "gid")
-      .join(em.select(col("gid").as("g2"), col("mid").as("b")), col("gid") === col("g2") && col("a") < col("b"))
+      .join(m1, col("cell") === col("c1") && col("gid") === col("g1"))
+      .join(m2, col("cell") === col("c2") && col("gid") === col("g2") && col("a") < col("b"))
       .select(col("cell"), col("a").as("id1"), col("b").as("id2"), col("cosine"))
     cross.unionByName(within)
   }

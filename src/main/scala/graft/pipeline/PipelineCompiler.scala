@@ -310,6 +310,18 @@ object QueueSink {
     val spool = new HPath(queuePath + ".spool")
     val fs = spool.getFileSystem(sc.hadoopConfiguration)
     fs.mkdirs(spool)
+    // Complete an interrupted merge before anything else: if a prior
+    // run died between deleting the queue file and renaming the merged
+    // tmp into place, the tmp holds the ENTIRE accumulated queue (the
+    // delete only ever happens after the tmp is fully written and
+    // closed) — rename it back or those messages are lost. A tmp
+    // alongside a still-existing queue is the opposite case (died
+    // mid-write, nothing deleted) and is simply overwritten by the
+    // next merge.
+    val queue = new HPath(queuePath)
+    val mergeTmp = mergeTmpFor(queue)
+    if (!fs.exists(queue) && fs.exists(mergeTmp) && !fs.rename(mergeTmp, queue))
+      sys.error(s"queue merge recovery: rename $mergeTmp -> $queue failed")
     // Stale parts/tmps from a crashed prior run must not merge into this
     // run's queue file.
     cleanSpool(fs, spool)
@@ -334,9 +346,12 @@ object QueueSink {
         } finally client.close()
       }
     }
-    mergeSpool(fs, spool, new HPath(queuePath))
+    mergeSpool(fs, spool, queue)
     PostStats(partsPosted.value, msgsPosted.value)
   }
+
+  private def mergeTmpFor(queue: HPath): HPath =
+    new HPath(queue.getParent, queue.getName + ".merge.tmp")
 
   /** Remove all part files and orphaned task-attempt tmps so only this
     * run's partitions are merged.
@@ -365,7 +380,10 @@ object QueueSink {
     * past the zero-pad width. Append semantics are rewrite + rename
     * (existing queue bytes first, then the new parts): LocalFileSystem
     * does not support append, and the rename keeps readers from ever
-    * seeing a half-merged file.
+    * seeing a half-merged file. A crash between the delete and the
+    * rename leaves only the (complete) tmp — the next post() renames
+    * it back into place before doing anything else, so no delivered
+    * message is ever lost.
     */
   private def mergeSpool(fs: FileSystem, spool: HPath, queue: HPath): Unit = {
     val parts = fs
@@ -375,7 +393,7 @@ object QueueSink {
       .filter(_.getName.startsWith("part-"))
       .sortBy(_.getName.stripPrefix("part-").toLong)
     if (queue.getParent != null) fs.mkdirs(queue.getParent)
-    val merged = new HPath(queue.getParent, queue.getName + ".merge.tmp")
+    val merged = mergeTmpFor(queue)
     scala.util.Using.resource(fs.create(merged, true)) { out =>
       if (fs.exists(queue)) copyInto(fs, queue, out)
       parts.foreach(p => copyInto(fs, p, out))

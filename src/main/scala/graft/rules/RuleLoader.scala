@@ -39,26 +39,45 @@ object RuleLoader {
       else reflect(ref).fold(_ => acc, r => acc + (ref -> r))
     }
 
-  private def classFor(name: String): Option[Class[_]] =
-    try Some(Class.forName(name))
-    catch { case _: ClassNotFoundException | _: NoClassDefFoundError => None }
+  /** Class.forName, separating "absent" (Right(None)) from "present but
+    * failed to initialize" (Left). A plugin whose static initializer
+    * throws must surface as a load error, not crash `compile`/-checkRule:
+    * ExceptionInInitializerError is a LinkageError, which NonFatal
+    * deliberately excludes, so it needs its own handler.
+    */
+  private def classFor(name: String): Either[String, Option[Class[_]]] =
+    try Right(Some(Class.forName(name)))
+    catch {
+      case _: ClassNotFoundException | _: NoClassDefFoundError => Right(None)
+      case e: LinkageError => Left(s"Unable to load plugin $name: $e")
+    }
 
   private def reflect(className: String): Either[String, Rule] = {
     // A Scala `object Foo` compiles to Foo$ (the MODULE$ singleton)
     // plus a Foo mirror class of static forwarders — so the module
     // class must be probed FIRST or the mirror shadows it.
-    val module: Option[Any] = classFor(className + "$").flatMap { c =>
-      try Option(c.getField("MODULE$").get(null))
-      catch { case NonFatal(_) => None }
+    val module: Either[String, Option[Any]] = classFor(className + "$").flatMap {
+      case None => Right(None)
+      case Some(c) =>
+        try Right(Option(c.getField("MODULE$").get(null)))
+        catch {
+          // Deferred static init runs at first MODULE$ access — a
+          // throwing plugin constructor lands here as a LinkageError.
+          case e: LinkageError => Left(s"Unable to load plugin $className: $e")
+          case NonFatal(_)     => Right(None) // a Foo$ that isn't a Scala module — try the class form
+        }
     }
-    val instance: Either[String, Any] = module match {
+    val instance: Either[String, Any] = module.flatMap {
       case Some(m) => Right(m)
       case None =>
-        classFor(className) match {
+        classFor(className).flatMap {
           case None => Left(s"Unable to load plugin $className: class not found")
           case Some(c) =>
             try Right(c.getDeclaredConstructor().newInstance())
-            catch { case NonFatal(e) => Left(s"Unable to load plugin $className: $e") }
+            catch {
+              case e: LinkageError => Left(s"Unable to load plugin $className: $e")
+              case NonFatal(e)     => Left(s"Unable to load plugin $className: $e")
+            }
         }
     }
     instance.flatMap {

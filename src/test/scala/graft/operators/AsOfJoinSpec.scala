@@ -195,9 +195,11 @@ class AsOfJoinSpec extends SparkSpec {
 
     // Times span many small bands so carries cross band boundaries
     // constantly; empty bands, band-edge timestamps (t = multiple of
-    // bandUs), and keys with no builds all occur under these gens.
+    // bandUs), keys with no builds, and NULL times on either side
+    // (apply treats them as -infinity; banded must agree) all occur
+    // under these gens.
     val keyGen = Gen.oneOf("a", "b")
-    val timeGen = Gen.choose(0L, 40L)
+    val timeGen = Gen.frequency(9 -> Gen.choose(0L, 40L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))
     val leftGen = Gen.listOfN(30, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (s"L$i", k, t) })
     val rightGen =
       Gen.listOfN(30, Gen.zip(keyGen, timeGen)).map(_.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i", i.toLong) })

@@ -132,11 +132,16 @@ class SimilaritySpec extends SparkSpec {
       (3L, Seq(0.9, 0.1, 0.2), 0), // near-dup, same cell
       (4L, Seq(1.0, 0.0, 0.2), 1), // same vector, DIFFERENT cell — never pairs with 0-2
       (5L, Seq(0.0, 1.0, 0.0), 1),
-      (6L, Seq(0.0, 1.0, 0.0), 1)  // exact dup of 5
+      (6L, Seq(0.0, 1.0, 0.0), 1), // exact dup of 5
+      // multi-probe shape: ids 0 and 1 ALSO land in cell 1 — their
+      // duplicate group recurs per cell, and expansion must stay
+      // per-(cell, group), not multiply across the cells it recurs in
+      (0L, Seq(1.0, 0.0, 0.2), 1),
+      (1L, Seq(1.0, 0.0, 0.2), 1)
     ).toDF("id", "emb", "cell")
     def run(dedup: Boolean) = Similarity
       .cellNearDups(dup, threshold = 0.3, dedupFirst = dedup)
-      .orderBy("id1", "id2")
+      .orderBy("cell", "id1", "id2")
       .as[(Int, Long, Long, Double)]
       .collect()
       .toSeq

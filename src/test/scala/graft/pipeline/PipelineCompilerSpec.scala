@@ -552,6 +552,27 @@ class PipelineCompilerSpec extends SparkSpec {
     Files.exists(spool) shouldBe false
   }
 
+  test("QueueSink recovers a merge interrupted between delete and rename") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_queue_recover")
+    val queue = s"$dir/q/messages"
+    QueueSink.post(spark.range(0, 3, 1, numPartitions = 2).select(col("id")), queue)
+    // Simulate the crash window: the merged tmp was fully written and
+    // the old queue file deleted, but the rename never happened. The
+    // tmp IS the complete accumulated queue at that point.
+    Files.move(Paths.get(queue), Paths.get(s"$queue.merge.tmp"))
+    QueueSink.post(spark.range(3, 5, 1, numPartitions = 2).select(col("id")), queue)
+    val lines = scala.io.Source.fromFile(queue).getLines().toSeq
+    lines shouldBe Seq(0, 1, 2, 3, 4).map(i => s"""{"id":$i}""")
+    // A stale tmp NEXT TO a surviving queue (crash mid-write, nothing
+    // deleted) is the opposite case: it must be ignored/overwritten,
+    // never merged.
+    Files.write(Paths.get(s"$queue.merge.tmp"), "half-written garbage\n".getBytes("UTF-8"))
+    QueueSink.post(spark.range(5, 6, 1, numPartitions = 1).select(col("id")), queue)
+    val lines2 = scala.io.Source.fromFile(queue).getLines().toSeq
+    lines2 shouldBe Seq(0, 1, 2, 3, 4, 5).map(i => s"""{"id":$i}""")
+  }
+
   test("runtime-loaded rules: plugin by class name, object and class forms (plugin.Open parity)") {
     import spark.implicits._
     val dir = tmpDir("graft_runtime_rule")
@@ -585,6 +606,28 @@ class PipelineCompilerSpec extends SparkSpec {
          |  "states": {},
          |  "sources": {"fileInput": {"type": "File", "path": "$dir/input"}},
          |  "sinks": {"memBad": {"type": "Memory"}}
+         |}""".stripMargin
+    val err = PipelineCompiler.compile(spark, config).left.toOption.get
+    err should include("Invalid plugin for rule bad")
+  }
+
+  test("a plugin whose static initializer throws loads as an error, not a crash") {
+    // ExceptionInInitializerError is a LinkageError (outside NonFatal):
+    // RuleLoader must convert it to the reference's "Unable to load
+    // plugin" Left instead of letting it escape compile/-checkRule.
+    val direct = graft.rules.RuleLoader.load("graft.plugins.ExplodingInitRule", Map.empty)
+    direct.isLeft shouldBe true
+    direct.left.toOption.get should include("Unable to load plugin")
+
+    val dir = tmpDir("graft_explodingrule")
+    writeLines(s"$dir/input", Seq("a"))
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"bad": {"source": "fileInput", "plugin": "graft.plugins.ExplodingInitRule", "sink": "memBoom"}},
+         |  "states": {},
+         |  "sources": {"fileInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"memBoom": {"type": "Memory"}}
          |}""".stripMargin
     val err = PipelineCompiler.compile(spark, config).left.toOption.get
     err should include("Invalid plugin for rule bad")

@@ -29,6 +29,16 @@ final class SuffixRule extends Rule {
   */
 final class NotARule
 
+/** A plugin whose static initializer throws: loading must produce a
+  * Left (the reference's plugin.Open failure path), not crash compile —
+  * ExceptionInInitializerError is a LinkageError, outside NonFatal.
+  */
+object ExplodingInitRule extends Rule {
+  if (true) sys.error("boom during <clinit>")
+  val name = "exploding"
+  def apply(df: DataFrame): DataFrame = df
+}
+
 /** Fault injection: every task throws while the flag file exists, so a
   * streaming batch can be killed mid-flight (offsets logged, commit
   * log not) and the restart path exercised. Local-mode tests share the
