@@ -37,7 +37,11 @@ object Decode {
 
   private def matches(et: EventType): Column = {
     val parsed = col(s"_${et.name}")
-    if (et.raw) parsed.isNotNull
+    // The raw catch-all claims any non-null record. The check must be
+    // on `value` itself: `parsed` is a struct literal, which is never
+    // null, so testing it would claim even null records — which the
+    // fast path (null-propagating detector) correctly dead-letters.
+    if (et.raw) col("value").isNotNull
     else
       et.required
         .map(f => parsed.getField(f).isNotNull)

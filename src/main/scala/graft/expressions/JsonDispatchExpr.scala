@@ -38,7 +38,15 @@ object JsonDispatch {
   type TypeSpec = Array[(String, Array[(String, DataType)])]
 
   private val mapperLocal: ThreadLocal[ObjectMapper] = new ThreadLocal[ObjectMapper] {
-    override def initialValue(): ObjectMapper = new ObjectMapper()
+    override def initialValue(): ObjectMapper = {
+      val m = new ObjectMapper()
+      // from_json's JSONOptions default these two parser features ON
+      // (and only these two) — a single-quoted record or a bare NaN
+      // token must label identically on both dispatch paths.
+      m.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES, true)
+      m.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
+      m
+    }
   }
 
   /** Non-numeric double/float spellings from JacksonParser
@@ -54,8 +62,12 @@ object JsonDispatch {
     case StringType => true // any token renders as text (objects keep raw JSON)
     case BooleanType => f.isBoolean
     case ByteType =>
+      // Jackson's getByteValue accepts the unsigned-extended range
+      // [-128, 255] and wraps 128..255 to negative (JACKSON-804), and
+      // JacksonParser converts bytes through it — mirror that, not the
+      // signed byte range.
       f.isIntegralNumber && f.canConvertToInt &&
-        f.intValue() >= Byte.MinValue && f.intValue() <= Byte.MaxValue
+        f.intValue() >= Byte.MinValue && f.intValue() <= 255
     case ShortType =>
       f.isIntegralNumber && f.canConvertToInt &&
         f.intValue() >= Short.MinValue && f.intValue() <= Short.MaxValue
@@ -151,15 +163,24 @@ object JsonDispatch {
   }
 }
 
-case class JsonTypeOfExpr(child: Expression, types: JsonDispatch.TypeSpec, zoneId: String)
-    extends UnaryExpression {
+// The type spec is an IndexedSeq, not the kernel's Array form: an Array
+// parameter gives the case class identity-based equals/hashCode, so two
+// nodes built from content-equal registries would never canonicalize
+// together and Catalyst's subexpression reuse would silently miss.
+case class JsonTypeOfExpr(
+    child: Expression,
+    types: IndexedSeq[(String, IndexedSeq[(String, DataType)])],
+    zoneId: String
+) extends UnaryExpression {
+  private lazy val spec: JsonDispatch.TypeSpec =
+    types.map { case (n, req) => n -> req.toArray }.toArray
   override def dataType: DataType = StringType
   override def nullable: Boolean = true // no type may claim the record
   override def prettyName: String = "json_type_of"
   override protected def nullSafeEval(input: Any): Any =
-    JsonDispatch.typeOf(input.asInstanceOf[UTF8String], types, zoneId)
+    JsonDispatch.typeOf(input.asInstanceOf[UTF8String], spec, zoneId)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("types", types, "scala.Tuple2[]")
+    val ref = ctx.addReferenceObj("types", spec, "scala.Tuple2[]")
     val zid = ctx.addReferenceObj("zoneId", zoneId, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.expressions.JsonDispatch.typeOf($c, (scala.Tuple2[]) $ref, $zid);
@@ -171,5 +192,11 @@ case class JsonTypeOfExpr(child: Expression, types: JsonDispatch.TypeSpec, zoneI
 
 object JsonTypeOfExpr {
   def column(value: Column, types: JsonDispatch.TypeSpec, zoneId: String): Column =
-    GraftSqlBridge.column(JsonTypeOfExpr(GraftSqlBridge.expression(value), types, zoneId))
+    GraftSqlBridge.column(
+      JsonTypeOfExpr(
+        GraftSqlBridge.expression(value),
+        types.map { case (n, req) => (n, req.toIndexedSeq) }.toIndexedSeq,
+        zoneId
+      )
+    )
 }

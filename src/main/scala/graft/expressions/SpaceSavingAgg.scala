@@ -26,24 +26,48 @@ import org.apache.spark.unsafe.types.UTF8String
 final class SpaceSavingBuffer(val capacity: Int) {
   val counts = new mutable.HashMap[String, (Long, Long)]() // item -> (count, maxError)
 
+  // (count, item) ordered mirror of `counts`: O(log capacity) min
+  // lookup and eviction. Once the summary fills on a heavy-tailed
+  // stream, MOST arrivals are unseen tail items hitting the eviction
+  // path — an O(capacity) minBy scan there makes every such row pay
+  // `capacity` traversals; the classic stream-summary keeps eviction
+  // constant-ish, and a tree index is the simple mergeable-map-friendly
+  // equivalent. Eviction order (count asc, item asc) is unchanged.
+  private val index = new mutable.TreeSet[(Long, String)]()
+
+  /** Rebuild the index after an external bulk fill of `counts`
+    * (deserialize) — the two structures must always agree.
+    */
+  def reindex(): Unit = {
+    index.clear()
+    counts.foreach { case (i, (c, _)) => index.add((c, i)) }
+  }
+
   /** Upper bound on the true count of any item ABSENT from this
     * summary: 0 until the summary fills, then its minimum counter
     * (every absent item was either never seen or evicted at ≤ floor).
     */
   def floor: Long =
     if (counts.size < capacity) 0L
-    else counts.valuesIterator.map(_._1).min
+    else index.head._1
 
   def add(item: String, inc: Long = 1L): Unit =
     counts.get(item) match {
-      case Some((c, e)) => counts.update(item, (c + inc, e))
-      case None if counts.size < capacity => counts.update(item, (inc, 0L))
+      case Some((c, e)) =>
+        counts.update(item, (c + inc, e))
+        index.remove((c, item))
+        index.add((c + inc, item))
+      case None if counts.size < capacity =>
+        counts.update(item, (inc, 0L))
+        index.add((inc, item))
       case None =>
         // evict the min-count slot (deterministic: min by (count, item));
         // the newcomer inherits its count as the error bound
-        val (minItem, (minC, _)) = counts.minBy { case (i, (c, _)) => (c, i) }
+        val (minC, minItem) = index.head
+        index.remove((minC, minItem))
         counts.remove(minItem)
         counts.update(item, (minC + inc, minC))
+        index.add((minC + inc, item))
     }
 
   /** Mergeable-summaries form (Agarwal et al. '12): an item present in
@@ -68,6 +92,7 @@ final class SpaceSavingBuffer(val capacity: Int) {
       .sortBy { case (i, (c, _)) => (-c, i) }
       .take(capacity)
       .foreach { case (i, ce) => counts.update(i, ce) }
+    reindex()
   }
 }
 
@@ -132,7 +157,12 @@ case class SpaceSavingAgg(
     out.writeInt(buffer.capacity)
     out.writeInt(buffer.counts.size)
     buffer.counts.foreach { case (i, (c, e)) =>
-      out.writeUTF(i)
+      // NOT writeUTF: its modified-UTF-8 form caps at 65535 bytes and
+      // throws on longer items — this aggregate runs over arbitrary
+      // string columns (documents, URLs), so length-prefix raw UTF-8.
+      val bytes = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
       out.writeLong(c)
       out.writeLong(e)
     }
@@ -145,11 +175,15 @@ case class SpaceSavingAgg(
     val buf = new SpaceSavingBuffer(in.readInt())
     val n = in.readInt()
     (1 to n).foreach { _ =>
-      val i = in.readUTF()
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val i = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       val c = in.readLong()
       val e = in.readLong()
       buf.counts.update(i, (c, e))
     }
+    buf.reindex()
     buf
   }
 

@@ -207,13 +207,21 @@ object HashKernels {
   /** Sequential-fold dot product of two double arrays — identical
     * order (0.0 + a₀b₀ + a₁b₁ + …) to the declarative
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, hence bit-identical
-    * doubles under any engine.
+    * doubles under any engine — INCLUDING its null semantics: zip_with
+    * null-pads the shorter array and a null element nulls the fold, so
+    * mismatched lengths or null elements yield NULL (surfacing the
+    * data bug), never a silently-truncated partial product.
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -249,13 +257,20 @@ object HashKernels {
 
   /** Positional rolling hash — identical to TextAnalysis.rollingHash's
     * declarative fold: per token, the first 7 md5 hex digits of
-    * "index@token" (28 bits), folded as h = (h·31 + v) mod P.
+    * "index@token" (28 bits), folded as h = (h·31 + v) mod P —
+    * INCLUDING its null semantics: the declarative form's
+    * sequence(0, size-1) on an empty array null-pads the zip and the
+    * fold collapses to NULL (and a null token nulls it too), so empty
+    * or null-holed inputs yield NULL, not 0 — which is a legitimate
+    * hash value real documents can collide with.
     */
-  def rollingHash(tokens: ArrayData): Long = {
+  def rollingHash(tokens: ArrayData): java.lang.Long = {
     val m = tokens.numElements()
+    if (m == 0) return null
     var acc = 0L
     var i = 0
     while (i < m) {
+      if (tokens.isNullAt(i)) return null
       val d = md5((i.toString + "@" + tokens.getUTF8String(i).toString).getBytes("UTF-8"))
       val v = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) | ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
       acc = (acc * 31L + v) % P
@@ -375,11 +390,15 @@ case class ShingleSetExpr(child: Expression, k: Int) extends UnaryExpression {
 case class DotProductExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // mismatched lengths / null elements
   override def prettyName: String = "dot_product"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashKernels.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.expressions.HashKernels.dot($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
@@ -406,21 +425,30 @@ case class LangScoresExpr(child: Expression) extends UnaryExpression {
 
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // empty array / null tokens
   override def prettyName: String = "rolling_hash"
   override protected def nullSafeEval(input: Any): Any =
     HashKernels.rollingHash(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.rollingHash($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = graft.expressions.HashKernels.rollingHash($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
-case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]]) extends UnaryExpression {
+// centroids as IndexedSeq, not Array: an Array parameter gives the case
+// class identity-based equals/hashCode, so two nodes built from
+// content-equal centroid matrices would never canonicalize together and
+// Catalyst's subexpression/subplan reuse would silently miss.
+case class NearestCellExpr(child: Expression, centroids: IndexedSeq[IndexedSeq[Double]]) extends UnaryExpression {
+  private lazy val centroidArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_cell"
   override protected def nullSafeEval(input: Any): Any =
-    HashKernels.nearestCell(input.asInstanceOf[ArrayData], centroids)
+    HashKernels.nearestCell(input.asInstanceOf[ArrayData], centroidArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val ref = ctx.addReferenceObj("centroids", centroidArr, "double[][]")
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.nearestCell($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
@@ -446,6 +474,8 @@ object TextHashExprs {
     GraftSqlBridge.column(LangScoresExpr(GraftSqlBridge.expression(tokens)))
   def rollingHash(tokens: Column): Column =
     GraftSqlBridge.column(RollingHashExpr(GraftSqlBridge.expression(tokens)))
-  def nearestCell(emb: Column, centroids: Array[Array[Double]]): Column =
-    GraftSqlBridge.column(NearestCellExpr(GraftSqlBridge.expression(emb), centroids))
+  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCellExpr(GraftSqlBridge.expression(emb), centroids.map(_.toIndexedSeq).toIndexedSeq)
+    )
 }

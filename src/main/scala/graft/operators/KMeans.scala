@@ -40,7 +40,7 @@ object KMeans {
     * declarative form is property-tested).
     */
   def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
-    graft.expressions.TextHashExprs.nearestCell(emb, centroids.map(_.toArray).toArray)
+    graft.expressions.TextHashExprs.nearestCell(emb, centroids)
 
   /** Declarative reference form of [[nearestCell]] (test anchor). */
   def nearestCellDeclarative(emb: Column, centroids: Seq[Seq[Double]]): Column = {

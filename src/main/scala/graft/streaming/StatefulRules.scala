@@ -219,15 +219,4 @@ object StatefulRules {
       )
   }
 
-  /** Memory-sink runner for tests and local smoke: starts the query,
-    * waits for all available input, returns the collected table.
-    */
-  def runToMemory[T](spark: SparkSession, ds: Dataset[T], name: String): Unit = {
-    val q = ds.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-  }
 }

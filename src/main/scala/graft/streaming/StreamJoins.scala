@@ -60,9 +60,11 @@ object StreamJoins {
     * one entry per distinct key, dropped as the watermark passes; an
     * unbounded dropDuplicates would grow state forever at corpus scale.
     */
-  def dedupExact(df: DataFrame, tsCol: String, watermarkDelay: String, keys: String*): DataFrame =
+  def dedupExact(df: DataFrame, tsCol: String, watermarkDelay: String, keys: String*): DataFrame = {
+    require(keys.nonEmpty, "dedupExact needs at least one key column")
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream-static enrichment (SURVEY §2.4's third form): when the
     * build side is a slowly-changing DIMENSION rather than a stream,

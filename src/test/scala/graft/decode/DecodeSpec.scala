@@ -77,7 +77,12 @@ class DecodeSpec extends SparkSpec {
       """{"eventVersion": "1.0", "eventTime": "2016-11", "eventName": "X"}""", // partial-format ts
       """{"eventVersion": "1.0", "eventTime": "2016-11-14 17:25:45+02:00", "eventName": "X"}""", // offset ts
       """{"eventVersion": 1.0, "eventTime": "2016-11-14T17:25:45Z", "eventName": "X"}""", // number for string
-      """{"eventVersion": "1.0", "eventTime": true, "eventName": "X"}""" // bool for timestamp
+      """{"eventVersion": "1.0", "eventTime": true, "eventName": "X"}""", // bool for timestamp
+      // from_json's default-on parser features (r5 review): both paths
+      // must parse single-quoted JSON and bare non-numeric tokens.
+      """{'eventVersion': '1.0', 'eventTime': '2016-11-14T17:25:45Z', 'eventName': 'X'}""",
+      """{"message_type": "x", "data": {"seen": NaN}}""", // bare NaN for double
+      null // null record: dead-lettered by BOTH paths, even with a raw catch-all
     )
     for (registry <- Seq(jsonOnly, EventSchemas.registry)) {
       val slow = Decode
@@ -129,6 +134,33 @@ class DecodeSpec extends SparkSpec {
       .select("_event_type").as[Option[String]].collect().toSeq
     slow shouldBe Seq(Some("intEvent"), None, None, None)
     fast shouldBe slow
+  }
+
+  test("byte required field accepts Jackson's unsigned-extended range [-128, 255]") {
+    // JacksonParser converts bytes via Jackson's getByteValue, which
+    // (JACKSON-804) accepts 128..255 and WRAPS them to negative — so
+    // {"b": 200} is a claimed record with b = -56, not a rejection.
+    val byteEvent = graft.model.EventType(
+      name = "byteEvent",
+      schema = org.apache.spark.sql.types.StructType.fromDDL("b BYTE, tag STRING"),
+      required = Seq("b")
+    )
+    val rows = Seq(
+      """{"b": -128}""", // claimed
+      """{"b": 127}""", // claimed
+      """{"b": 200}""", // claimed, wraps to -56
+      """{"b": 255}""", // claimed, wraps to -1
+      """{"b": 256}""", // out of range → unclaimed
+      """{"b": -129}""" // out of range → unclaimed
+    )
+    val slow = Decode.dispatch(rows.toDF("value"), Seq(byteEvent))
+      .select("_event_type").as[Option[String]].collect().toSeq
+    val fast = Decode.dispatchFast(rows.toDF("value"), Seq(byteEvent))
+      .select("_event_type").as[Option[String]].collect().toSeq
+    slow shouldBe Seq(Some("byteEvent"), Some("byteEvent"), Some("byteEvent"), Some("byteEvent"), None, None)
+    fast shouldBe slow
+    Decode.ofType(Decode.dispatch(Seq("""{"b": 200}""").toDF("value"), Seq(byteEvent)), "byteEvent")
+      .select("b").as[Byte].head() shouldBe (-56: Byte)
   }
 
   test("decimal required fields accept string decimals and reject precision overflow") {

@@ -90,4 +90,22 @@ class SpaceSavingAggSpec extends SparkSpec {
       .toSet
     out shouldBe Set(("g1", "x", 2L), ("g2", "z", 1L))
   }
+
+  test("items beyond 64 KB survive partial-buffer serialization (no writeUTF cap)") {
+    // The aggregate is exposed over arbitrary string columns; a >64 KB
+    // item must round-trip the map-side partial serialization, where
+    // writeUTF would throw UTFDataFormatException.
+    val big = "x" * 100000
+    val items = Seq.fill(6)(big) ++ Seq("small")
+    val out = items.toDF("item")
+      .repartition(3)
+      .agg(SpaceSavingAgg.topk(col("item"), 2, 8).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.item", "h.cnt")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    out(big) shouldBe 6L
+    out("small") shouldBe 1L
+  }
 }
