@@ -47,6 +47,9 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
   }
 
   def start(): Unit = {
+    // The events counter is fed by a query listener — registering is
+    // part of serving /metrics, not something callers must remember.
+    listener = Metrics.listen(spark)
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/pipelines", (ex: HttpExchange) => handlePipelines(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
@@ -55,6 +58,13 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
   }
 
   private val started = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.streaming.StreamingQuery]()
+  // Guards the handoff between the async pipeline starter and stop():
+  // once `stopping` is set (under the lock), a starter that raced past
+  // it stops its freshly-started queries itself instead of parking
+  // them in `started` where nobody would ever stop them.
+  private val startedLock = new Object
+  private var stopping = false
+  private var listener: StreamingQueryListener = _
 
   /** Graceful shutdown (reference: SIGTERM → Shutdown, api.go:57-81):
     * stop accepting requests, then stop the queries THIS server started
@@ -62,11 +72,15 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
     */
   def stop(): Unit = {
     if (server != null) server.stop(0)
-    started.forEach { q =>
-      try q.stop()
-      catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
+    startedLock.synchronized {
+      stopping = true
+      started.forEach { q =>
+        try q.stop()
+        catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
+      }
+      started.clear()
     }
-    started.clear()
+    if (listener != null) spark.streams.removeListener(listener)
   }
 
   def boundPort: Int = server.getAddress.getPort
@@ -93,10 +107,17 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
               Metrics.pipelines.increment()
               // async start, failures logged only (api.go:134-139)
               new Thread(() =>
-                try PipelineCompiler
-                  .startStreaming(compiled, s"$ckptDir/$id", availableNow = false)
-                  .foreach(started.add)
-                catch { case e: Exception => System.err.println(s"[api] pipeline $id failed: ${e.getMessage}") }
+                try {
+                  val qs = PipelineCompiler
+                    .startStreaming(compiled, s"$ckptDir/$id", availableNow = false)
+                  startedLock.synchronized {
+                    if (stopping) qs.foreach { q =>
+                      try q.stop()
+                      catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
+                    }
+                    else qs.foreach(started.add)
+                  }
+                } catch { case e: Exception => System.err.println(s"[api] pipeline $id failed: ${e.getMessage}") }
               ).start()
               respond(ex, 201, id)
           }

@@ -25,14 +25,17 @@ object Num {
 
   /** Deterministic average: exact decimal sum divided (in IEEE double)
     * by the count — both operands identical across engines, hence the
-    * quotient is too.
+    * quotient is too. count(c), not count(*): sum() skips nulls, so the
+    * divisor must too or a nullable column silently averages low.
     */
-  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
 
   /** Deterministic sum of `price * (1 - discount)`-style products:
     * both factors are cast to exact decimals before multiplying, keeping
-    * the whole computation exact until the final cast.
+    * the whole computation exact until the final cast. Both factors get
+    * the full (18,4) range — a narrower cast on the second factor would
+    * overflow |b| >= 1e4 to null and silently DROP that row from the sum.
     */
   def dsumProduct(a: Column, b: Column): Column =
-    sum(dec(a) * b.cast(DecimalType(8, 4))).cast("double")
+    sum(dec(a) * dec(b)).cast("double")
 }

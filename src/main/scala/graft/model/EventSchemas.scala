@@ -172,7 +172,10 @@ object EventSchemas {
                   )
                 )
               ),
-              StructField("cert_index", IntegerType),
+              // LongType: the reference's Go `CertIndex int` is 64-bit,
+              // and real CT log indexes exceed Int32 — IntegerType would
+              // make from_json null the field (EventId=null downstream).
+              StructField("cert_index", LongType),
               StructField("seen", DoubleType),
               StructField(
                 "source",

@@ -36,10 +36,12 @@ object Media {
       payloadBytes: Long
   )
 
-  /** The codec seam. A real implementation wraps e.g. libjpeg/ffmpeg;
-    * instances are created once per partition, never serialized.
+  /** The codec seam. A real implementation wraps e.g. libjpeg/ffmpeg.
+    * Stages take a FACTORY, invoked once per partition on the executor,
+    * so the codec instance itself (native handles, JNI state) is never
+    * serialized — only the small factory closure ships with the task.
     */
-  trait Codec extends Serializable {
+  trait Codec {
     def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double)
   }
 
@@ -64,10 +66,13 @@ object Media {
   /** Decode stage: binary payloads → typed features, batched per
     * partition with one codec instance each (the mapInPandas shape).
     */
-  def decodeFeatures(records: Dataset[MediaRecord], codec: Codec = FakeCodec): Dataset[MediaFeatures] = {
+  def decodeFeatures(
+      records: Dataset[MediaRecord],
+      codecFactory: () => Codec = () => FakeCodec
+  ): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // one codec per partition — this is where a real codec would init
+      val codec = codecFactory() // one codec init per partition, executor-side
       it.map { r =>
         val (w, h, c, mean) = codec.decode(r.payload, r.kind)
         MediaFeatures(r.mediaId, r.kind, w, h, c, mean, r.payload.length.toLong)
@@ -81,6 +86,13 @@ object Media {
     */
   def sampleFrames(records: Dataset[MediaRecord], frames: Int, frameBytes: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
+    // Frame ids are mediaId*1000+idx; more than 1000 frames per record
+    // would collide with the NEXT record's frame ids, corrupting every
+    // downstream join on mediaId — enforce the scheme's bound loudly.
+    require(
+      frames >= 1 && frames <= 1000,
+      s"frames must be in [1, 1000] (frame ids are mediaId*1000+idx), got $frames"
+    )
     records.flatMap { r =>
       val n = r.payload.length
       if (n == 0) Iterator.empty
@@ -105,7 +117,7 @@ object Media {
     * byte budget a (w×h×channels) frame would occupy, so downstream
     * stages see correctly-shaped records.
     */
-  trait Resizer extends Serializable {
+  trait Resizer {
     def resize(payload: Array[Byte], kind: String, w: Int, h: Int): Array[Byte]
   }
 
@@ -130,9 +142,15 @@ object Media {
     * [[decodeFeatures]]; payload size becomes O(w·h), so resize EARLY:
     * at 100 TB the shrunken payloads are what shuffle, not the originals.
     */
-  def resizeTo(records: Dataset[MediaRecord], w: Int, h: Int, resizer: Resizer = FakeResizer): Dataset[MediaRecord] = {
+  def resizeTo(
+      records: Dataset[MediaRecord],
+      w: Int,
+      h: Int,
+      resizerFactory: () => Resizer = () => FakeResizer
+  ): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      val resizer = resizerFactory() // per-partition init, executor-side
       it.map(r => r.copy(payload = resizer.resize(r.payload, r.kind, w, h)))
     }
   }

@@ -68,10 +68,17 @@ object PipelineCompiler {
       // eventFolder semantics (event_types.go:18-50): a real directory
       // loads the pipeline's schema registry from JSON files in it;
       // anything else ("builtin", "") uses the compiled-in registry.
-      reg =
+      // Folder-load failures (malformed JSON, bad DDL) are USER-CONFIG
+      // errors and must come back as Left, not escape the Either
+      // contract as exceptions (the API maps Left to 400).
+      reg <-
         if (graft.model.SchemaFolder.isFolder(valid.eventFolder))
-          graft.model.SchemaFolder.load(valid.eventFolder)
-        else registry
+          try Right(graft.model.SchemaFolder.load(valid.eventFolder))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Left(s"eventFolder ${valid.eventFolder}: ${e.getMessage}")
+          }
+        else Right(registry)
       compiled <- compileValidated(spark, valid, reg, effective, streaming)
     } yield compiled
 

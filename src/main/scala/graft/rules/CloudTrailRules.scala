@@ -12,12 +12,19 @@ import graft.operators.AsOfJoin
   */
 object Principal {
 
+  /** Missing JSON strings are null after from_json, but the reference's
+    * Go structs unmarshal them to "" — Sprintf("user/%s", "") yields
+    * "user/", so the Spark arms must not let a null field null the
+    * whole principal.
+    */
+  private def str(c: Column): Column = coalesce(c, lit(""))
+
   /** Arms common to both variants. `ui` is the userIdentity struct. */
   private def common(ui: Column): PartialFunction[String, Column] = {
-    case "IAMUser"       => concat(lit("user/"), ui.getField("userName"))
-    case "AWSAccount"    => concat(lit("account/"), ui.getField("accountId"))
-    case "FederatedUser" => concat(lit("user/"), ui.getField("sessionContext").getField("sessionIssuer").getField("userName"))
-    case "AWSService"    => concat(lit("service/"), ui.getField("invokedBy"))
+    case "IAMUser"       => concat(lit("user/"), str(ui.getField("userName")))
+    case "AWSAccount"    => concat(lit("account/"), str(ui.getField("accountId")))
+    case "FederatedUser" => concat(lit("user/"), str(ui.getField("sessionContext").getField("sessionIssuer").getField("userName")))
+    case "AWSService"    => concat(lit("service/"), str(ui.getField("invokedBy")))
   }
 
   private def switchOn(ui: Column)(arms: (String, Column)*): Column =
@@ -36,7 +43,7 @@ object Principal {
     switchOn(ui)(
       "IAMUser" -> c("IAMUser"),
       "AWSAccount" -> c("AWSAccount"),
-      "AssumedRole" -> concat(lit("role/"), ui.getField("sessionContext").getField("sessionIssuer").getField("userName")),
+      "AssumedRole" -> concat(lit("role/"), str(ui.getField("sessionContext").getField("sessionIssuer").getField("userName"))),
       "FederatedUser" -> c("FederatedUser"),
       "AWSService" -> c("AWSService"),
       "Root" -> lit("Root")
@@ -54,12 +61,12 @@ object Principal {
     switchOn(ui)(
       "IAMUser" -> c("IAMUser"),
       "AWSAccount" -> c("AWSAccount"),
-      "AssumedRole" -> coalesce(Rules.nonEmpty(resolved), ui.getField("principalId")),
+      "AssumedRole" -> coalesce(Rules.nonEmpty(resolved), ui.getField("principalId"), lit("")),
       "FederatedUser" -> c("FederatedUser"),
       "AWSService" -> c("AWSService"),
       "Root" -> concat(
         lit("account/"),
-        coalesce(Rules.nonEmpty(ui.getField("userName")), ui.getField("accountId"))
+        coalesce(Rules.nonEmpty(ui.getField("userName")), ui.getField("accountId"), lit(""))
       )
     )
   }

@@ -16,6 +16,24 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object CorpusRules {
 
+  /** The dedup keepers pick the MINIMUM row by ordering the full row
+    * struct — deterministic under any partitioning, but that requires
+    * every passthrough column to be ORDERABLE (maps are not). Fail
+    * with the offending columns named instead of the analysis-time
+    * "cannot be used in grouping/ordering" exception deep inside the
+    * pipeline plan.
+    */
+  private def requireOrderable(df: DataFrame, rule: String): Unit = {
+    val bad = df.schema.fields.filterNot(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    require(
+      bad.isEmpty,
+      s"$rule keeps the minimum row by ordering ALL columns; unorderable column(s): " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — drop or serialize them before this rule"
+    )
+  }
+
   /** Quality gate: keep docs with >= `minTokens` tokens and a
     * duplicate-bigram fraction below `maxDupFraction` (q46's metric).
     * Stateless map/filter — streams with no extra state.
@@ -60,6 +78,7 @@ object CorpusRules {
   object ExactDedupRule extends Rule {
     val name = "exactDedup"
     def apply(df: DataFrame): DataFrame = {
+      requireOrderable(df, name)
       val cols = df.columns
       df.withColumn("_fp", md5(array_join(Dedup.tokens(col("text")), " ")))
         .groupBy(col("_fp"))
@@ -109,6 +128,7 @@ object CorpusRules {
     private def sig = TextHashExprs.simhash64(Dedup.tokens(col("text")))
     private def rowId = TextHashExprs.md5Slice60(col("text"), 0)
     def apply(df: DataFrame): DataFrame = {
+      requireOrderable(df, name)
       val cols = df.columns
       val withId = df.withColumn("_ndid", rowId).withColumn("_sig", sig)
       val bands = withId.select(

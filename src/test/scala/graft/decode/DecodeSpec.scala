@@ -68,9 +68,10 @@ class DecodeSpec extends SparkSpec {
       "",
       // Adversarial rows (ADVICE r2): JacksonParser conversion rules
       // that mere presence/shape checks would get wrong.
-      """{"message_type": "x", "data": {"cert_index": 1.5}}""", // fractional for INT subfield
-      """{"message_type": "x", "data": {"cert_index": 2147483648}}""", // overflows INT subfield
-      """{"message_type": "x", "data": {"cert_index": 7}}""", // valid INT subfield
+      """{"message_type": "x", "data": {"cert_index": 1.5}}""", // fractional for LONG subfield
+      """{"message_type": "x", "data": {"cert_index": 2147483648}}""", // > Int32 — valid for LONG cert_index
+      """{"message_type": "x", "data": {"cert_index": 9223372036854775808}}""", // overflows LONG subfield
+      """{"message_type": "x", "data": {"cert_index": 7}}""", // valid integral subfield
       """{"message_type": "x", "data": {"leaf_cert": {"all_domains": "notarray"}}}""", // string for array, 2 deep
       """{"message_type": "x", "data": {"leaf_cert": {"not_before": "abc"}}}""", // string for double, 2 deep
       """{"message_type": "x", "data": {"seen": 1}}""", // int token for double — fine
@@ -102,14 +103,14 @@ class DecodeSpec extends SparkSpec {
   }
 
   test("nested subfield mismatch nulls only the leaf — record stays claimed") {
-    // from_json (PERMISSIVE) nulls data.cert_index when INT receives
+    // from_json (PERMISSIVE) nulls data.cert_index when LONG receives
     // 1.5 but keeps the enclosing `data` struct, so certStream still
     // claims the record; both dispatch paths must agree (ADVICE r2).
     val row = """{"message_type": "x", "data": {"cert_index": 1.5}}"""
     for (d <- Seq(Decode.dispatch(Seq(row).toDF("value"), jsonOnly),
                   Decode.dispatchFast(Seq(row).toDF("value"), jsonOnly))) {
       d.select("_event_type").as[Option[String]].head() shouldBe Some("certStream")
-      d.select(col("_certStream.data.cert_index")).as[Option[Int]].head() shouldBe None
+      d.select(col("_certStream.data.cert_index")).as[Option[Long]].head() shouldBe None
     }
   }
 

@@ -44,6 +44,19 @@ class CloudTrailRulesSpec extends SparkSpec {
     out.head.getAs[String]("Entity") shouldBe "AIDAQRSTUVWXYZEXAMPLE:Bob-EC2-dev"
   }
 
+  test("principal arms mirror Go zero-values: a missing userName yields user/, not null") {
+    // Go unmarshals an absent string to "" (Sprintf -> "user/"); Spark's
+    // from_json gives null, which would null the whole concat without
+    // the coalesce in Principal.common.
+    // createUserEvent's userIdentity has no userName field; flipping its
+    // type to IAMUser routes it through the user/<userName> arm.
+    val noUserName = Fixtures.createUserEvent.replace(""""type": "AssumedRole"""", """"type": "IAMUser"""")
+    val ct = decodeCloudTrail(noUserName)
+    val out = CloudTrailS2SJoinRule(ct).collect()
+    out.length shouldBe 1
+    out.head.getAs[String]("Entity") shouldBe "user/"
+  }
+
   test("agg golden: three no-MFA events aggregate to Occurrences=3, Entity role/AssumeNothing") {
     val ct = decodeCloudTrail(Fixtures.createUserEvent, Fixtures.createUserEvent, Fixtures.createUserEvent)
     val out = CloudTrailNoMfaAggRule(ct).collect()
