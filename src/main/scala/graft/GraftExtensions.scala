@@ -29,59 +29,37 @@ object GraftFunctions {
     case other              => throw new IllegalArgumentException(s"$fn: literal int expected, got $other")
   }
 
-  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  /** Builder with an arity gate: a wrong-arity SQL call gets a clear
+    * "requires N arguments" error instead of a raw
+    * IndexOutOfBoundsException from args(i).
+    */
+  private def fn(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression
+  ): (String, ExpressionInfo, Seq[Expression] => Expression) =
     (
-      "shingle_set",
-      new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
-      (args: Seq[Expression]) => ShingleSetExpr(args.head, intArg(args(1), "shingle_set"))
-    ),
-    (
-      "minhash_sig",
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSigExpr(args.head, intArg(args(1), "minhash_sig"))
-    ),
-    (
-      "simhash16",
-      new ExpressionInfo(classOf[SimHash16Expr].getName, "simhash16"),
-      (args: Seq[Expression]) => SimHash16Expr(args.head)
-    ),
-    (
-      "simhash64",
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64Expr(args.head)
-    ),
-    (
-      "md5_slice60",
-      new ExpressionInfo(classOf[Md5Slice60Expr].getName, "md5_slice60"),
-      (args: Seq[Expression]) => Md5Slice60Expr(args.head, intArg(args(1), "md5_slice60"))
-    ),
-    (
-      "winnow_fingerprints",
-      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
-      (args: Seq[Expression]) =>
-        WinnowExpr(args.head, intArg(args(1), "winnow_fingerprints"), intArg(args(2), "winnow_fingerprints"))
-    ),
-    (
-      "lang_scores",
-      new ExpressionInfo(classOf[LangScoresExpr].getName, "lang_scores"),
-      (args: Seq[Expression]) => LangScoresExpr(args.head)
-    ),
-    (
-      "rolling_hash",
-      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHashExpr(args.head)
-    ),
-    (
-      "dot_product",
-      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))
-    ),
-    (
-      "space_saving_topk",
-      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving_topk"),
-      (args: Seq[Expression]) =>
-        SpaceSavingAgg(args.head, intArg(args(1), "space_saving_topk"), intArg(args(2), "space_saving_topk"))
+      name,
+      new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        if (args.length != arity)
+          throw new IllegalArgumentException(
+            s"$name requires $arity argument(s), got ${args.length}")
+        build(args)
+      }
     )
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("shingle_set", classOf[ShingleSetExpr], 2)(a => ShingleSetExpr(a.head, intArg(a(1), "shingle_set"))),
+    fn("minhash_sig", classOf[MinHashSigExpr], 2)(a => MinHashSigExpr(a.head, intArg(a(1), "minhash_sig"))),
+    fn("simhash16", classOf[SimHash16Expr], 1)(a => SimHash16Expr(a.head)),
+    fn("simhash64", classOf[SimHash64Expr], 1)(a => SimHash64Expr(a.head)),
+    fn("md5_slice60", classOf[Md5Slice60Expr], 2)(a => Md5Slice60Expr(a.head, intArg(a(1), "md5_slice60"))),
+    fn("winnow_fingerprints", classOf[WinnowExpr], 3)(a =>
+      WinnowExpr(a.head, intArg(a(1), "winnow_fingerprints"), intArg(a(2), "winnow_fingerprints"))),
+    fn("lang_scores", classOf[LangScoresExpr], 1)(a => LangScoresExpr(a.head)),
+    fn("rolling_hash", classOf[RollingHashExpr], 1)(a => RollingHashExpr(a.head)),
+    fn("dot_product", classOf[DotProductExpr], 2)(a => DotProductExpr(a.head, a(1))),
+    fn("space_saving_topk", classOf[SpaceSavingAgg], 3)(a =>
+      SpaceSavingAgg(a.head, intArg(a(1), "space_saving_topk"), intArg(a(2), "space_saving_topk")))
   )
 
   /** Register into an already-running session (tests, driver sessions

@@ -43,7 +43,16 @@ object Main {
         case _                               => None
       }
 
-    a.headOption match {
+    // Mode by flag PRESENCE anywhere in argv, like Go's flag package —
+    // pinning the mode flag to argv[0] would reject e.g.
+    // `-streaming -pipelineConfig cfg.json`, an invisible ordering trap.
+    val mode =
+      if (a.contains("-pipelineConfig")) Some("-pipelineConfig")
+      else if (a.contains("-apiServer")) Some("-apiServer")
+      else if (a.contains("-checkRule")) Some("-checkRule")
+      else None
+
+    mode match {
       case Some("-pipelineConfig") =>
         valueOf("-pipelineConfig") match {
           case None => usage()
@@ -63,9 +72,17 @@ object Main {
                   Files.createTempDirectory("graft-ckpt").toString
                 )
                 val queries = PipelineCompiler.startStreaming(compiled, ckpt, availableNow = !block)
-                if (block) queries.foreach(_.awaitTermination())
-                else queries.foreach(_.awaitTermination(60000))
-                0
+                // awaitAny, not sequential awaits: with several sinks,
+                // query 2 dying while query 1 runs would otherwise go
+                // unnoticed forever (the await is parked on query 1).
+                if (block && queries.nonEmpty)
+                  try { spark.streams.awaitAnyTermination(); 0 }
+                  catch {
+                    case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+                      System.err.println(s"streaming query failed: ${e.getMessage}")
+                      1
+                  }
+                else { queries.foreach(_.awaitTermination(60000)); 0 }
               case Right(compiled) =>
                 PipelineCompiler.runBatch(compiled)
                 0

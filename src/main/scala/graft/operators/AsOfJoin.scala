@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** As-of join: for every left row, attach the nearest right row with the
   * same key at-or-before (backward, the default) or at-or-after
@@ -106,18 +106,26 @@ object AsOfJoin {
     // O(n) running sweep.
     val (buildSide, probeSide) = if (fwd) (1, 0) else (0, 1)
 
-    // The tie-break sorts as a string: it only has to make the order
-    // deterministic, not meaningful.
+    // Tie-breaks sort in their NATIVE types: a lexicographic string
+    // cast would invert numeric order ("9" > "10"), silently picking a
+    // stale build row under the last-write-wins contract (and q22's
+    // DuckDB oracle orders its int64 event_id ties numerically). Build
+    // and probe tie-breaks may have different types, so each keeps its
+    // own column; (t, side) never ties ACROSS sides, so within-side
+    // ordering only ever consults that side's column.
+    val ltbCol = fresh("_ltb")
+    val rtbType = rightTieBreak.map(c => right.schema(c).dataType).getOrElse(StringType)
     val lAligned = left.select(
       left.columns.map(col) ++
         Seq(
           col(leftTime).cast("long").as(tCol),
           lit(probeSide).as(sideCol),
-          col(tieBreak).cast("string").as(tbCol),
+          lit(null).cast(rtbType).as(tbCol),
+          col(tieBreak).as(ltbCol),
           lit(null).cast(rowType).as(rowCol)
         ): _*
     )
-    val rTb = rightTieBreak.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
+    val rTb = rightTieBreak.map(col).getOrElse(lit(null).cast(StringType))
     val rAligned = right.select(
       left.columns.map(c =>
         if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)
@@ -126,6 +134,7 @@ object AsOfJoin {
           col(rightTime).cast("long").as(tCol),
           lit(buildSide).as(sideCol),
           rTb.as(tbCol),
+          lit(null).cast(left.schema(tieBreak).dataType).as(ltbCol),
           struct(
             col(rightTime).cast("long").as(mtField) +:
               rightVals.map { case (src, out) => col(src).as(out) }: _*
@@ -135,9 +144,9 @@ object AsOfJoin {
 
     val ordered =
       if (fwd)
-        Window.partitionBy(col(key)).orderBy(col(tCol).desc, col(sideCol).desc, col(tbCol).desc)
+        Window.partitionBy(col(key)).orderBy(col(tCol).desc, col(sideCol).desc, col(tbCol).desc, col(ltbCol).desc)
       else
-        Window.partitionBy(col(key)).orderBy(col(tCol), col(sideCol), col(tbCol))
+        Window.partitionBy(col(key)).orderBy(col(tCol), col(sideCol), col(tbCol), col(ltbCol))
     val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = lAligned
@@ -259,7 +268,8 @@ object AsOfJoin {
     // Pass 2: per-(key, band) build summaries — the band's winning row
     // under the same order the sweep uses (backward: last (t, tb);
     // forward: first (t, tb)).
-    val tb = rightTieBreak.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
+    // Native-typed tie-break, matching the sweep's ordering exactly.
+    val tb = rightTieBreak.map(col).getOrElse(lit(null).cast(StringType))
     val summaryRow = struct(
       col(rtN).as(mtOut) +:
         rightVals.map { case (src, out) => col(src).as(out) }: _*

@@ -98,6 +98,13 @@ object ConnectedComponents {
       // Lazy localCheckpoint: the convergence aggregate right below is
       // the action that materializes it, so each round is ONE job (an
       // eager checkpoint would run a separate materialization job first).
+      // Storage note: each round's checkpoint holds a copy of the label
+      // table until the ContextCleaner GCs the superseded Dataset
+      // (localCheckpoint's internal RDD isn't reachable for an explicit
+      // unpersist). Bounded in practice: labels cover only PAIR-GRAPH
+      // vertices (a small fraction of the corpus) and near-dup clusters
+      // converge in 3-5 rounds (SCALE.md), so at most a handful of
+      // small tables are ever live.
       var labels = sym
         .select(col("src").as("id"))
         .distinct()

@@ -25,11 +25,21 @@ object Resample {
     * `/` could round across a grid boundary for large epoch-micros.
     * pmod keeps the remainder in [0, step) regardless of sign.
     */
-  private def tickGrid(df: DataFrame, key: String, timeUs: String, stepUs: Long): DataFrame =
+  private def tickGrid(df: DataFrame, key: String, timeUs: String, stepUs: Long): DataFrame = {
+    // stepUs=0 would not error: pmod(t, 0) is null in non-ANSI mode,
+    // sequence(null, null) is null, and explode(null) silently drops
+    // every key. Fail fast instead.
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
     df.groupBy(col(key))
       .agg(min(col(timeUs)).as("_min_t"), max(col(timeUs)).as("_max_t"))
       .select(
         col(key),
+        // NOTE: one key's whole grid materializes as a single array
+        // before explode — (max-min)/step elements. Spark caps
+        // sequence() at ~2^31 elements, but executor memory is the real
+        // bound: a 3-year span at 1-second steps is ~95M longs in one
+        // row. Pick stepUs so span/step stays ~1e6 per key, or
+        // pre-split long-span keys into time bands first.
         explode(
           sequence(
             expr(s"_min_t - pmod(_min_t, ${stepUs}L)"),
@@ -38,6 +48,7 @@ object Resample {
           )
         ).as("tick_us")
       )
+  }
 
   /** @param df       observations
     * @param key      series key column

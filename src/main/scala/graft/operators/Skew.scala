@@ -20,12 +20,19 @@ object Skew {
     * stable row content (`saltSource`), not rand(), so replays and
     * retries produce identical partitioning.
     */
-  def salted(df: DataFrame, saltSource: Column, buckets: Int): DataFrame =
+  def salted(df: DataFrame, saltSource: Column, buckets: Int): DataFrame = {
+    // buckets=0 would not error: pmod(x, 0) is null in non-ANSI mode,
+    // so every row would salt to null and a salted join would silently
+    // return ZERO rows. Fail fast instead.
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
     df.withColumn("_salt", pmod(xxhash64(saltSource), lit(buckets)).cast("int"))
+  }
 
   /** Replicate each row `buckets` times with salt 0..buckets-1. */
-  def replicated(df: DataFrame, buckets: Int): DataFrame =
+  def replicated(df: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
     df.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+  }
 
   /** Skew-resistant equi-join: `big` join `small` on `key`, hot keys
     * spread over `buckets` tasks. Output columns = big ++ small (minus

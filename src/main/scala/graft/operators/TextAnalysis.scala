@@ -66,7 +66,20 @@ object TextAnalysis {
 
   /** BPE-ish subword count: word tokens plus punctuation runs, the
     * standard cheap proxy for tokenizer cost before a real BPE pass.
+    * Word characters are Unicode letters/digits of ANY script — an
+    * ASCII-only class would collapse a Cyrillic/Arabic/CJK document to
+    * one "token" and wreck every cost estimate built on it. Han
+    * ideographs additionally split per character (BPE tokenizers emit
+    * roughly one token per ideograph in unspaced CJK text).
     */
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(lower(text), "(?<=[a-z0-9])(?![a-z0-9])|(?<![a-z0-9])(?=[a-z0-9])"), t => length(trim(t)) > 0))
+    size(
+      filter(
+        split(
+          lower(text),
+          "(?<=[\\p{L}\\p{N}])(?![\\p{L}\\p{N}])|(?<![\\p{L}\\p{N}])(?=[\\p{L}\\p{N}])|(?<=\\p{IsHan})(?=\\p{IsHan})"
+        ),
+        t => length(trim(t)) > 0
+      )
+    )
 }

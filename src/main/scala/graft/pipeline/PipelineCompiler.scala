@@ -118,10 +118,18 @@ object PipelineCompiler {
           case ("File", true) =>
             spark.readStream.text(sc.path.getOrElse(sys.error(s"source $name: missing path"))).toDF("value")
           case ("Kafka", true) =>
-            // config parity with input/kafka.go; requires a live broker
+            // config parity with input/kafka.go; requires a live broker.
+            // kafka_config.{broker, topic} wire through; `path` stays a
+            // topic fallback for the graft-native flat form.
+            val topic = sc.kafkaTopic
+              .orElse(sc.path)
+              .getOrElse(sys.error(s"source $name: Kafka needs kafka_config.topic"))
+            val broker = sc.kafkaBroker
+              .getOrElse(sys.error(s"source $name: Kafka needs kafka_config.broker"))
             spark.readStream
               .format("kafka")
-              .option("subscribe", sc.path.getOrElse(""))
+              .option("kafka.bootstrap.servers", broker)
+              .option("subscribe", topic)
               .load()
               .selectExpr("CAST(value AS STRING) AS value")
           case ("Kafka", false) =>

@@ -25,7 +25,10 @@ final case class StateConfig(`type`: String)
 final case class SourceConfig(
     `type`: String,
     path: Option[String],
-    format: Option[String]
+    format: Option[String],
+    /** Kafka connection settings (reference kafka_config: broker, topic). */
+    kafkaBroker: Option[String] = None,
+    kafkaTopic: Option[String] = None
 )
 
 final case class SinkConfig(
@@ -77,10 +80,16 @@ object PipelineConfig {
       val sources = objMap(root.getOrElse("sources", JObject())).map { case (name, sv) =>
         val o = objMap(sv)
         val nested = objMap(o.getOrElse("file_config", JNothing))
+        // reference input/kafka.go:10-14 — {broker, topic, partitions};
+        // partitions is a consumer-goroutine count the Spark connector
+        // decides itself, so only broker/topic carry over.
+        val kafka = objMap(o.getOrElse("kafka_config", JNothing))
         name -> SourceConfig(
           `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
           path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing))),
-          format = str(o.getOrElse("format", JNothing))
+          format = str(o.getOrElse("format", JNothing)),
+          kafkaBroker = str(kafka.getOrElse("broker", JNothing)).filter(_.nonEmpty),
+          kafkaTopic = str(kafka.getOrElse("topic", JNothing)).filter(_.nonEmpty)
         )
       }
       val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>

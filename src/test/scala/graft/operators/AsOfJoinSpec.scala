@@ -136,11 +136,11 @@ class AsOfJoinSpec extends SparkSpec {
         .collect()
         .toMap
       // Brute force: earliest right row at or after each left row's time
-      // (ties on time broken by rid AS A STRING, first wins), nulled when
-      // beyond the tolerance.
+      // (ties on time broken by rid in its NATIVE numeric order, first
+      // wins), nulled when beyond the tolerance.
       val want = left.map { case (id, k, t) =>
         val candidates = right.filter(r => r._1 == k && r._2 >= t)
-        val m = if (candidates.isEmpty) None else Some(candidates.minBy(c => (c._2, c._4.toString)))
+        val m = if (candidates.isEmpty) None else Some(candidates.minBy(c => (c._2, c._4)))
         id -> m.filter(c => tol.forall(c._2 - t <= _)).map(_._3)
       }.toMap
       got == want
@@ -168,12 +168,12 @@ class AsOfJoinSpec extends SparkSpec {
         .collect()
         .toMap
       // Brute force: latest right row at or before each left row's time;
-      // ties among right rows resolved by rid rendered AS A STRING
-      // (the operator's tie-break contract).
+      // ties among right rows resolved by rid in its NATIVE numeric
+      // order (a string cast would invert it: "9" > "10").
       val want = left.map { case (id, k, t) =>
         val candidates = right.filter(r => r._1 == k && r._2 <= t)
         id -> (if (candidates.isEmpty) None
-               else Some(candidates.maxBy(c => (c._2, c._4.toString))._3))
+               else Some(candidates.maxBy(c => (c._2, c._4))._3))
       }.toMap
       got == want
     }

@@ -20,6 +20,20 @@ class ResampleSpec extends SparkSpec {
     out(20L) shouldBe Some(1.0) // gap: value carried forward
   }
 
+  test("numeric obsTieBreak is ordered numerically: seq 10 beats seq 9 at the same instant") {
+    // A lexicographic tie-break would pick "9" over "10" and forward-
+    // fill the STALE value — the last-write-wins contract demands the
+    // native numeric order.
+    val obs = Seq(("k", 0L, 9L, 1.0), ("k", 0L, 10L, 2.0)).toDF("k", "t", "seq", "v")
+    val out = Resample
+      .forwardFill(obs, key = "k", timeUs = "t", valueCol = "v", stepUs = 10L, obsTieBreak = Some("seq"))
+      .select("tick_us", "v")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    out(0L) shouldBe Some(2.0) // seq=10 wrote last
+  }
+
   test("tick at the observation instant sees the observation") {
     val obs = Seq(("k", 10L, "a", 5.0)).toDF("k", "t", "id", "v")
     val out = Resample

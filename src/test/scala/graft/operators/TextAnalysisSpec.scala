@@ -44,5 +44,11 @@ class TextAnalysisSpec extends SparkSpec {
     n("hello world") shouldBe 2
     n("hello, world!") shouldBe 4 // hello / , / world / !
     n("a1b2") shouldBe 1 // alnum run stays one token
+    // Non-Latin scripts are word characters too — an ASCII-only class
+    // would count any of these documents as ~1 token.
+    n("привет мир") shouldBe 2 // Cyrillic words
+    n("مرحبا بالعالم") shouldBe 2 // Arabic words
+    n("你好世界") shouldBe 4 // Han: one token per ideograph
+    n("hello 世界") shouldBe 3 // mixed Latin + Han
   }
 }

@@ -100,6 +100,17 @@ class PipelineConfigSpec extends AnyFunSuite with Matchers {
     PipelineConfig.validate(c, registry).left.toOption.get should include("cycle")
   }
 
+  test("kafka_config block parses broker and topic (input/kafka.go parity)") {
+    val c = PipelineConfig
+      .parse("""{"rules": {}, "states": {}, "sinks": {},
+               | "sources": {"k": {"type": "Kafka",
+               |   "kafka_config": {"broker": "b1:9092", "topic": "events", "partitions": 4}}}}""".stripMargin)
+      .toOption
+      .get
+    c.sources("k").kafkaBroker shouldBe Some("b1:9092")
+    c.sources("k").kafkaTopic shouldBe Some("events")
+  }
+
   test("diamond fan-out/fan-in is NOT a cycle") {
     val c = PipelineConfig
       .parse("""{"rules": {
