@@ -100,6 +100,19 @@ object Similarity {
     aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, j) => (b * pow(lit(2.0), j)).cast("int")), lit(0), _ + _)
   }
 
+  /** Embedding width read from the data (first non-empty row). The
+    * sign-LSH plane matrix is a driver-built literal, so `dims` must be
+    * known at plan time — deriving it here keeps the planes in lockstep
+    * with the corpus (and with an oracle that derives its plane count
+    * from `LEN(emb)`) instead of trusting a hand-maintained constant
+    * that silently diverges when the embedding width changes. Cost: one
+    * bounded LIMIT-1 job at plan construction. Returns 0 for an
+    * all-empty corpus (the signature is then the constant 0 bucket).
+    */
+  def embeddingDims(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Bucket a corpus by sign-LSH signature: vectors sharing a bucket
     * are the candidate set for each other. Increase `planes` for
     * precision, lower it (or search neighboring buckets) for recall.

@@ -39,6 +39,24 @@ object TextGroups {
   def perDoc(df: DataFrame, idCol: String, textKey: Column)(perText: DataFrame => DataFrame): DataFrame =
     perDocWithSizes(df, idCol, textKey)((reps, _) => perText(reps))
 
+  /** The grouping prelude alone — for callers whose EXPANSION is not
+    * [[perDoc]]'s plain inner join (novelty's rep-only ownership, pair
+    * expansion in the fuzzy-dedup queries). Returns
+    * `members` (gid, idCol) and `reps` (gid, t); the grouping rule
+    * (representative = min id per distinct key) lives only here.
+    * `idCol` must not itself be named `t` (the key alias).
+    */
+  def prelude(df: DataFrame, idCol: String, textKey: Column): (DataFrame, DataFrame) = {
+    require(idCol != "t", "idCol 't' collides with the grouping-key alias")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val withGid = df
+      .select(col(idCol), textKey.as("t"))
+      .withColumn("gid", min(col(idCol)).over(w))
+    val members = withGid.select(col("gid"), col(idCol))
+    val reps = withGid.filter(col(idCol) === col("gid")).select(col("gid"), col("t"))
+    (members, reps)
+  }
+
   /** Like [[perDoc]] but `perText` also receives the group sizes
     * (gid, gsz) — needed when the per-text value depends on corpus
     * document counts (e.g. "how many DOCS contain this n-gram" =
@@ -46,12 +64,8 @@ object TextGroups {
     */
   def perDocWithSizes(df: DataFrame, idCol: String, textKey: Column)(
       perText: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
-    val withGid = df
-      .select(col(idCol), textKey.as("t"))
-      .withColumn("gid", min(col(idCol)).over(w))
-    val members = withGid.select(col("gid"), col(idCol).as("_mid"))
-    val reps = withGid.filter(col(idCol) === col("gid")).select(col("gid"), col("t"))
+    val (members0, reps) = prelude(df, idCol, textKey)
+    val members = members0.withColumnRenamed(idCol, "_mid")
     val sizes = members.groupBy("gid").agg(count(lit(1)).as("gsz"))
     val perRep = perText(reps, sizes)
     members

@@ -587,11 +587,9 @@ object Documents {
     // shares a lower-id doc (the rep) with ALL its shingles, so its
     // novel count is 0. The shingle explode, the min-aggregation and
     // the per-doc counts all run once per distinct text.
-    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    val gw = org.apache.spark.sql.expressions.Window.partitionBy("t")
-    val withGid = txt.withColumn("gid", min(col("doc_id")).over(gw))
-    val members = withGid.select(col("gid"), col("doc_id").as("mid"))
-    val reps = withGid.filter(col("doc_id") === col("gid")).select(col("gid"), col("t"))
+    val (members0, reps) = graft.operators.TextGroups
+      .prelude(docs(s, dir), "doc_id", lower(trim(col("text"))))
+    val members = members0.withColumnRenamed("doc_id", "mid")
     val sh = reps.select(
       col("gid"),
       explode(graft.expressions.TextHashExprs.shingleSet(split(col("t"), "\\s+"), 3)).as("s"))
@@ -809,12 +807,10 @@ object Documents {
     // >= 2 distinct DOCS iff it appears in >= 2 distinct groups OR in
     // one group with >= 2 members — min(gid) != max(gid) or
     // max(group size) >= 2 over the gram's window.
-    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    val gw = org.apache.spark.sql.expressions.Window.partitionBy("t")
-    val withGid = txt.withColumn("gid", min(col("doc_id")).over(gw))
-    val members = withGid.select(col("gid"), col("doc_id").as("mid"))
-    val reps = withGid
-      .filter(col("doc_id") === col("gid"))
+    val (members0, reps0) = graft.operators.TextGroups
+      .prelude(docs(s, dir), "doc_id", lower(trim(col("text"))))
+    val members = members0.withColumnRenamed("doc_id", "mid")
+    val reps = reps0
       .select(col("gid"), split(col("t"), "\\s+").as("toks"))
       .select(col("gid"), col("toks"), size(col("toks")).as("n_tokens"))
     val sizes = members.groupBy("gid").agg(count(lit(1)).as("gsz"))
@@ -948,11 +944,9 @@ object Documents {
     // of the text's distinct grams at distance 0, which is what the
     // direct form computes for them. On a fully diverse corpus this
     // degenerates to one extra narrow window pass.
-    val txt = docs(s, dir).select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
-    val withGid = txt.withColumn("gid", min(col("doc_id")).over(w))
-    val members = withGid.select(col("gid"), col("doc_id").as("mid"))
-    val reps = withGid.filter(col("doc_id") === col("gid")).select(col("gid"), col("t"))
+    val (members0, reps) = graft.operators.TextGroups
+      .prelude(docs(s, dir), "doc_id", lower(trim(col("text"))))
+    val members = members0.withColumnRenamed("doc_id", "mid")
     // distinct 5-grams per representative; array_distinct before the
     // explode keeps the distinct map-side (no shuffle)
     val repGrams = reps

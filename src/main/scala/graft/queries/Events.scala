@@ -67,38 +67,46 @@ object Events {
   // ---- q22: as-of enrichment (the go-fish s2s KV join, flagship) ------------
   // Every purchase is enriched with the latest signup of the same user at or
   // before the purchase time (left outer: purchases before any signup keep null).
+  // q22 and q88 attest the SAME oracle through two physical shapes, so
+  // their inputs and projection live in shared helpers — an edit that
+  // reached only one copy would silently break that invariant.
+  private def enrichPurchases(e: DataFrame): DataFrame = e
+    .filter(col("event_type") === "purchase")
+    .select("event_id", "user_id", "ts_us", "value")
+
+  private def enrichSignups(e: DataFrame): DataFrame = e
+    .filter(col("event_type") === "signup")
+    .select(
+      col("user_id"),
+      col("ts_us"),
+      col("event_id").as("signup_event_id"),
+      col("ts_us").as("signup_ts_us"),
+      get_json_object(col("props"), "$.k").cast("long").as("signup_k")
+    )
+
+  private def enrichProject(joined: DataFrame): DataFrame = joined
+    .select(
+      col("event_id"),
+      col("user_id"),
+      col("value").as("purchase_value"),
+      col("signup_ts_us"),
+      col("signup_k")
+    )
+    .orderBy("event_id")
+
   def q22AsOfEnrich(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    val purchases = e
-      .filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts_us", "value")
-    val signups = e
-      .filter(col("event_type") === "signup")
-      .select(
-        col("user_id"),
-        col("ts_us"),
-        col("event_id").as("signup_event_id"),
-        col("ts_us").as("signup_ts_us"),
-        get_json_object(col("props"), "$.k").cast("long").as("signup_k")
-      )
-    AsOfJoin(
-      left = purchases,
-      right = signups,
-      key = "user_id",
-      leftTime = "ts_us",
-      rightTime = "ts_us",
-      rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
-      tieBreak = "event_id",
-      rightTieBreak = Some("signup_event_id")
-    )
-      .select(
-        col("event_id"),
-        col("user_id"),
-        col("value").as("purchase_value"),
-        col("signup_ts_us"),
-        col("signup_k")
-      )
-      .orderBy("event_id")
+    enrichProject(
+      AsOfJoin(
+        left = enrichPurchases(e),
+        right = enrichSignups(e),
+        key = "user_id",
+        leftTime = "ts_us",
+        rightTime = "ts_us",
+        rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
+        tieBreak = "event_id",
+        rightTieBreak = Some("signup_event_id")
+      ))
   }
 
   val q22Sql: String =
@@ -130,38 +138,19 @@ object Events {
   // the fallback end-to-end.
   def q88AsOfBanded(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    val purchases = e
-      .filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts_us", "value")
-    val signups = e
-      .filter(col("event_type") === "signup")
-      .select(
-        col("user_id"),
-        col("ts_us"),
-        col("event_id").as("signup_event_id"),
-        col("ts_us").as("signup_ts_us"),
-        get_json_object(col("props"), "$.k").cast("long").as("signup_k")
-      )
-    AsOfJoin
-      .banded(
-        left = purchases,
-        right = signups,
-        key = "user_id",
-        leftTime = "ts_us",
-        rightTime = "ts_us",
-        rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
-        tieBreak = "event_id",
-        rightTieBreak = Some("signup_event_id"),
-        bandUs = 3600000000L // 1 h bands
-      )
-      .select(
-        col("event_id"),
-        col("user_id"),
-        col("value").as("purchase_value"),
-        col("signup_ts_us"),
-        col("signup_k")
-      )
-      .orderBy("event_id")
+    enrichProject(
+      AsOfJoin
+        .banded(
+          left = enrichPurchases(e),
+          right = enrichSignups(e),
+          key = "user_id",
+          leftTime = "ts_us",
+          rightTime = "ts_us",
+          rightVals = Seq("signup_ts_us" -> "signup_ts_us", "signup_k" -> "signup_k"),
+          tieBreak = "event_id",
+          rightTieBreak = Some("signup_event_id"),
+          bandUs = 3600000000L // 1 h bands
+        ))
   }
 
   // ---- q23: sessionization (gap-based) ---------------------------------------
@@ -254,8 +243,10 @@ object Events {
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
   // ---- q26: percentiles / median --------------------------------------------------
-  // Exact percentiles (Spark `percentile` = DuckDB `quantile_cont`):
-  // integer ts_us percentiles avoid float-interpolation ambiguity.
+  // Exact percentiles over the double `value` column. The hash match
+  // relies on Spark's `percentile` and DuckDB's `quantile_cont` sharing
+  // the same symmetric-lerp interpolation ((1-f)*lo + f*hi); an oracle
+  // engine using lo + (hi-lo)*f can differ in the last ulp.
   def q26Percentiles(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("event_type"))
@@ -371,7 +362,7 @@ object Events {
 
   val q62Sql: String =
     """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
-      |                  CAST(event_id AS VARCHAR) AS eid, value
+      |                  event_id AS eid, value
       |           FROM events WHERE event_type = 'purchase'),
       |b AS (SELECT user_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM p GROUP BY user_id),
       |ticks AS (SELECT user_id,
@@ -443,7 +434,7 @@ object Events {
       |  FROM p
       |  WHERE p.user_id = s.user_id AND p.pts >= s.ts_us
       |    AND p.pts - s.ts_us <= 604800000000
-      |  ORDER BY p.pts, CAST(p.pid AS VARCHAR) LIMIT 1) n ON TRUE
+      |  ORDER BY p.pts, p.pid LIMIT 1) n ON TRUE
       |ORDER BY s.event_id""".stripMargin
 
   // ---- q82: linear-interpolation resample ------------------------------------------
@@ -465,7 +456,7 @@ object Events {
 
   val q82Sql: String =
     """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
-      |                  CAST(event_id AS VARCHAR) AS eid, value
+      |                  event_id AS eid, value
       |           FROM events WHERE event_type = 'purchase'),
       |b AS (SELECT user_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM p GROUP BY user_id),
       |ticks AS (SELECT user_id,

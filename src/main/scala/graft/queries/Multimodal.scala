@@ -44,8 +44,11 @@ object Multimodal {
       |  CAST(GREATEST(1, n % 1024) AS INTEGER) AS width,
       |  CAST(GREATEST(1, (n // 1024) % 1024) AS INTEGER) AS height,
       |  CAST(3 AS INTEGER) AS channels,
-      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, LENGTH(text) + 1),
-      |         i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) / n AS mean_intensity,
+      |  -- empty payload: the stub codec pins meanIntensity to 0.0, not 0/0
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, LENGTH(text) + 1),
+      |              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) / n
+      |  END AS mean_intensity,
       |  CAST(n AS BIGINT) AS payload_bytes
       |FROM d
       |ORDER BY media_id""".stripMargin

@@ -348,6 +348,11 @@ object TextPipeline {
           .agg(count(lit(1)).as("n_overlap"))
         sh
           .select(col("gid"), size(col("sh")).as("n_shingles"))
+          // <3-token docs have an empty shingle set: without this guard
+          // overlap_frac is 0/0 (NULL here, NaN under DuckDB's IEEE
+          // division, which sorts ABOVE the threshold) — same guard q80
+          // applies on both sides.
+          .filter(col("n_shingles") > 0)
           .join(overlap, Seq("gid"), "left_outer")
           .select(
             col("gid"),
@@ -378,7 +383,8 @@ object TextPipeline {
       |  COALESCE(m.n_overlap, 0) AS n_overlap,
       |  CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / LEN(c.sh) AS overlap_frac
       |FROM corp c LEFT JOIN m USING (doc_id)
-      |WHERE CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / LEN(c.sh) >= 0.1
+      |WHERE LEN(c.sh) > 0
+      |  AND CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / LEN(c.sh) >= 0.1
       |ORDER BY doc_id""".stripMargin
 
   // ---- q80: bloom-filter decontamination (bounded-memory q65) ---------------------

@@ -140,8 +140,10 @@ object Vectors {
       col("vec_id"),
       graft.operators.Similarity.asDouble(col("embedding")).as("e")
     )
+    // dims read from the data, matching the oracle's range(0, LEN(emb))
+    val dims = graft.operators.Similarity.embeddingDims(e, "e")
     graft.operators.Similarity
-      .signLshBuckets(e, idCol = "vec_id", embCol = "e", planes = 8, dims = 64)
+      .signLshBuckets(e, idCol = "vec_id", embCol = "e", planes = 8, dims = dims)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
       .orderBy("bucket")
