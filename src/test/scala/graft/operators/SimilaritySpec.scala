@@ -54,6 +54,15 @@ class SimilaritySpec extends SparkSpec {
     b(0L) should not be b(2L)
   }
 
+  test("embeddingDims reads the width from the first non-empty row") {
+    val df = Seq(
+      (1L, Seq.empty[Double]), // empty rows don't decide the width
+      (2L, Seq(0.1, 0.2, 0.3, 0.4))
+    ).toDF("id", "e")
+    Similarity.embeddingDims(df, "e") shouldBe 4
+    Similarity.embeddingDims(df.filter(col("id") === 1L), "e") shouldBe 0
+  }
+
   test("sign-LSH bucketing is deterministic across runs") {
     def run() =
       Similarity

@@ -73,4 +73,22 @@ class TextGroupsSpec extends SparkSpec {
       .toSeq
     viaSizes shouldBe expected
   }
+
+  test("prelude: representative is min id per key, members cover every doc") {
+    val (members, reps) = TextGroups.prelude(corpus, "doc_id", lower(col("text")))
+    reps.select("gid").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 4L)
+    members
+      .orderBy("doc_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq shouldBe Seq((1L, 1L), (1L, 2L), (1L, 3L), (4L, 4L), (4L, 5L))
+    // the representative's key is the grouped text, exposed as `t`
+    reps.orderBy("gid").as[(Long, String)].collect().toSeq shouldBe
+      Seq((1L, "alpha beta gamma"), (4L, "delta epsilon"))
+  }
+
+  test("prelude rejects an id column named t (alias collision)") {
+    an[IllegalArgumentException] should be thrownBy
+      TextGroups.prelude(corpus.withColumnRenamed("doc_id", "t"), "t", lower(col("text")))
+  }
 }
