@@ -222,14 +222,19 @@ object Events {
     val purchases = e
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("purchase_us"), col("value"))
+    // Both sides descend from the same scan: explicit aliases keep the
+    // equi-key unambiguous instead of leaning on Spark's self-join
+    // disambiguation heuristic (which logs a trivially-true-predicate
+    // warning while guessing).
     clicks
+      .as("c")
       .join(
-        purchases,
-        clicks("user_id") === purchases("user_id") &&
+        purchases.as("p"),
+        col("c.user_id") === col("p.user_id") &&
           col("purchase_us") > col("click_us") &&
           col("purchase_us") <= col("click_us") + 3600L * 1000000L
       )
-      .select(clicks("user_id"), col("click_id"), col("purchase_id"), col("value").as("purchase_value"))
+      .select(col("c.user_id"), col("click_id"), col("purchase_id"), col("value").as("purchase_value"))
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
