@@ -137,6 +137,125 @@ object Dedup {
       .select(element_at(col("p"), 1).as("id1"), element_at(col("p"), 2).as("id2"))
       .distinct()
 
+  /** Incremental candidate pairs: LSH bucket collisions restricted to
+    * pairs with at least one NEW side — the daily-ingestion form of
+    * [[candidatePairs]]. `bandsDf` must carry a boolean `newCol`
+    * alongside the id.
+    *
+    * The point at corpus scale: when a batch of b new docs lands on a
+    * corpus of N docs, re-running full LSH pairs the corpus against
+    * itself — O(N²/buckets) pairs that were already known. Here each
+    * bucket splits into its new and old members and emits only
+    * new×new (i<j) and new×old pairs, so the output (and the explode
+    * work) is proportional to the NEW batch's collisions; buckets with
+    * no new member are dropped before any pair forms. The old side's
+    * band rows are recomputed in this offline form, but in production
+    * they come from a staging table written once at ingest (SCALE.md) —
+    * the relation shape here is exactly that table's.
+    */
+  def incrementalCandidatePairs(
+      bandsDf: DataFrame,
+      idCol: String,
+      newCol: String,
+      maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    def pair(a: Column, b: Column, aNew: Boolean, bNew: Boolean): Column =
+      struct(
+        a.getField("i").as("id1"),
+        b.getField("i").as("id2"),
+        lit(aNew).as("new1"),
+        lit(bNew).as("new2")
+      )
+    bandsDf
+      .groupBy(col("band"), col("band_hash"))
+      // struct sorts by its first field, so the id order of candidatePairs
+      // is preserved and i<j slices stay id-ordered
+      .agg(sort_array(collect_set(struct(col(idCol).as("i"), col(newCol).as("n")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(
+        filter(col("ids"), x => x.getField("n")).as("nw"),
+        filter(col("ids"), x => !x.getField("n")).as("ol")
+      )
+      .filter(size(col("nw")) > 0)
+      .select(
+        explode(
+          concat(
+            // new × new: both sorted, emit i<j
+            flatten(
+              transform(
+                col("nw"),
+                (x, i) => transform(slice(col("nw"), i + 2, size(col("nw"))), y => pair(x, y, aNew = true, bNew = true))
+              )
+            ),
+            // new × old: exactly |new|·|old| pairs, ordered by id per pair —
+            // the old×old quadratic term never materializes
+            flatten(
+              transform(
+                col("nw"),
+                x =>
+                  transform(
+                    col("ol"),
+                    y =>
+                      when(x.getField("i") < y.getField("i"), pair(x, y, aNew = true, bNew = false))
+                        .otherwise(pair(y, x, aNew = false, bNew = true))
+                  )
+              )
+            )
+          )
+        ).as("p")
+      )
+      .select(col("p.id1"), col("p.id2"), col("p.new1"), col("p.new2"))
+      .distinct()
+  }
+
+  /** Incremental MinHash-LSH near-dup: near-duplicate pairs of a NEW
+    * document batch against the existing corpus (and within the batch),
+    * with exact Jaccard verification — [[minhashNearDups]] restricted so
+    * old-vs-old pairs are never generated. `isNew` must be a non-null
+    * boolean column expression (e.g. `col("source") === "src0"` or an
+    * ingest-date predicate).
+    *
+    * Output: (id1, id2, new1, new2, jaccard), id1 < id2, at least one
+    * side new. Identical to filtering the full pair set on the new flag
+    * (DedupSpec pins the property) at a fraction of the cost.
+    */
+  def incrementalNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNew: Column,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.0,
+      maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    val sh = df
+      .select(
+        col(idCol),
+        isNew.as("_new"),
+        graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh")
+      )
+      .filter(size(col("sh")) > 0)
+    val bandsDf = sh
+      .select(
+        col(idCol),
+        col("_new"),
+        posexplode(
+          bandHashes(graft.expressions.TextHashExprs.minhashSig(col("sh"), numHashes), bands, numHashes / bands)
+        ).as(Seq("band", "band_hash"))
+      )
+    val pairs = incrementalCandidatePairs(bandsDf, idCol, "_new", maxBucketSize)
+    // Verify joins touch only candidate ids (new docs + their matched old
+    // docs) — at scale this is the batch's neighborhood, not the corpus.
+    val vsh = sh.select(col(idCol), col("sh"))
+    pairs
+      .join(vsh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(vsh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), col("new1"), col("new2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-duplicate clusters: ConnectedComponents over the LSH
     * candidate-pair graph, as (id, component) with component = the
     * minimum id in the cluster.

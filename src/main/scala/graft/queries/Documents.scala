@@ -1017,7 +1017,123 @@ object Documents {
       |  AND levenshtein(t1.t, t2.t) <= 40
       |ORDER BY doc1, doc2""".stripMargin
 
+  // ---- q93: per-language adaptive quality thresholding ------------------------
+  // Language-adaptive filtering (the CCNet/RefinedWeb shape): a fixed
+  // global quality cutoff over-filters low-resource languages, so the
+  // cutoff is computed PER LANGUAGE — here, keep docs at or above their
+  // language's 25th percentile of stopword ratio. Two passes over the
+  // corpus: a narrow (lang, quality) aggregation producing one row per
+  // language, then a broadcast join + filter; no corpus shuffle.
+  //
+  // The exact `percentile` aggregate is scale-safe for THIS metric: its
+  // partial state is a value→count map, and a ratio of two token counts
+  // has O(maxTokens²) distinct values regardless of corpus size. For an
+  // unbounded-cardinality score (a model logit), swap in
+  // approx_percentile and accept the documented rank error.
+  def q93AdaptiveQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val quality =
+      size(filter(toks, w => w.isInCollection(stopwords))).cast("double") / size(toks)
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"), quality.as("quality"))
+    val thresholds = scored
+      .groupBy("lang")
+      .agg(expr("percentile(quality, 0.25)").as("lang_p25"))
+    scored
+      .join(broadcast(thresholds), "lang")
+      .filter(col("quality") >= col("lang_p25"))
+      .select("doc_id", "lang", "quality", "lang_p25")
+      .orderBy("doc_id")
+  }
+
+  val q93Sql: String =
+    s"""WITH q AS (SELECT doc_id, lang,
+       |  CAST(LEN(list_filter(toks, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |    / LEN(toks) AS quality
+       |FROM (SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks FROM documents)),
+       |th AS (SELECT lang, quantile_cont(quality, 0.25) AS lang_p25 FROM q GROUP BY lang)
+       |SELECT doc_id, q.lang, quality, lang_p25
+       |FROM q JOIN th ON q.lang = th.lang
+       |WHERE quality >= lang_p25
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q95: length-bucketed batching (padding-waste accounting) ----------------
+  // Training/inference batch preparation: group docs into fixed-size
+  // batches and account for padding waste (every doc pads to its
+  // batch's max length). Two strategies over the same corpus — 'arrival'
+  // (doc_id order, the naive form) and 'sorted' (length-grouped, the
+  // HF-style group_by_length form) — so the output quantifies the
+  // padding saved by length bucketing, per batch.
+  //
+  // Batching is per source shard: the rank windows partition by
+  // `source`, so shards rank in parallel and no global single-partition
+  // window exists (the production form subdivides giant sources by an
+  // ingest-time range key the same way). Batch = 32 docs within shard.
+  def q95LengthBatching(s: SparkSession, dir: String): DataFrame = {
+    val batch = 32
+    val w = org.apache.spark.sql.expressions.Window
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      col("source"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens")
+    )
+    val ranked = t.select(
+      col("source"),
+      col("n_tokens"),
+      row_number().over(w.partitionBy("source").orderBy("n_tokens", "doc_id")).as("rs"),
+      row_number().over(w.partitionBy("source").orderBy("doc_id")).as("ra")
+    )
+    val sorted =
+      ranked.select(lit("sorted").as("strategy"), col("source"),
+        expr(s"CAST((rs - 1) div $batch AS INT)").as("batch_id"), col("n_tokens"))
+    val arrival =
+      ranked.select(lit("arrival").as("strategy"), col("source"),
+        expr(s"CAST((ra - 1) div $batch AS INT)").as("batch_id"), col("n_tokens"))
+    sorted
+      .unionByName(arrival)
+      .groupBy("strategy", "source", "batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("bigint").as("sum_tokens")
+      )
+      .select(
+        col("strategy"),
+        col("source"),
+        col("batch_id"),
+        col("n_docs"),
+        col("max_tokens"),
+        col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).cast("bigint").as("padding"),
+        ((col("n_docs") * col("max_tokens") - col("sum_tokens")).cast("double") /
+          (col("n_docs") * col("max_tokens"))).as("waste_frac")
+      )
+      .orderBy("strategy", "source", "batch_id")
+  }
+
+  val q95Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |             LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+      |           FROM documents),
+      |r AS (SELECT source, n_tokens,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rs,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS ra
+      |      FROM t),
+      |b AS (SELECT 'sorted' AS strategy, source, (rs - 1) // 32 AS batch_id, n_tokens FROM r
+      |      UNION ALL
+      |      SELECT 'arrival', source, (ra - 1) // 32, n_tokens FROM r)
+      |SELECT strategy, source, CAST(batch_id AS INTEGER) AS batch_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MAX(n_tokens) AS INTEGER) AS max_tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding,
+      |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+      |    / (COUNT(*) * MAX(n_tokens)) AS waste_frac
+      |FROM b GROUP BY strategy, source, batch_id
+      |ORDER BY strategy, source, batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_adaptive_quality" -> (q93AdaptiveQuality _),
+    "q95_length_batching" -> (q95LengthBatching _),
     "q89_dup_ngram_spans" -> (q89DupNgramSpans _),
     "q90_sparse_docsim" -> (q90SparseDocsim _),
     "q91_fuzzy_editdist" -> (q91FuzzyEditdist _),
@@ -1044,6 +1160,8 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_adaptive_quality" -> q93Sql,
+    "q95_length_batching" -> q95Sql,
     "q89_dup_ngram_spans" -> q89Sql,
     "q90_sparse_docsim" -> q90Sql,
     "q91_fuzzy_editdist" -> q91Sql,

@@ -35,11 +35,11 @@ object TextPipeline {
         persistShingles = false, dedupFirst = true)
       .orderBy("id1", "id2")
 
-  /** Shared CTE chain computing the LSH candidate pairs of q35 —
-    * reused verbatim by the q51 clustering oracle so both queries see
-    * the identical pair set.
+  /** Shared CTE chain computing the MinHash signatures + band rows of
+    * q35 (`sh` shingle sets, `exploded` band hashes) — reused by the
+    * q94 incremental oracle so both see identical signatures.
     */
-  private val lshPairsCte: String =
+  private val lshSigCte: String =
     """d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
       |sh AS (SELECT doc_id,
       |         CASE WHEN LEN(toks) >= 3
@@ -58,7 +58,14 @@ object TextPipeline {
       |        FROM xs),
       |exploded AS (SELECT doc_id, band,
       |               md5(band || '|' || array_to_string(sig[band*2+1 : band*2+2], ',')) AS band_hash
-      |             FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig)),
+      |             FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig))""".stripMargin
+
+  /** [[lshSigCte]] + the full candidate-pair CTE of q35 — reused
+    * verbatim by the q51 clustering oracle so both queries see the
+    * identical pair set.
+    */
+  private val lshPairsCte: String =
+    s"""$lshSigCte,
       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |          FROM exploded a JOIN exploded b USING (band, band_hash)
       |          WHERE a.doc_id < b.doc_id)""".stripMargin
@@ -66,6 +73,38 @@ object TextPipeline {
   val q35Sql: String =
     s"""WITH $lshPairsCte
       |SELECT id1, id2,
+      |  CASE WHEN LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) > 0
+      |       THEN CAST(LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+      |            / (LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))))
+      |       ELSE 0.0 END AS jaccard
+      |FROM pairs JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
+  // ---- q94: incremental near-dup (new batch vs corpus) -----------------------
+  // The daily-ingestion form of q35: src0 (5% of the corpus) plays the
+  // newly-crawled batch; output is every LSH candidate pair with at
+  // least one src0 side, exact-Jaccard verified. Old-vs-old pairs are
+  // never generated — at 100 TB that is the difference between pairing
+  // a day's crawl against the corpus and re-pairing the corpus against
+  // itself (Dedup.incrementalCandidatePairs has the bucket math; the
+  // old side's band rows come from an ingest-time staging table in the
+  // production form, SCALE.md).
+  def q94IncrementalNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .incrementalNearDups(docs(s, dir), idCol = "doc_id", textCol = "text",
+        isNew = col("source") === "src0", k = 3, numHashes = 8, bands = 4)
+      .orderBy("id1", "id2")
+
+  val q94Sql: String =
+    s"""WITH $lshSigCte,
+      |flag AS (SELECT doc_id, source = 'src0' AS is_new FROM documents),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |            fa.is_new AS new1, fb.is_new AS new2
+      |          FROM exploded a JOIN exploded b USING (band, band_hash)
+      |          JOIN flag fa ON a.doc_id = fa.doc_id
+      |          JOIN flag fb ON b.doc_id = fb.doc_id
+      |          WHERE a.doc_id < b.doc_id AND (fa.is_new OR fb.is_new))
+      |SELECT id1, id2, new1, new2,
       |  CASE WHEN LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) > 0
       |       THEN CAST(LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
       |            / (LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))))
@@ -482,6 +521,7 @@ object TextPipeline {
     "q65_decontamination" -> (q65Decontamination _),
     "q64_curation" -> (q64Curation _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
+    "q94_incremental_neardup" -> (q94IncrementalNeardup _),
     "q36_simhash" -> (q36Simhash _),
     "q37_winnow" -> (q37Winnow _),
     "q38_lang_id" -> (q38LangId _),
@@ -494,6 +534,7 @@ object TextPipeline {
     "q65_decontamination" -> q65Sql,
     "q64_curation" -> q64Sql,
     "q35_minhash_lsh" -> q35Sql,
+    "q94_incremental_neardup" -> q94Sql,
     "q36_simhash" -> q36Sql,
     "q37_winnow" -> q37Sql,
     "q38_lang_id" -> q38Sql,

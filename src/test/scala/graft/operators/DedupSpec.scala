@@ -74,6 +74,43 @@ class DedupSpec extends SparkSpec {
     sortedPairs(true) shouldBe direct
   }
 
+  test("incremental near-dup equals the full pair set filtered to new-involving pairs") {
+    // mixed corpus: near-dup cluster spanning old+new, old-only dup pair
+    // (must NOT appear), new-only pair, shingle-ineligible shorties
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", false),
+      (2L, "the quick brown fox jumps over the lazy cat", false),
+      (3L, "completely different text with no overlap at all whatsoever", false),
+      (4L, "the quick brown fox jumps over the lazy dog", true), // new dup of old 1
+      (5L, "completely different text with no overlap at all whatsoever", false), // old-old pair with 3
+      (6L, "the quick brown fox jumps over the lazy dog", true), // new dup of 1 and 4
+      (7L, "too short", true),
+      (8L, "some entirely unrelated words nobody else uses anywhere here", true)
+    ).toDF("doc_id", "text", "is_new")
+    val incr = Dedup
+      .incrementalNearDups(corpus, "doc_id", "text", col("is_new"), 3, 8, 4)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean, Double)]
+      .collect()
+      .toSeq
+    val newIds = Set(4L, 6L, 7L, 8L)
+    val expected = Dedup
+      .minhashNearDups(corpus.drop("is_new"), "doc_id", "text", 3, 8, 4, persistShingles = false)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+      .filter { case (a, b, _) => newIds(a) || newIds(b) }
+      .map { case (a, b, j) => (a, b, newIds(a), newIds(b), j) }
+    incr shouldBe expected
+    // the old-old pair (3,5) exists in the full set but never here
+    expected.exists { case (a, b, _, _, _) => !newIds(a) && !newIds(b) } shouldBe false
+    incr.exists { case (a, b, _, _, _) => (a, b) == (3L, 5L) } shouldBe false
+    // both pair classes are exercised
+    incr.exists { case (_, _, n1, n2, _) => n1 && n2 } shouldBe true
+    incr.exists { case (_, _, n1, n2, _) => n1 ^ n2 } shouldBe true
+  }
+
   test("dedupFirst respects the score threshold across within-group pairs") {
     val corpus = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),
