@@ -158,6 +158,27 @@ class PlanSpec extends SparkSpec {
     p should include("partial_")
   }
 
+  test("q93 adaptive quality: per-lang thresholds broadcast back, never shuffled as a join") {
+    val p = plan("q93_adaptive_quality")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q94 incremental near-dup: bucketed pairing, no cross product anywhere") {
+    val p = plan("q94_incremental_neardup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q95 length batching: every rank window partitions by the source shard") {
+    val df = graft.SparkEntry.queries("q95_length_batching")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    all(windows.map(_.partitionSpec.nonEmpty)) shouldBe true
+  }
+
   test("whole catalog: no global (no-partition) window outside q68's 25-row nation rank") {
     // A window with an empty partition spec serializes its whole input
     // through ONE task — the scale bug the q73 rewrite removed. Audit
