@@ -160,5 +160,92 @@ object CorpusRules {
         .drop("_sig")
   }
 
-  val all: Seq[Rule] = Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule)
+  /** Match incoming docs against a static REFERENCE corpus by near-dup
+    * (MinHash-LSH candidates + exact-Jaccard verify) — the ingest-time
+    * form of decontamination: benchmark/eval matches, known-bad content
+    * and PII blocklists all reduce to "does this doc near-dup anything
+    * in that corpus?". Output = matching input rows + `corpus_match_id`
+    * (md5 of the matched corpus text) + `jaccard`; one row per distinct
+    * (input text, corpus doc) match. Clean docs pass through NOTHING —
+    * this is the quarantine/alert feed (route it to a queue sink), the
+    * corpus-side dual of q94's incremental pairing; batch filtering of
+    * the clean remainder is q65/q80's job.
+    *
+    * Rules are zero-arg plugins (the reference's .so model), so
+    * parameters ride the session conf:
+    *   - `spark.graft.corpusMatch.corpus`    — required parquet path with a `text` column
+    *   - `spark.graft.corpusMatch.threshold` — Jaccard cutoff, default 0.5
+    *
+    * Scale/streaming shape: the corpus side is STATIC — its band rows
+    * and shingle sets behave as a lookup table (stream-static inner
+    * joins, append-safe, no watermark). The only state is streaming's
+    * first-arrival alert dedup, one entry per distinct alert pair.
+    * Batch dedups deterministically (min row per pair, like
+    * [[ExactDedupRule]]).
+    */
+  object CorpusMatchRule extends Rule {
+    val name = "corpusMatch"
+    private val K = 3
+    private val NumHashes = 8
+    private val Bands = 4
+
+    private def matches(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val corpusDir = spark.conf.getOption("spark.graft.corpusMatch.corpus").getOrElse(
+        throw new IllegalArgumentException(
+          s"$name needs spark.graft.corpusMatch.corpus = <parquet dir with a text column>"))
+      val threshold =
+        spark.conf.getOption("spark.graft.corpusMatch.threshold").map(_.toDouble).getOrElse(0.5)
+      // Corpus side: one band row per (distinct text, band), the shingle
+      // set carried alongside so the verify needs no second corpus join.
+      // Benchmark corpora are small next to the stream; duplicating the
+      // shingle array per band row trades bytes for a join.
+      val cbands = df.sparkSession.read
+        .parquet(corpusDir)
+        .select(md5(col("text")).as("corpus_match_id"),
+          TextHashExprs.shingleSet(Dedup.tokens(col("text")), K).as("_csh"))
+        .filter(size(col("_csh")) > 0)
+        .dropDuplicates("corpus_match_id")
+        .select(
+          col("corpus_match_id"),
+          col("_csh"),
+          posexplode(
+            Dedup.bandHashes(TextHashExprs.minhashSig(col("_csh"), NumHashes), Bands, NumHashes / Bands)
+          ).as(Seq("band", "band_hash"))
+        )
+      val cols = df.columns
+      df
+        .withColumn("_did", md5(col("text")))
+        .withColumn("_insh", TextHashExprs.shingleSet(Dedup.tokens(col("text")), K))
+        .filter(size(col("_insh")) > 0)
+        .select(
+          (cols.map(col) :+ col("_did") :+ col("_insh")) :+
+            posexplode(
+              Dedup.bandHashes(TextHashExprs.minhashSig(col("_insh"), NumHashes), Bands, NumHashes / Bands)
+            ).as(Seq("band", "band_hash")): _*
+        )
+        .join(cbands, Seq("band", "band_hash"))
+        .withColumn("jaccard", Dedup.jaccard(col("_insh"), col("_csh")))
+        .filter(col("jaccard") >= threshold)
+        .select((cols.map(col) :+ col("_did") :+ col("corpus_match_id") :+ col("jaccard")): _*)
+    }
+
+    def apply(df: DataFrame): DataFrame = {
+      requireOrderable(df, name)
+      val out = df.columns :+ "corpus_match_id" :+ "jaccard"
+      matches(df)
+        .groupBy(col("_did"), col("corpus_match_id"))
+        .agg(min(struct(out.map(col): _*)).as("_row"))
+        .select(out.map(c => col(s"_row.$c")): _*)
+    }
+
+    /** First-arrival alert per (input text, corpus doc) — state is one
+      * fingerprint pair per distinct alert, not per stream row.
+      */
+    override def applyStreaming(df: DataFrame): DataFrame =
+      matches(df).dropDuplicates("_did", "corpus_match_id").drop("_did")
+  }
+
+  val all: Seq[Rule] =
+    Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule, CorpusMatchRule)
 }

@@ -1,0 +1,98 @@
+package graft.rules
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.rules.CorpusRules.CorpusMatchRule
+
+/** The ingest-time corpus-match (decontamination) rule: batch and
+  * streaming must flag the same (input text, corpus doc) pairs, and the
+  * threshold/required-conf contracts must hold.
+  */
+class CorpusMatchRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusTexts = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),
+    (101L, "pack my box with five dozen liquor jugs exactly today"),
+    (102L, "the quick brown fox jumps over the lazy dog") // dup text — one corpus id
+  )
+
+  private val incoming = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact corpus match
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 100
+    (3L, "completely unrelated words that match nothing in the corpus"),
+    (4L, "the quick brown fox jumps over the lazy dog") // same text as 1 — same alert
+  )
+
+  private def withCorpus[A](threshold: Option[Double])(body: => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpusmatch").toString
+    corpusTexts.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.graft.corpusMatch.corpus", dir)
+    threshold.foreach(t => spark.conf.set("spark.graft.corpusMatch.threshold", t.toString))
+    try body
+    finally {
+      spark.conf.unset("spark.graft.corpusMatch.corpus")
+      spark.conf.unset("spark.graft.corpusMatch.threshold")
+    }
+  }
+
+  test("batch: near-dups of the corpus are flagged once per (text, corpus doc)") {
+    withCorpus(Some(0.5)) {
+      val out = CorpusMatchRule(incoming.toDF("doc_id", "text"))
+        .select("doc_id", "corpus_match_id", "jaccard")
+        .collect()
+      val byDoc = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // exact match scores 1.0; doc 4 (same text as 1) collapses into one
+      // alert pair, surviving with the minimum doc_id
+      byDoc.keySet shouldBe Set(1L, 2L)
+      byDoc(1L) shouldBe 1.0
+      byDoc(2L) should (be >= 0.5 and be < 1.0)
+      out.map(_.getString(1)).distinct.length shouldBe 1 // both match corpus text 100/102
+    }
+  }
+
+  test("batch: threshold 1.0 keeps only exact matches; clean docs never appear") {
+    withCorpus(Some(1.0)) {
+      val out = CorpusMatchRule(incoming.toDF("doc_id", "text"))
+      out.select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    }
+  }
+
+  test("streaming: stream-static join flags the same pairs as batch") {
+    withCorpus(Some(0.5)) {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+      mem.addData(incoming: _*)
+      val q = CorpusMatchRule
+        .applyStreaming(mem.toDF.toDF("doc_id", "text"))
+        .writeStream
+        .format("memory")
+        .queryName("corpusMatchStream")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark
+        .table("corpusMatchStream")
+        .select("doc_id", "corpus_match_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // one alert per distinct (text, corpus doc): docs 1 and 4 share a
+      // text, so exactly one of them is flagged (first arrival)
+      rows.length shouldBe 2
+      rows.map(_._1).toSet.intersect(Set(1L, 4L)).size shouldBe 1
+      rows.map(_._1) should contain(2L)
+    }
+  }
+
+  test("missing corpus conf fails with the conf key named") {
+    val e = intercept[IllegalArgumentException] {
+      CorpusMatchRule(incoming.toDF("doc_id", "text")).collect()
+    }
+    e.getMessage should include("spark.graft.corpusMatch.corpus")
+  }
+
+  test("the rule is registered as a builtin pipeline plugin") {
+    graft.pipeline.PipelineCompiler.builtinRules.keySet should contain("corpusMatch")
+  }
+}
