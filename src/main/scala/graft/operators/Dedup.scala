@@ -211,13 +211,24 @@ object Dedup {
   /** Incremental MinHash-LSH near-dup: near-duplicate pairs of a NEW
     * document batch against the existing corpus (and within the batch),
     * with exact Jaccard verification — [[minhashNearDups]] restricted so
-    * old-vs-old pairs are never generated. `isNew` must be a non-null
-    * boolean column expression (e.g. `col("source") === "src0"` or an
-    * ingest-date predicate).
+    * old-vs-old pairs are never generated. `isNew` is a boolean column
+    * expression (e.g. `col("source") === "src0"` or an ingest-date
+    * predicate); a NULL flag means OLD (coalesced to false — a doc of
+    * unknown provenance must not be silently unpaired, which is what a
+    * null would otherwise do to both bucket sides).
     *
     * Output: (id1, id2, new1, new2, jaccard), id1 < id2, at least one
     * side new. Identical to filtering the full pair set on the new flag
     * (DedupSpec pins the property) at a fraction of the cost.
+    *
+    * `verifyCandidatesOnly` restricts the verify-join shingle relation
+    * to candidate ids first (same knob and trade-off as
+    * [[minhashNearDups]]): at the design point — a small batch against
+    * a huge corpus — the candidate neighborhood is a fraction of the
+    * corpus and this saves two full-corpus shingle passes; on small
+    * corpora the extra candidate-id job costs more than it saves, so it
+    * is opt-in. (In production the corpus side's shingles and band rows
+    * come from an ingest-time staging table either way.)
     */
   def incrementalNearDups(
       df: DataFrame,
@@ -228,12 +239,13 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.0,
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      verifyCandidatesOnly: Boolean = false
   ): DataFrame = {
     val sh = df
       .select(
         col(idCol),
-        isNew.as("_new"),
+        coalesce(isNew.cast("boolean"), lit(false)).as("_new"),
         graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh")
       )
       .filter(size(col("sh")) > 0)
@@ -245,13 +257,21 @@ object Dedup {
           bandHashes(graft.expressions.TextHashExprs.minhashSig(col("sh"), numHashes), bands, numHashes / bands)
         ).as(Seq("band", "band_hash"))
       )
-    val pairs = incrementalCandidatePairs(bandsDf, idCol, "_new", maxBucketSize)
-    // Verify joins touch only candidate ids (new docs + their matched old
-    // docs) — at scale this is the batch's neighborhood, not the corpus.
-    val vsh = sh.select(col(idCol), col("sh"))
+    val pairsPlain = incrementalCandidatePairs(bandsDf, idCol, "_new", maxBucketSize)
+    // localCheckpoint when the pairs feed three consumers (the id filter
+    // + both verify joins), exactly as in minhashNearDups.
+    val pairs = if (verifyCandidatesOnly) pairsPlain.localCheckpoint(false) else pairsPlain
+    val verifySh =
+      if (verifyCandidatesOnly) {
+        val candidateIds = pairs
+          .select(explode(array(col("id1"), col("id2"))).as(idCol))
+          .distinct()
+        df.join(candidateIds, idCol)
+          .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
+      } else sh.select(col(idCol), col("sh"))
     pairs
-      .join(vsh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
-      .join(vsh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .join(verifySh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(verifySh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"), col("new1"), col("new2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -1020,24 +1020,43 @@ object Documents {
   // ---- q93: per-language adaptive quality thresholding ------------------------
   // Language-adaptive filtering (the CCNet/RefinedWeb shape): a fixed
   // global quality cutoff over-filters low-resource languages, so the
-  // cutoff is computed PER LANGUAGE — here, keep docs at or above their
-  // language's 25th percentile of stopword ratio. Two passes over the
-  // corpus: a narrow (lang, quality) aggregation producing one row per
-  // language, then a broadcast join + filter; no corpus shuffle.
+  // cutoff is computed PER LANGUAGE — keep docs at or above their
+  // language's 25th-percentile stopword ratio.
   //
-  // The exact `percentile` aggregate is scale-safe for THIS metric: its
-  // partial state is a value→count map, and a ratio of two token counts
-  // has O(maxTokens²) distinct values regardless of corpus size. For an
-  // unbounded-cardinality score (a model logit), swap in
-  // approx_percentile and accept the documented rank error.
+  // The threshold is the DISCRETE quantile (smallest observed value
+  // with cumulative count >= ceil(0.25·n)), computed from per-(lang,
+  // value) counts + a cumulative window, NOT an interpolating
+  // percentile aggregate: an interpolated cutoff is an arithmetic
+  // artifact whose last-ulp rounding may differ between engines, and a
+  // MEMBERSHIP filter on it would flip boundary docs — the discrete
+  // form compares only values the data contains, so it is bit-exact on
+  // any engine (0.25·n is exact: 0.25 is a power of two).
+  //
+  // Scale shape: the value-count relation is bounded by distinct ratio
+  // values (O(maxTokens²)) × languages regardless of corpus size, so
+  // the cumulative window is over a tiny relation, and the thresholds
+  // broadcast back — the corpus itself never shuffles. The corpus-side
+  // quality expression evaluates twice (threshold pass + filter pass),
+  // both narrow map-side scans; on a duplicate-heavy corpus wrap the
+  // quality compute in TextGroups.perDoc as q32 does.
   def q93AdaptiveQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val toks = split(trim(lower(col("text"))), "\\s+")
     val quality =
-      size(filter(toks, w => w.isInCollection(stopwords))).cast("double") / size(toks)
+      size(filter(toks, x => x.isInCollection(stopwords))).cast("double") / size(toks)
     val scored = docs(s, dir).select(col("doc_id"), col("lang"), quality.as("quality"))
-    val thresholds = scored
+    val valueCounts = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+    val cum = valueCounts.select(
+      col("lang"),
+      col("quality"),
+      sum("c").over(w.partitionBy("lang").orderBy("quality")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)).as("cum"),
+      sum("c").over(w.partitionBy("lang")).as("n")
+    )
+    val thresholds = cum
+      .filter(col("cum") >= ceil(col("n") * 0.25))
       .groupBy("lang")
-      .agg(expr("percentile(quality, 0.25)").as("lang_p25"))
+      .agg(min("quality").as("lang_p25"))
     scored
       .join(broadcast(thresholds), "lang")
       .filter(col("quality") >= col("lang_p25"))
@@ -1050,7 +1069,14 @@ object Documents {
        |  CAST(LEN(list_filter(toks, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
        |    / LEN(toks) AS quality
        |FROM (SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks FROM documents)),
-       |th AS (SELECT lang, quantile_cont(quality, 0.25) AS lang_p25 FROM q GROUP BY lang)
+       |vc AS (SELECT lang, quality, COUNT(*) AS c FROM q GROUP BY lang, quality),
+       |cum AS (SELECT lang, quality,
+       |          SUM(c) OVER (PARTITION BY lang ORDER BY quality
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |          SUM(c) OVER (PARTITION BY lang) AS n
+       |        FROM vc),
+       |th AS (SELECT lang, MIN(quality) AS lang_p25 FROM cum
+       |       WHERE cum >= CEIL(0.25 * n) GROUP BY lang)
        |SELECT doc_id, q.lang, quality, lang_p25
        |FROM q JOIN th ON q.lang = th.lang
        |WHERE quality >= lang_p25

@@ -189,18 +189,26 @@ object CorpusRules {
     private val NumHashes = 8
     private val Bands = 4
 
-    private def matches(df: DataFrame): DataFrame = {
+    private def matches(df: DataFrame, persistCorpus: Boolean): DataFrame = {
       val spark = df.sparkSession
       val corpusDir = spark.conf.getOption("spark.graft.corpusMatch.corpus").getOrElse(
         throw new IllegalArgumentException(
           s"$name needs spark.graft.corpusMatch.corpus = <parquet dir with a text column>"))
       val threshold =
         spark.conf.getOption("spark.graft.corpusMatch.threshold").map(_.toDouble).getOrElse(0.5)
+      // Output + working column names must not collide with the input's
+      // (the internal ones are _-prefixed like the sibling rules'; the
+      // two output names are part of this rule's contract) — fail with
+      // the names spelled out instead of an ambiguous-reference
+      // AnalysisException deep inside the join.
+      val reserved = Seq("corpus_match_id", "jaccard", "_did", "_insh", "_csh", "_band", "_band_hash")
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty, s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
       // Corpus side: one band row per (distinct text, band), the shingle
       // set carried alongside so the verify needs no second corpus join.
       // Benchmark corpora are small next to the stream; duplicating the
       // shingle array per band row trades bytes for a join.
-      val cbands = df.sparkSession.read
+      val cbandsPlain = df.sparkSession.read
         .parquet(corpusDir)
         .select(md5(col("text")).as("corpus_match_id"),
           TextHashExprs.shingleSet(Dedup.tokens(col("text")), K).as("_csh"))
@@ -211,8 +219,15 @@ object CorpusRules {
           col("_csh"),
           posexplode(
             Dedup.bandHashes(TextHashExprs.minhashSig(col("_csh"), NumHashes), Bands, NumHashes / Bands)
-          ).as(Seq("band", "band_hash"))
+          ).as(Seq("_band", "_band_hash"))
         )
+      // Streaming re-evaluates the static join side EVERY microbatch —
+      // persist makes it the actual lookup table (computed once, read
+      // per trigger). Lives for the query's lifetime; swap the corpus by
+      // restarting the query (it is a static snapshot either way).
+      val cbands =
+        if (persistCorpus) cbandsPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else cbandsPlain
       val cols = df.columns
       df
         .withColumn("_did", md5(col("text")))
@@ -222,9 +237,9 @@ object CorpusRules {
           (cols.map(col) :+ col("_did") :+ col("_insh")) :+
             posexplode(
               Dedup.bandHashes(TextHashExprs.minhashSig(col("_insh"), NumHashes), Bands, NumHashes / Bands)
-            ).as(Seq("band", "band_hash")): _*
+            ).as(Seq("_band", "_band_hash")): _*
         )
-        .join(cbands, Seq("band", "band_hash"))
+        .join(cbands, Seq("_band", "_band_hash"))
         .withColumn("jaccard", Dedup.jaccard(col("_insh"), col("_csh")))
         .filter(col("jaccard") >= threshold)
         .select((cols.map(col) :+ col("_did") :+ col("corpus_match_id") :+ col("jaccard")): _*)
@@ -233,7 +248,7 @@ object CorpusRules {
     def apply(df: DataFrame): DataFrame = {
       requireOrderable(df, name)
       val out = df.columns :+ "corpus_match_id" :+ "jaccard"
-      matches(df)
+      matches(df, persistCorpus = false)
         .groupBy(col("_did"), col("corpus_match_id"))
         .agg(min(struct(out.map(col): _*)).as("_row"))
         .select(out.map(c => col(s"_row.$c")): _*)
@@ -243,7 +258,7 @@ object CorpusRules {
       * fingerprint pair per distinct alert, not per stream row.
       */
     override def applyStreaming(df: DataFrame): DataFrame =
-      matches(df).dropDuplicates("_did", "corpus_match_id").drop("_did")
+      matches(df, persistCorpus = true).dropDuplicates("_did", "corpus_match_id").drop("_did")
   }
 
   val all: Seq[Rule] =

@@ -94,21 +94,46 @@ class DedupSpec extends SparkSpec {
       .collect()
       .toSeq
     val newIds = Set(4L, 6L, 7L, 8L)
-    val expected = Dedup
+    val full = Dedup
       .minhashNearDups(corpus.drop("is_new"), "doc_id", "text", 3, 8, 4, persistShingles = false)
       .orderBy("id1", "id2")
       .as[(Long, Long, Double)]
       .collect()
       .toSeq
+    val expected = full
       .filter { case (a, b, _) => newIds(a) || newIds(b) }
       .map { case (a, b, j) => (a, b, newIds(a), newIds(b), j) }
     incr shouldBe expected
-    // the old-old pair (3,5) exists in the full set but never here
-    expected.exists { case (a, b, _, _, _) => !newIds(a) && !newIds(b) } shouldBe false
+    // the full set really contains old-old pairs (3,5 are exact dups), so
+    // the equality above proves the incremental form dropped them
+    full.exists { case (a, b, _) => !newIds(a) && !newIds(b) } shouldBe true
     incr.exists { case (a, b, _, _, _) => (a, b) == (3L, 5L) } shouldBe false
     // both pair classes are exercised
     incr.exists { case (_, _, n1, n2, _) => n1 && n2 } shouldBe true
     incr.exists { case (_, _, n1, n2, _) => n1 ^ n2 } shouldBe true
+  }
+
+  test("incremental near-dup: null flag means old; candidate-only verify is identical") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", false),
+      (2L, "the quick brown fox jumps over the lazy cat", true),
+      (3L, "the quick brown fox jumps over the lazy dog", false),
+      (4L, "some entirely unrelated words nobody else uses anywhere here", true)
+    ).toDF("doc_id", "text", "is_new")
+    def run(flag: org.apache.spark.sql.Column, candOnly: Boolean) = Dedup
+      .incrementalNearDups(corpus, "doc_id", "text", flag, 3, 8, 4,
+        verifyCandidatesOnly = candOnly)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean, Double)]
+      .collect()
+      .toSeq
+    val base = run(col("is_new"), candOnly = false)
+    base.nonEmpty shouldBe true
+    // doc 3's flag nulled out: null coalesces to old (false) — its
+    // baseline flag — so the result is unchanged, not silently unpaired
+    val nulled = when(col("doc_id") === 3L, lit(null).cast("boolean")).otherwise(col("is_new"))
+    run(nulled, candOnly = false) shouldBe base
+    run(col("is_new"), candOnly = true) shouldBe base
   }
 
   test("dedupFirst respects the score threshold across within-group pairs") {

@@ -92,6 +92,15 @@ class CorpusMatchRuleSpec extends SparkSpec {
     e.getMessage should include("spark.graft.corpusMatch.corpus")
   }
 
+  test("input columns colliding with the rule's contract are rejected by name") {
+    withCorpus(None) {
+      val e = intercept[IllegalArgumentException] {
+        CorpusMatchRule(incoming.toDF("doc_id", "jaccard"))
+      }
+      e.getMessage should include("jaccard")
+    }
+  }
+
   test("the rule is registered as a builtin pipeline plugin") {
     graft.pipeline.PipelineCompiler.builtinRules.keySet should contain("corpusMatch")
   }
