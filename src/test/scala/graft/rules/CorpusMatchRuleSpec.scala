@@ -104,4 +104,25 @@ class CorpusMatchRuleSpec extends SparkSpec {
   test("the rule is registered as a builtin pipeline plugin") {
     graft.pipeline.PipelineCompiler.builtinRules.keySet should contain("corpusMatch")
   }
+
+  test("the rule rides the pipeline DSL end-to-end (source → corpusMatch → sink)") {
+    withCorpus(Some(0.5)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_corpusmatch_dsl").toString
+      incoming.toDF("doc_id", "text").write.parquet(s"$dir/input")
+      val config =
+        s"""{
+           |  "eventFolder": "builtin",
+           |  "rules": {
+           |    "quarantine": {"source": "docs", "plugin": "corpusMatch", "sink": "memQuarantine"}
+           |  },
+           |  "states": {},
+           |  "sources": {"docs": {"type": "File", "path": "$dir/input", "format": "parquet"}},
+           |  "sinks": {"memQuarantine": {"type": "Memory"}}
+           |}""".stripMargin
+      val compiled = graft.pipeline.PipelineCompiler.compile(spark, config).toOption.get
+      graft.pipeline.PipelineCompiler.runBatch(compiled)
+      val flagged = spark.table("memQuarantine").select("doc_id").as[Long].collect().toSet
+      flagged shouldBe Set(1L, 2L) // the corpus near-dups, nothing clean
+    }
+  }
 }
