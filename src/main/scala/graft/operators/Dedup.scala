@@ -229,6 +229,19 @@ object Dedup {
     * corpora the extra candidate-id job costs more than it saves, so it
     * is opt-in. (In production the corpus side's shingles and band rows
     * come from an ingest-time staging table either way.)
+    *
+    * `dedupFirst` composes the incremental restriction with the
+    * exact-dedup-first staging of [[minhashNearDups]]: the LSH pipeline
+    * runs over DISTINCT texts, a text group counting as NEW if ANY of
+    * its docs is new (so every group a new doc touches pairs), and doc
+    * pairs expand from group pairs with per-doc flags, keeping only
+    * pairs with a new side. Output-identical to the direct form
+    * (identical texts share signatures, so a cross-group doc pair
+    * collides iff its rep pair does, and within-group pairs of
+    * shingle-eligible text always collide at Jaccard 1.0 — DedupSpec
+    * pins the equality); on a duplicate-heavy corpus every stage
+    * shrinks by the duplication factor (the sf1 soak: 12.2 s → see
+    * SCALE.md).
     */
   def incrementalNearDups(
       df: DataFrame,
@@ -240,8 +253,60 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.0,
       maxBucketSize: Int = Int.MaxValue,
-      verifyCandidatesOnly: Boolean = false
+      verifyCandidatesOnly: Boolean = false,
+      dedupFirst: Boolean = false
   ): DataFrame = {
+    if (dedupFirst) {
+      // Eligibility (token count >= k) is a function of the text, so
+      // filtering before grouping leaves groups/gids unchanged while
+      // every downstream stage carries only docs that can ever pair.
+      val flagged = df
+        .select(col(idCol), col(textCol), coalesce(isNew.cast("boolean"), lit(false)).as("_new"))
+        .filter(size(tokens(col(textCol))) >= k)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
+      val withGid = flagged
+        .withColumn("gid", min(col(idCol)).over(w))
+        .withColumn("_anyNew", max(col("_new")).over(w))
+      val reps = withGid
+        .filter(col(idCol) === col("gid"))
+        .select(col("gid").as(idCol), col(textCol), col("_anyNew"))
+      val members = withGid.select(col("gid"), col(idCol).as("mid"), col("_new").as("mNew"))
+      // Rep-level incremental pairing (rep flag = group-any-new). A doc
+      // pair with a new side lives in a group pair with a new side, so
+      // no rep pair is missed; rep-level new1/new2 are group flags and
+      // are recomputed per doc below. Barrier: one row per colliding
+      // text pair — stops Catalyst re-running the Jaccard projection
+      // once per expanded DOC pair (the minhashNearDups idiom).
+      val repPairs = incrementalNearDups(
+        reps, idCol, textCol, col("_anyNew"), k, numHashes, bands, threshold,
+        maxBucketSize, verifyCandidatesOnly, dedupFirst = false)
+        .localCheckpoint(false)
+      val cross = repPairs
+        .join(members.select(col("gid").as("g1"), col("mid").as("a"), col("mNew").as("an")), col("id1") === col("g1"))
+        .join(members.select(col("gid").as("g2"), col("mid").as("b"), col("mNew").as("bn")), col("id2") === col("g2"))
+        .filter(col("an") || col("bn"))
+        .select(
+          least(col("a"), col("b")).as("id1"),
+          greatest(col("a"), col("b")).as("id2"),
+          when(col("a") < col("b"), col("an")).otherwise(col("bn")).as("new1"),
+          when(col("a") < col("b"), col("bn")).otherwise(col("an")).as("new2"),
+          col("jaccard")
+        )
+      // Within-group pairs: identical eligible texts always collide at
+      // Jaccard exactly 1.0; keep only new-involving ones.
+      val within = members.as("x")
+        .join(members.as("y"), col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+        .filter(col("x.mNew") || col("y.mNew"))
+        .select(
+          col("x.mid").as("id1"),
+          col("y.mid").as("id2"),
+          col("x.mNew").as("new1"),
+          col("y.mNew").as("new2"),
+          lit(1.0).as("jaccard")
+        )
+        .filter(col("jaccard") >= threshold)
+      return cross.unionByName(within)
+    }
     val sh = df
       .select(
         col(idCol),

@@ -1035,16 +1035,20 @@ object Documents {
   // Scale shape: the value-count relation is bounded by distinct ratio
   // values (O(maxTokens²)) × languages regardless of corpus size, so
   // the cumulative window is over a tiny relation, and the thresholds
-  // broadcast back — the corpus itself never shuffles. The corpus-side
-  // quality expression evaluates twice (threshold pass + filter pass),
-  // both narrow map-side scans; on a duplicate-heavy corpus wrap the
-  // quality compute in TextGroups.perDoc as q32 does.
+  // broadcast back — the corpus itself never shuffles. The quality
+  // kernel is memoized by distinct raw text (TextGroups, q32's idiom —
+  // tokenization shrinks by the corpus duplication factor); `scored`
+  // feeds the threshold pass and the filter pass, both narrow.
   def q93AdaptiveQuality(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val toks = split(trim(lower(col("text"))), "\\s+")
+    val toks = split(trim(lower(col("t"))), "\\s+")
     val quality =
       size(filter(toks, x => x.isInCollection(stopwords))).cast("double") / size(toks)
-    val scored = docs(s, dir).select(col("doc_id"), col("lang"), quality.as("quality"))
+    val perDocQuality = graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        reps.select(col("gid"), quality.as("quality"))
+      }
+    val scored = docs(s, dir).select(col("doc_id"), col("lang")).join(perDocQuality, "doc_id")
     val valueCounts = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
     val cum = valueCounts.select(
       col("lang"),

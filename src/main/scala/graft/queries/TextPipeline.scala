@@ -89,10 +89,16 @@ object TextPipeline {
   // itself (Dedup.incrementalCandidatePairs has the bucket math; the
   // old side's band rows come from an ingest-time staging table in the
   // production form, SCALE.md).
+  // dedupFirst: the incremental pipeline runs over distinct texts (a
+  // group is "new" if any member is) and expands back — output-identical
+  // (DedupSpec property), and on the duplicate-heavy sf1 soak every
+  // stage shrinks by the duplication factor (12.2 s → 4-6 s measured
+  // across runs in the host-noise band; SCALE.md).
   def q94IncrementalNeardup(s: SparkSession, dir: String): DataFrame =
     Dedup
       .incrementalNearDups(docs(s, dir), idCol = "doc_id", textCol = "text",
-        isNew = col("source") === "src0", k = 3, numHashes = 8, bands = 4)
+        isNew = col("source") === "src0", k = 3, numHashes = 8, bands = 4,
+        dedupFirst = true)
       .orderBy("id1", "id2")
 
   val q94Sql: String =

@@ -87,12 +87,14 @@ class DedupSpec extends SparkSpec {
       (7L, "too short", true),
       (8L, "some entirely unrelated words nobody else uses anywhere here", true)
     ).toDF("doc_id", "text", "is_new")
-    val incr = Dedup
-      .incrementalNearDups(corpus, "doc_id", "text", col("is_new"), 3, 8, 4)
+    def incremental(dedup: Boolean) = Dedup
+      .incrementalNearDups(corpus, "doc_id", "text", col("is_new"), 3, 8, 4,
+        dedupFirst = dedup)
       .orderBy("id1", "id2")
       .as[(Long, Long, Boolean, Boolean, Double)]
       .collect()
       .toSeq
+    val incr = incremental(false)
     val newIds = Set(4L, 6L, 7L, 8L)
     val full = Dedup
       .minhashNearDups(corpus.drop("is_new"), "doc_id", "text", 3, 8, 4, persistShingles = false)
@@ -108,6 +110,10 @@ class DedupSpec extends SparkSpec {
     // the equality above proves the incremental form dropped them
     full.exists { case (a, b, _) => !newIds(a) && !newIds(b) } shouldBe true
     incr.exists { case (a, b, _, _, _) => (a, b) == (3L, 5L) } shouldBe false
+    // dedupFirst staging is output-identical — the corpus has a text
+    // group spanning old and new docs (1,4,6) plus old-only and
+    // new-only groups, exercising every expansion branch
+    incremental(true) shouldBe incr
     // both pair classes are exercised
     incr.exists { case (_, _, n1, n2, _) => n1 && n2 } shouldBe true
     incr.exists { case (_, _, n1, n2, _) => n1 ^ n2 } shouldBe true
