@@ -232,7 +232,8 @@ object Dedup {
     *
     * `dedupFirst` composes the incremental restriction with the
     * exact-dedup-first staging of [[minhashNearDups]]: the LSH pipeline
-    * runs over DISTINCT texts, a text group counting as NEW if ANY of
+    * runs over DISTINCT texts (grouping rule owned by
+    * [[TextGroups.prelude]]), a text group counting as NEW if ANY of
     * its docs is new (so every group a new doc touches pairs), and doc
     * pairs expand from group pairs with per-doc flags, keeping only
     * pairs with a new side. Output-identical to the direct form
@@ -242,6 +243,14 @@ object Dedup {
     * pins the equality); on a duplicate-heavy corpus every stage
     * shrinks by the duplication factor (the sf1 soak: 12.2 s → see
     * SCALE.md).
+    *
+    * `dedupFirst` rejects a finite `maxBucketSize`: under staging the
+    * cap would count buckets in distinct TEXTS while the direct form
+    * counts DOCS (and within-group pairs would bypass it entirely), so
+    * the two forms would diverge exactly where the guard matters. Pair
+    * output over massive duplicate groups is inherently quadratic —
+    * cap-style damping belongs to the direct form; at that scale the
+    * cluster form ([[nearDupComponents]]) is the right output shape.
     */
   def incrementalNearDups(
       df: DataFrame,
@@ -257,20 +266,32 @@ object Dedup {
       dedupFirst: Boolean = false
   ): DataFrame = {
     if (dedupFirst) {
+      require(
+        maxBucketSize == Int.MaxValue,
+        "dedupFirst counts buckets in distinct texts, not docs, and within-group pairs bypass " +
+          "the cap — a finite maxBucketSize would silently diverge from the direct form. " +
+          "Use the direct form for cap damping, or nearDupComponents for massive duplicate groups."
+      )
+      val internal = Seq("gid", "mid", "t", "_new", "_anyNew")
+      require(
+        !internal.contains(idCol) && !internal.contains(textCol),
+        s"idCol/textCol must not be one of ${internal.mkString(", ")} (internal staging names)"
+      )
       // Eligibility (token count >= k) is a function of the text, so
       // filtering before grouping leaves groups/gids unchanged while
       // every downstream stage carries only docs that can ever pair.
+      // The grouping rule (rep = min id per distinct text) is owned by
+      // TextGroups.prelude; flags rejoin by id, group-any-new by gid.
       val flagged = df
         .select(col(idCol), col(textCol), coalesce(isNew.cast("boolean"), lit(false)).as("_new"))
         .filter(size(tokens(col(textCol))) >= k)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(textCol)
-      val withGid = flagged
-        .withColumn("gid", min(col(idCol)).over(w))
-        .withColumn("_anyNew", max(col("_new")).over(w))
-      val reps = withGid
-        .filter(col(idCol) === col("gid"))
-        .select(col("gid").as(idCol), col(textCol), col("_anyNew"))
-      val members = withGid.select(col("gid"), col(idCol).as("mid"), col("_new").as("mNew"))
+      val (members0, reps0) = TextGroups.prelude(flagged, idCol, col(textCol))
+      val memberFlags = members0.join(flagged.select(col(idCol), col("_new")), idCol)
+      val groupNew = memberFlags.groupBy("gid").agg(max(col("_new")).as("_anyNew"))
+      val reps = reps0
+        .join(groupNew, "gid")
+        .select(col("gid").as(idCol), col("t").as(textCol), col("_anyNew"))
+      val members = memberFlags.select(col("gid"), col(idCol).as("mid"), col("_new").as("mNew"))
       // Rep-level incremental pairing (rep flag = group-any-new). A doc
       // pair with a new side lives in a group pair with a new side, so
       // no rep pair is missed; rep-level new1/new2 are group flags and

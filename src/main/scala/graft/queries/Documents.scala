@@ -1035,10 +1035,13 @@ object Documents {
   // Scale shape: the value-count relation is bounded by distinct ratio
   // values (O(maxTokens²)) × languages regardless of corpus size, so
   // the cumulative window is over a tiny relation, and the thresholds
-  // broadcast back — the corpus itself never shuffles. The quality
-  // kernel is memoized by distinct raw text (TextGroups, q32's idiom —
-  // tokenization shrinks by the corpus duplication factor); `scored`
-  // feeds the threshold pass and the filter pass, both narrow.
+  // broadcast back. The quality kernel is memoized by distinct raw
+  // text (TextGroups, q32's idiom — tokenization shrinks by the corpus
+  // duplication factor); that grouping does shuffle the corpus text
+  // once, and since `scored` feeds BOTH the threshold pass and the
+  // filter pass it is persisted (spillable) so the grouping pipeline
+  // runs once, not twice — at warehouse scale this is the per-doc
+  // quality staging table every downstream consumer reads.
   def q93AdaptiveQuality(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val toks = split(trim(lower(col("t"))), "\\s+")
@@ -1048,7 +1051,10 @@ object Documents {
       .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
         reps.select(col("gid"), quality.as("quality"))
       }
-    val scored = docs(s, dir).select(col("doc_id"), col("lang")).join(perDocQuality, "doc_id")
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(perDocQuality, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valueCounts = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
     val cum = valueCounts.select(
       col("lang"),

@@ -117,6 +117,29 @@ class DedupSpec extends SparkSpec {
     // both pair classes are exercised
     incr.exists { case (_, _, n1, n2, _) => n1 && n2 } shouldBe true
     incr.exists { case (_, _, n1, n2, _) => n1 ^ n2 } shouldBe true
+    // ...and dedupFirst composes with candidate-only verify
+    Dedup
+      .incrementalNearDups(corpus, "doc_id", "text", col("is_new"), 3, 8, 4,
+        dedupFirst = true, verifyCandidatesOnly = true)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean, Double)]
+      .collect()
+      .toSeq shouldBe incr
+  }
+
+  test("incremental dedupFirst rejects a finite bucket cap and reserved column names") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog", true))
+      .toDF("doc_id", "text", "is_new")
+    // text-count vs doc-count bucket semantics would silently diverge
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(corpus, "doc_id", "text", col("is_new"), 3, 8, 4,
+        maxBucketSize = 100, dedupFirst = true)
+    }.getMessage should include("maxBucketSize")
+    val renamed = corpus.withColumnRenamed("doc_id", "gid")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(renamed, "gid", "text", col("is_new"), 3, 8, 4,
+        dedupFirst = true)
+    }.getMessage should include("gid")
   }
 
   test("incremental near-dup: null flag means old; candidate-only verify is identical") {
