@@ -184,7 +184,10 @@ object AsOfJoin {
     * bit-identical to [[apply]] (AsOfJoinSpec pins equality), including
     * null-time rows, which both forms place at -infinity (banded via an
     * internal sentinel of Long.MinValue/2 — a real timestamp at exactly
-    * that value is conflated with null).
+    * that value FAILS FAST with a raise_error inside the normalization
+    * expression, so the banded form can never silently diverge from
+    * [[apply]]; the guard rides the existing projection, no extra
+    * pass).
     *
     * Pick `bandUs` so a band of the hottest key fits a task (e.g. an
     * hour for ~10⁶ events/hour keys). Plain [[apply]] stays the right
@@ -227,9 +230,23 @@ object AsOfJoin {
     // times normalize to a sentinel reproducing that ordering exactly;
     // the ORIGINAL times still drive the tolerance gate, where apply
     // parity demands that any comparison against a null time fails.
-    // Caveat: a real timestamp equal to the sentinel (Long.MinValue/2,
-    // year ≈ -146,000) is indistinguishable from null here.
+    // A real timestamp equal to the sentinel (Long.MinValue/2, year
+    // ≈ -146,000) would be indistinguishable from null, so the
+    // normalization raises instead of conflating — evaluated per row
+    // inside the projection that was happening anyway.
     val sentinel = Long.MinValue / 2
+    def normTime(t: Column): Column = {
+      val c = t.cast("long")
+      coalesce(
+        when(
+          c === lit(sentinel),
+          raise_error(lit(
+            s"AsOfJoin.banded: input time equals the internal null sentinel ($sentinel); " +
+              "this value cannot be banded — shift the epoch or use AsOfJoin.apply"))
+        ).otherwise(c),
+        lit(sentinel)
+      )
+    }
 
     // Floor division in exact arithmetic: long `/` is a DOUBLE divide
     // in Spark and loses bits past 2^53 (epoch micros are bigger), so
@@ -240,10 +257,10 @@ object AsOfJoin {
       ((t - pmod(t, lit(bandUs))).cast("decimal(38,0)") / lit(bandUs)).cast("long")
 
     val lb = left
-      .withColumn(ltN, coalesce(col(leftTime).cast("long"), lit(sentinel)))
+      .withColumn(ltN, normTime(col(leftTime)))
       .withColumn(bandCol, floorDiv(col(ltN)))
     val rb = right
-      .withColumn(rtN, coalesce(col(rightTime).cast("long"), lit(sentinel)))
+      .withColumn(rtN, normTime(col(rightTime)))
       .withColumn(bandCol, floorDiv(col(rtN)))
     val lk = lb.withColumn(bkCol, struct(col(key), col(bandCol)))
     val rk = rb.withColumn(bkCol, struct(col(key), col(bandCol)))

@@ -169,8 +169,13 @@ object Dedup {
     bandsDf
       .groupBy(col("band"), col("band_hash"))
       // struct sorts by its first field, so the id order of candidatePairs
-      // is preserved and i<j slices stay id-ordered
-      .agg(sort_array(collect_set(struct(col(idCol).as("i"), col(newCol).as("n")))).as("ids"))
+      // is preserved and i<j slices stay id-ordered. The flag coalesces
+      // null→old HERE, not just in the incrementalNearDups wrapper: a
+      // null flag would fail BOTH bucket-slice predicates below and
+      // silently unpair the doc.
+      .agg(
+        sort_array(collect_set(struct(col(idCol).as("i"), coalesce(col(newCol), lit(false)).as("n"))))
+          .as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(
         filter(col("ids"), x => x.getField("n")).as("nw"),

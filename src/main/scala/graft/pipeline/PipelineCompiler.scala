@@ -327,16 +327,27 @@ object QueueSink {
     fs.mkdirs(spool)
     // Complete an interrupted merge before anything else: if a prior
     // run died between deleting the queue file and renaming the merged
-    // tmp into place, the tmp holds the ENTIRE accumulated queue (the
-    // delete only ever happens after the tmp is fully written and
-    // closed) — rename it back or those messages are lost. A tmp
-    // alongside a still-existing queue is the opposite case (died
-    // mid-write, nothing deleted) and is simply overwritten by the
-    // next merge.
+    // tmp into place, the tmp holds the ENTIRE accumulated queue —
+    // rename it back or those messages are lost. "Queue missing + tmp
+    // present" alone does NOT prove the tmp is complete: before the
+    // FIRST merge ever there is no queue file to delete, so a crash
+    // mid-write of that first tmp leaves the same shape with a
+    // truncated tmp. Completeness is therefore explicit — mergeSpool
+    // creates a .done marker only after the tmp is fully written and
+    // closed. Tmp without marker = partial: drop it (nothing was
+    // delivered; the caller's retry / streaming checkpoint replays the
+    // batch). A tmp alongside a still-existing queue is simply
+    // overwritten by the next merge.
     val queue = new HPath(queuePath)
     val mergeTmp = mergeTmpFor(queue)
-    if (!fs.exists(queue) && fs.exists(mergeTmp) && !fs.rename(mergeTmp, queue))
-      sys.error(s"queue merge recovery: rename $mergeTmp -> $queue failed")
+    val mergeDone = mergeDoneFor(queue)
+    if (!fs.exists(queue) && fs.exists(mergeTmp)) {
+      if (fs.exists(mergeDone)) {
+        if (!fs.rename(mergeTmp, queue))
+          sys.error(s"queue merge recovery: rename $mergeTmp -> $queue failed")
+        fs.delete(mergeDone, false)
+      } else fs.delete(mergeTmp, false)
+    }
     // Stale parts/tmps from a crashed prior run must not merge into this
     // run's queue file.
     cleanSpool(fs, spool)
@@ -368,6 +379,13 @@ object QueueSink {
   private def mergeTmpFor(queue: HPath): HPath =
     new HPath(queue.getParent, queue.getName + ".merge.tmp")
 
+  /** Completeness marker for [[mergeTmpFor]]'s tmp: exists ⇔ the tmp
+    * was fully written and closed, so crash recovery can tell a
+    * resumable merge from a truncated first-ever merge.
+    */
+  private def mergeDoneFor(queue: HPath): HPath =
+    new HPath(queue.getParent, queue.getName + ".merge.tmp.done")
+
   /** Remove all part files and orphaned task-attempt tmps so only this
     * run's partitions are merged.
     */
@@ -396,9 +414,13 @@ object QueueSink {
     * (existing queue bytes first, then the new parts): LocalFileSystem
     * does not support append, and the rename keeps readers from ever
     * seeing a half-merged file. A crash between the delete and the
-    * rename leaves only the (complete) tmp — the next post() renames
-    * it back into place before doing anything else, so no delivered
-    * message is ever lost.
+    * rename leaves the (complete) tmp plus its .done marker — the next
+    * post() renames it back into place before doing anything else, so
+    * no delivered message is ever lost; a crash mid-tmp-write leaves
+    * no marker, so recovery discards the partial tmp instead of ever
+    * exposing truncated bytes. The stale-marker delete comes FIRST: a
+    * marker surviving a crash after a completed rename must not bless
+    * the next run's in-progress tmp.
     */
   private def mergeSpool(fs: FileSystem, spool: HPath, queue: HPath): Unit = {
     val parts = fs
@@ -409,12 +431,16 @@ object QueueSink {
       .sortBy(_.getName.stripPrefix("part-").toLong)
     if (queue.getParent != null) fs.mkdirs(queue.getParent)
     val merged = mergeTmpFor(queue)
+    val done = mergeDoneFor(queue)
+    fs.delete(done, false)
     scala.util.Using.resource(fs.create(merged, true)) { out =>
       if (fs.exists(queue)) copyInto(fs, queue, out)
       parts.foreach(p => copyInto(fs, p, out))
     }
+    fs.create(done, true).close()
     if (fs.exists(queue)) fs.delete(queue, false)
     if (!fs.rename(merged, queue)) sys.error(s"queue merge: rename $merged -> $queue failed")
+    fs.delete(done, false)
     parts.foreach(p => fs.delete(p, false))
     // Orphaned .tmp files from killed task attempts would make the
     // directory non-empty; sweep them, then remove the dir only if

@@ -34,6 +34,41 @@ object CorpusRules {
     )
   }
 
+  /** Streaming first-arrival dedup with BOUNDED state when the
+    * pipeline declares event time. Unbounded `dropDuplicates` state is
+    * the exact hazard StreamJoins.dedupExact documents: one state entry
+    * per distinct key, never dropped, grows for the query's lifetime.
+    * Rules are zero-arg plugins, so the event-time declaration rides
+    * the session conf like CorpusMatchRule's parameters:
+    *
+    *   - `spark.graft.stream.eventTimeCol`   — event-time column of the
+    *     streaming input; when set, dedup state is watermark-bounded
+    *     (`dropDuplicatesWithinWatermark`) and repeats arriving later
+    *     than the horizon re-emit (the documented tradeoff).
+    *   - `spark.graft.stream.watermarkDelay` — horizon, default "24 hours".
+    *
+    * Without the conf the dedup falls back to exact first-arrival with
+    * per-distinct-key state — acceptable only when the keyspace is
+    * known to stay small (e.g. CorpusMatchRule's alert pairs, bounded
+    * by the reference corpus × offending inputs). A declared column
+    * missing from the frame fails loudly: a typo must not silently
+    * reintroduce unbounded state.
+    */
+  private[rules] def streamDedupFirstArrival(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.stream.eventTimeCol") match {
+      case Some(ts) =>
+        require(
+          df.columns.contains(ts),
+          s"spark.graft.stream.eventTimeCol=$ts is not a column of the stream " +
+            s"(${df.columns.mkString(", ")})")
+        val delay = conf.getOption("spark.graft.stream.watermarkDelay").getOrElse("24 hours")
+        df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      case None =>
+        df.dropDuplicates(keys.head, keys.tail: _*)
+    }
+  }
+
   /** Quality gate: keep docs with >= `minTokens` tokens and a
     * duplicate-bigram fraction below `maxDupFraction` (q46's metric).
     * Stateless map/filter — streams with no extra state.
@@ -86,9 +121,10 @@ object CorpusRules {
         .select(cols.map(c => col(s"_row.$c")): _*)
     }
     override def applyStreaming(df: DataFrame): DataFrame =
-      df.withColumn("_fp", md5(array_join(Dedup.tokens(col("text")), " ")))
-        .dropDuplicates("_fp")
-        .drop("_fp")
+      streamDedupFirstArrival(
+        df.withColumn("_fp", md5(array_join(Dedup.tokens(col("text")), " "))),
+        Seq("_fp")
+      ).drop("_fp")
   }
 
   /** Near-duplicate dedup with EXACT semantics: two docs are near-dups
@@ -155,9 +191,7 @@ object CorpusRules {
         .select(cols.map(c => col(s"_row.$c")): _*)
     }
     override def applyStreaming(df: DataFrame): DataFrame =
-      df.withColumn("_sig", sig)
-        .dropDuplicates("_sig")
-        .drop("_sig")
+      streamDedupFirstArrival(df.withColumn("_sig", sig), Seq("_sig")).drop("_sig")
   }
 
   /** Match incoming docs against a static REFERENCE corpus by near-dup
@@ -255,10 +289,17 @@ object CorpusRules {
     }
 
     /** First-arrival alert per (input text, corpus doc) — state is one
-      * fingerprint pair per distinct alert, not per stream row.
+      * fingerprint pair per distinct alert, not per stream row. Set
+      * `spark.graft.stream.eventTimeCol` to bound that state by
+      * watermark (see [[streamDedupFirstArrival]]); without it the
+      * state grows with distinct matching texts, acceptable only while
+      * the alert keyspace stays small.
       */
     override def applyStreaming(df: DataFrame): DataFrame =
-      matches(df, persistCorpus = true).dropDuplicates("_did", "corpus_match_id").drop("_did")
+      streamDedupFirstArrival(
+        matches(df, persistCorpus = true),
+        Seq("_did", "corpus_match_id")
+      ).drop("_did")
   }
 
   val all: Seq[Rule] =

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * All reads are plain parquet scans so Catalyst predicate pushdown /
   * column pruning apply; the only normalization done here is the
-  * `events.ts` column, which is stored as parquet TIMESTAMP(NANOS)
-  * (unsupported natively by Spark) and surfaced as:
-  *   - `ts`     TIMESTAMP_NTZ, microsecond precision (truncated, which is
-  *              exactly what DuckDB does when reading the same file), and
+  * `events.ts` column, whose physical encoding has varied across
+  * corpus generations — TIMESTAMP(NANOS) (unsupported natively by
+  * Spark; surfaces as LONG under `nanosAsLong`) or standard
+  * TIMESTAMP(MICROS). Either way it is surfaced uniformly as:
+  *   - `ts`     TIMESTAMP_NTZ, microsecond precision (the nanos form
+  *              truncated, which is exactly what DuckDB does when
+  *              reading the same file), and
   *   - `ts_us`  LONG epoch microseconds, for arithmetic that must be
   *              bit-identical across engines.
   */
@@ -27,13 +30,23 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))
 
-  /** `events` with nanosecond timestamps normalized (see class doc). */
+  /** `events` with its timestamp encoding normalized (see class doc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) surfaced as epoch-nano longs by nanosAsLong
+        raw
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        // standard TIMESTAMP(MICROS); session TZ is pinned UTC, so the
+        // tz-less and tz-ful forms name the same instant
+        raw
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

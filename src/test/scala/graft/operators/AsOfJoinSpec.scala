@@ -242,4 +242,27 @@ class AsOfJoinSpec extends SparkSpec {
     out("p2") shouldBe Some("early") // same-band match
     out("p3") shouldBe None // no build for key b
   }
+
+  test("banded fails fast on a real time equal to the internal null sentinel") {
+    // Long.MinValue/2 is banded's internal null stand-in; a genuine
+    // input at that instant used to be conflated with null (silently
+    // diverging from apply) — now the normalization raises instead.
+    val sentinel = Long.MinValue / 2
+    val l = Seq(("p1", "a", sentinel), ("p2", "a", 10L)).toDF("id", "k", "t")
+    val r = Seq(("a", 3L, "x")).toDF("k", "t", "v")
+    val e = intercept[Throwable] {
+      AsOfJoin.banded(l, r, "k", "t", "t", Seq("v" -> "v"), "id", bandUs = 10L).collect()
+    }
+    val messages = Iterator
+      .iterate(e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    messages should include("null sentinel")
+    // genuinely-null times still band fine (placed at -infinity, as in apply)
+    val withNull = Seq(("p1", "a", Some(10L)), ("p2", "a", None: Option[Long])).toDF("id", "k", "t")
+    AsOfJoin
+      .banded(withNull, r, "k", "t", "t", Seq("v" -> "v"), "id", bandUs = 10L)
+      .count() shouldBe 2L
+  }
 }

@@ -165,6 +165,28 @@ class DedupSpec extends SparkSpec {
     run(col("is_new"), candOnly = true) shouldBe base
   }
 
+  test("incrementalCandidatePairs coalesces a null flag to old at the kernel level") {
+    // Direct call with a synthetic band relation (the production
+    // staging table's shape, where the flag column can be nullable).
+    // A null flag must behave as OLD inside the kernel itself — not
+    // just in the incrementalNearDups wrapper — or a direct caller's
+    // doc fails BOTH bucket-slice predicates and silently unpairs.
+    val bands = Seq(
+      (1L, 0, 42L, Some(true)),
+      (2L, 0, 42L, None: Option[Boolean]),
+      (3L, 0, 42L, Some(false))
+    ).toDF("id", "band", "band_hash", "is_new")
+    val pairs = Dedup
+      .incrementalCandidatePairs(bands, "id", "is_new")
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean)]
+      .collect()
+      .toSeq
+    // doc 2 (null flag) pairs as OLD against new doc 1; the old×old
+    // pair (2,3) still never forms
+    pairs shouldBe Seq((1L, 2L, true, false), (1L, 3L, true, false))
+  }
+
   test("dedupFirst respects the score threshold across within-group pairs") {
     val corpus = Seq(
       (1L, "aa bb cc dd ee ff gg hh"),

@@ -557,10 +557,12 @@ class PipelineCompilerSpec extends SparkSpec {
     val dir = tmpDir("graft_queue_recover")
     val queue = s"$dir/q/messages"
     QueueSink.post(spark.range(0, 3, 1, numPartitions = 2).select(col("id")), queue)
-    // Simulate the crash window: the merged tmp was fully written and
-    // the old queue file deleted, but the rename never happened. The
-    // tmp IS the complete accumulated queue at that point.
+    // Simulate the crash window: the merged tmp was fully written
+    // (so its .done marker exists) and the old queue file deleted,
+    // but the rename never happened. The tmp IS the complete
+    // accumulated queue at that point.
     Files.move(Paths.get(queue), Paths.get(s"$queue.merge.tmp"))
+    Files.write(Paths.get(s"$queue.merge.tmp.done"), Array.emptyByteArray)
     QueueSink.post(spark.range(3, 5, 1, numPartitions = 2).select(col("id")), queue)
     val lines = scala.io.Source.fromFile(queue).getLines().toSeq
     lines shouldBe Seq(0, 1, 2, 3, 4).map(i => s"""{"id":$i}""")
@@ -571,6 +573,29 @@ class PipelineCompilerSpec extends SparkSpec {
     QueueSink.post(spark.range(5, 6, 1, numPartitions = 1).select(col("id")), queue)
     val lines2 = scala.io.Source.fromFile(queue).getLines().toSeq
     lines2 shouldBe Seq(0, 1, 2, 3, 4, 5).map(i => s"""{"id":$i}""")
+  }
+
+  test("QueueSink discards a truncated FIRST-ever merge tmp (no completeness marker)") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_queue_firstcrash")
+    val queue = s"$dir/q/messages"
+    // The very first merge ever crashed mid-write: no queue file was
+    // ever created, and the tmp is truncated (mid-record). Before the
+    // marker existed, "queue missing + tmp present" was wrongly read as
+    // "complete" and the garbage was renamed into place permanently.
+    Files.createDirectories(Paths.get(s"$dir/q"))
+    Files.write(Paths.get(s"$queue.merge.tmp"), """{"id":99,"trunc""".getBytes("UTF-8"))
+    QueueSink.post(spark.range(0, 2, 1, numPartitions = 2).select(col("id")), queue)
+    val lines = scala.io.Source.fromFile(queue).getLines().toSeq
+    lines shouldBe Seq(0, 1).map(i => s"""{"id":$i}""")
+    Files.exists(Paths.get(s"$queue.merge.tmp")) shouldBe false
+    // A marker orphaned AFTER a completed rename (crash between rename
+    // and marker delete) must not bless the next run's tmp either —
+    // mergeSpool clears it before writing. Normal appends continue.
+    Files.write(Paths.get(s"$queue.merge.tmp.done"), Array.emptyByteArray)
+    QueueSink.post(spark.range(2, 3, 1, numPartitions = 1).select(col("id")), queue)
+    scala.io.Source.fromFile(queue).getLines().toSeq shouldBe
+      Seq(0, 1, 2).map(i => s"""{"id":$i}""")
   }
 
   test("runtime-loaded rules: plugin by class name, object and class forms (plugin.Open parity)") {

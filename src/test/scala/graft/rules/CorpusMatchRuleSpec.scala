@@ -85,6 +85,46 @@ class CorpusMatchRuleSpec extends SparkSpec {
     }
   }
 
+  test("streaming: declared event time bounds the alert-dedup state by watermark") {
+    withCorpus(Some(0.5)) {
+      spark.conf.set("spark.graft.stream.eventTimeCol", "ts")
+      try {
+        val mem =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+        val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        mem.addData(incoming.map { case (id, txt) => (id, txt, t0) }: _*)
+        val out = CorpusMatchRule.applyStreaming(mem.toDF.toDF("doc_id", "text", "ts"))
+        // the plan carries the watermark-BOUNDED dedup, not the
+        // unbounded dropDuplicates whose state grows forever
+        val plan = out.queryExecution.analyzed.toString
+        plan should include("DeduplicateWithinWatermark")
+        plan should include("EventTimeWatermark")
+        val q = out.writeStream
+          .format("memory")
+          .queryName("corpusMatchWm")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        // same alerts as the unwatermarked form on in-horizon data:
+        // docs 1 and 4 share a text → one alert; doc 2 is a near-dup
+        val ids = spark.table("corpusMatchWm").select("doc_id").as[Long].collect().toSet
+        ids should have size 2
+        ids should contain(2L)
+      } finally spark.conf.unset("spark.graft.stream.eventTimeCol")
+    }
+  }
+
+  test("a declared event-time column missing from the stream fails loudly") {
+    spark.conf.set("spark.graft.stream.eventTimeCol", "no_such_col")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CorpusRules.streamDedupFirstArrival(incoming.toDF("doc_id", "text"), Seq("text"))
+      }
+      e.getMessage should include("no_such_col")
+    } finally spark.conf.unset("spark.graft.stream.eventTimeCol")
+  }
+
   test("missing corpus conf fails with the conf key named") {
     val e = intercept[IllegalArgumentException] {
       CorpusMatchRule(incoming.toDF("doc_id", "text")).collect()
