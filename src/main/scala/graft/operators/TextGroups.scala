@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Memoize per-document computations by DISTINCT text.
+/** Memoize per-document computations by DISTINCT text — adaptively.
   *
   * Crawled/near-dup corpora repeat the same text under many doc ids
   * (the sf1 soak: 4,992 distinct texts across 50k docs), so any
@@ -12,8 +12,34 @@ import org.apache.spark.sql.functions._
   * reference set — can be computed once per distinct text and joined
   * back per doc. This is the per-doc analogue of the dedupFirst
   * staging in [[Dedup]]/[[Similarity]]: work shrinks by the corpus
-  * duplication factor; on a fully diverse corpus it degenerates to
-  * one extra narrow window pass.
+  * duplication factor.
+  *
+  * The memoized plan is NOT free: it shuffles (id, text) by the full
+  * text key and joins the result back per doc. On a mostly-unique
+  * corpus that is two wide exchanges bought for nothing — measurably
+  * slower than just computing the kernel per row (the kernels are
+  * codegen'd map-side expressions). So the plan choice is driven by
+  * the corpus duplication factor, a one-time corpus-level stat:
+  *
+  *   - `spark.graft.text.memoize` = `auto` (default) | `always` | `never`
+  *   - `spark.graft.text.memoizeMinDup` — auto's threshold on
+  *     rows / approx-distinct-texts, default 2.0
+  *
+  * `auto` measures the factor with one narrow aggregate
+  * (count + HyperLogLog approx distinct over the key column — a
+  * map-side-partial scan, no shuffle of text bytes) and caches it per
+  * (session, input plan) for the session's lifetime, mirroring how a
+  * production deployment would persist the stat at ingest time and
+  * pick plans from it (the CBO philosophy). Pipelines that know their
+  * corpus pin `always`/`never` and skip the measurement.
+  *
+  * In direct (non-memoized) mode every document is its own singleton
+  * group: `gid` = the doc id, group size 1, and the expansion join
+  * degenerates to a projection. All downstream algebra — doc counts
+  * as sums of `gsz`, rep-only ownership, inner-join drops — yields
+  * bit-identical results in both modes (TextGroupsSpec pins this),
+  * because document-level semantics are what both modes compute; the
+  * grouped mode just shares work across equal texts.
   *
   * Correctness requires `perText` to be a pure function of its input
   * rows (it may close over corpus-level DataFrames — e.g. a reference
@@ -22,6 +48,54 @@ import org.apache.spark.sql.functions._
   * grouping is deterministic and partition-independent.
   */
 object TextGroups {
+
+  /** Session-lifetime cache of measured duplication factors, keyed by
+    * the semantic hash of the keyed input plan (same corpus + same key
+    * expression = one measurement per session).
+    */
+  private val dupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Double]()
+
+  /** rows / approx-distinct(textKey) — ≥ 1.0 on any non-empty input;
+    * 1.0 on an empty one. Measured once per (session, input plan).
+    */
+  def duplicationFactor(df: DataFrame, textKey: Column): Double = {
+    val keyed = df.select(textKey.as("t"))
+    val key = (df.sparkSession, keyed.queryExecution.analyzed.semanticHash())
+    dupCache.computeIfAbsent(
+      key,
+      _ => {
+        val row = keyed.agg(count(lit(1)), approx_count_distinct(col("t"))).head()
+        val n = row.getLong(0)
+        if (n == 0L) 1.0 else n.toDouble / math.max(row.getLong(1), 1L)
+      }
+    )
+  }
+
+  /** The staging decision itself, exposed for the `dedupFirst`
+    * variants in [[Dedup]]/[[Similarity]]: should a dedup-first /
+    * memoized staging run for this input? Same confs, threshold,
+    * measurement and cache as [[perDoc]]'s internal choice, so one
+    * `spark.graft.text.memoize` setting steers every staging family
+    * consistently. Pass the dedup key (text column, embedding hash,
+    * …) as `key`.
+    */
+  def adaptiveStaging(df: DataFrame, key: Column): Boolean = shouldMemoize(df, key)
+
+  private def shouldMemoize(df: DataFrame, textKey: Column): Boolean = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.text.memoize").getOrElse("auto") match {
+      case "always" => true
+      case "never"  => false
+      case "auto" =>
+        val minDup =
+          conf.getOption("spark.graft.text.memoizeMinDup").map(_.toDouble).getOrElse(2.0)
+        duplicationFactor(df, textKey) >= minDup
+      case other =>
+        throw new IllegalArgumentException(
+          s"spark.graft.text.memoize must be auto|always|never, got '$other'")
+    }
+  }
 
   /** Compute `perText` once per distinct text and expand per doc.
     *
@@ -43,34 +117,68 @@ object TextGroups {
     * [[perDoc]]'s plain inner join (novelty's rep-only ownership, pair
     * expansion in the fuzzy-dedup queries). Returns
     * `members` (gid, idCol) and `reps` (gid, t); the grouping rule
-    * (representative = min id per distinct key) lives only here.
+    * (representative = min id per distinct key) lives only here. In
+    * direct mode both are projections of `df` (singleton groups).
     * `idCol` must not itself be named `t` (the key alias).
     */
   def prelude(df: DataFrame, idCol: String, textKey: Column): (DataFrame, DataFrame) = {
-    require(idCol != "t", "idCol 't' collides with the grouping-key alias")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
-    val withGid = df
-      .select(col(idCol), textKey.as("t"))
-      .withColumn("gid", min(col(idCol)).over(w))
-    val members = withGid.select(col("gid"), col(idCol))
-    val reps = withGid.filter(col(idCol) === col("gid")).select(col("gid"), col("t"))
+    val (members, reps, _) = preludeWithSizes(df, idCol, textKey)
     (members, reps)
+  }
+
+  /** [[prelude]] plus per-group sizes (gid, gsz), all three derived
+    * from ONE exchange in grouped mode (the sizes ride the same window
+    * pass as the representative choice).
+    */
+  private def preludeWithSizes(
+      df: DataFrame,
+      idCol: String,
+      textKey: Column
+  ): (DataFrame, DataFrame, DataFrame) = {
+    require(idCol != "t", "idCol 't' collides with the grouping-key alias")
+    if (!shouldMemoize(df, textKey)) {
+      val members = df.select(col(idCol).as("gid"), col(idCol))
+      val reps = df.select(col(idCol).as("gid"), textKey.as("t"))
+      val sizes = df.select(col(idCol).as("gid"), lit(1L).as("gsz"))
+      (members, reps, sizes)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+      val withGid = df
+        .select(col(idCol), textKey.as("t"))
+        .withColumn("gid", min(col(idCol)).over(w))
+        .withColumn("gsz", count(lit(1)).over(w))
+      val members = withGid.select(col("gid"), col(idCol))
+      val repRows = withGid.filter(col(idCol) === col("gid"))
+      val reps = repRows.select(col("gid"), col("t"))
+      val sizes = repRows.select(col("gid"), col("gsz"))
+      (members, reps, sizes)
+    }
   }
 
   /** Like [[perDoc]] but `perText` also receives the group sizes
     * (gid, gsz) — needed when the per-text value depends on corpus
     * document counts (e.g. "how many DOCS contain this n-gram" =
-    * sum of gsz over the groups containing it).
+    * sum of gsz over the groups containing it). In direct mode every
+    * group is a singleton (gsz = 1) and the expansion join disappears
+    * entirely — the result is `perText` applied per document.
     */
   def perDocWithSizes(df: DataFrame, idCol: String, textKey: Column)(
       perText: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val (members0, reps) = prelude(df, idCol, textKey)
-    val members = members0.withColumnRenamed(idCol, "_mid")
-    val sizes = members.groupBy("gid").agg(count(lit(1)).as("gsz"))
-    val perRep = perText(reps, sizes)
-    members
-      .join(perRep, "gid")
-      .drop("gid")
-      .withColumnRenamed("_mid", idCol)
+    require(idCol != "t", "idCol 't' collides with the grouping-key alias")
+    if (!shouldMemoize(df, textKey)) {
+      val reps = df.select(col(idCol).as("gid"), textKey.as("t"))
+      val sizes = df.select(col(idCol).as("gid"), lit(1L).as("gsz"))
+      val out = perText(reps, sizes)
+      val rest = out.columns.filterNot(_ == "gid").map(col)
+      out.select(col("gid").as(idCol) +: rest: _*)
+    } else {
+      val (members0, reps, sizes) = preludeWithSizes(df, idCol, textKey)
+      val members = members0.withColumnRenamed(idCol, "_mid")
+      val perRep = perText(reps, sizes)
+      members
+        .join(perRep, "gid")
+        .drop("gid")
+        .withColumnRenamed("_mid", idCol)
+    }
   }
 }

@@ -30,9 +30,12 @@ object TextPipeline {
       // group pairs — output-identical (DedupSpec property), and on a
       // duplicate-heavy corpus every stage shrinks by the duplication
       // factor (sf1 soak: 50k docs but 4,992 distinct texts; 42s → see
-      // SCALE.md).
+      // SCALE.md). Adaptive: on a mostly-unique corpus the staging
+      // window+expand is pure overhead, so the measured duplication
+      // factor decides (TextGroups.adaptiveStaging).
       .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
-        persistShingles = false, dedupFirst = true)
+        persistShingles = false,
+        dedupFirst = graft.operators.TextGroups.adaptiveStaging(docs(s, dir), col("text")))
       .orderBy("id1", "id2")
 
   /** Shared CTE chain computing the MinHash signatures + band rows of
@@ -98,7 +101,7 @@ object TextPipeline {
     Dedup
       .incrementalNearDups(docs(s, dir), idCol = "doc_id", textCol = "text",
         isNew = col("source") === "src0", k = 3, numHashes = 8, bands = 4,
-        dedupFirst = true)
+        dedupFirst = graft.operators.TextGroups.adaptiveStaging(docs(s, dir), col("text")))
       .orderBy("id1", "id2")
 
   val q94Sql: String =
@@ -265,9 +268,10 @@ object TextPipeline {
     // dedupFirst: band + pair + CC over distinct texts, expand group
     // labels — output-identical (DedupSpec), graph shrinks by the
     // corpus duplication factor before the iterative CC loop.
+    // Adaptive by the measured duplication factor.
     Dedup
       .nearDupComponents(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
-        dedupFirst = true)
+        dedupFirst = graft.operators.TextGroups.adaptiveStaging(docs(s, dir), col("text")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
@@ -315,7 +319,7 @@ object TextPipeline {
 
     val clusters = Dedup
       .nearDupComponents(d, idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
-        dedupFirst = true)
+        dedupFirst = graft.operators.TextGroups.adaptiveStaging(d, col("text")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
 
     val kept = metrics

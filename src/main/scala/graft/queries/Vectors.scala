@@ -176,7 +176,10 @@ object Vectors {
       // dedupFirst: crawled corpora duplicate embeddings heavily (sf1
       // soak: 2,000 distinct vectors across 20k rows) — pair space
       // shrinks quadratically; output-identical (SimilaritySpec).
-      .cellNearDups(e, threshold = 0.35, dedupFirst = true)
+      // Adaptive: decided by the measured vector-duplication factor
+      // (hashed — HLL over the 64-bit vector hash).
+      .cellNearDups(e, threshold = 0.35,
+        dedupFirst = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("emb"))))
       .select("cell", "id1", "id2", "cosine")
       .orderBy("id1", "id2")
   }
@@ -209,8 +212,9 @@ object Vectors {
     )
     // dedupVectors: Lloyd iterations run over distinct embeddings
     // weighted by multiplicity — bit-identical centroids (KMeansSpec).
+    // Adaptive by the measured vector-duplication factor.
     val centroids = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3,
-      dedupVectors = true)
+      dedupVectors = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e"))))
     val cells = graft.operators.KMeans.assign(e, "e", centroids)
     val q = cells.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("cell"), col("e").as("qemb"))
     val c = cells.select(col("vec_id").as("nid"), col("cell"), col("e").as("nemb"))

@@ -91,4 +91,74 @@ class TextGroupsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextGroups.prelude(corpus.withColumnRenamed("doc_id", "t"), "t", lower(col("text")))
   }
+
+  private def withMemoize[A](mode: String)(body: => A): A = {
+    spark.conf.set("spark.graft.text.memoize", mode)
+    try body
+    finally spark.conf.unset("spark.graft.text.memoize")
+  }
+
+  test("grouped and direct modes are bit-identical on a duplicate-heavy corpus") {
+    // the real memoization pattern: per-doc total of corpus DOC
+    // frequencies — a cross-group aggregate where gsz weights group
+    // membership back to document counts
+    def run = TextGroups
+      .perDocWithSizes(corpus, "doc_id", lower(col("text"))) { (reps, sizes) =>
+        val toks =
+          reps.select(col("gid"), explode(array_distinct(split(col("t"), "\\s+"))).as("tok"))
+        val docFreq =
+          toks.join(sizes, "gid").groupBy("tok").agg(sum(col("gsz")).as("docfreq"))
+        toks
+          .join(docFreq, "tok")
+          .groupBy("gid")
+          .agg(sum(col("docfreq")).as("w"), count(lit(1)).as("n_tok"))
+      }
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val grouped = withMemoize("always")(run)
+    val direct = withMemoize("never")(run)
+    direct shouldBe grouped
+    direct.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("direct mode: prelude degenerates to singleton groups with no exchange") {
+    withMemoize("never") {
+      val (members, reps) = TextGroups.prelude(corpus, "doc_id", lower(col("text")))
+      members.as[(Long, Long)].collect().toSeq.sorted shouldBe
+        Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L))
+      reps.count() shouldBe 5L
+      // projection-only: no shuffle, no window in the plan
+      val plan = members.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      plan should not include "Window"
+    }
+  }
+
+  test("auto measures the duplication factor and picks the grouped plan past the threshold") {
+    // 5 docs / 2 distinct lowercased texts = 2.5 ≥ 2.0 → memoized
+    TextGroups.duplicationFactor(corpus, lower(col("text"))) shouldBe 2.5 +- 0.3
+    val out = TextGroups.perDoc(corpus, "doc_id", lower(col("text"))) { reps =>
+      reps.select(col("gid"), strlen(col("t")).as("len"))
+    }
+    out.queryExecution.executedPlan.toString should include("Window")
+    // 5 docs / 3 distinct raw texts = 1.67 < 2.0 → direct
+    val direct = TextGroups.perDoc(corpus, "doc_id", col("text")) { reps =>
+      reps.select(col("gid"), strlen(col("t")).as("len"))
+    }
+    direct.queryExecution.executedPlan.toString should not include "Window"
+    // both compute the same values regardless
+    direct.orderBy("doc_id").as[(Long, Int)].collect() shouldBe
+      out.orderBy("doc_id").as[(Long, Int)].collect()
+  }
+
+  test("an invalid memoize mode fails with the conf key's options named") {
+    withMemoize("sometimes") {
+      val e = intercept[IllegalArgumentException] {
+        TextGroups.perDoc(corpus, "doc_id", col("text"))(identity)
+      }
+      e.getMessage should include("auto|always|never")
+    }
+  }
 }
