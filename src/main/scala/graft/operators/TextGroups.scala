@@ -128,9 +128,11 @@ object TextGroups {
 
   /** [[prelude]] plus per-group sizes (gid, gsz), all three derived
     * from ONE exchange in grouped mode (the sizes ride the same window
-    * pass as the representative choice).
+    * pass as the representative choice). Public for staged queries
+    * whose document-frequency math needs the sizes relation directly
+    * (e.g. df(gram) = sum of gsz over the groups containing it).
     */
-  private def preludeWithSizes(
+  def preludeWithSizes(
       df: DataFrame,
       idCol: String,
       textKey: Column

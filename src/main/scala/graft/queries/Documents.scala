@@ -876,8 +876,33 @@ object Documents {
   def q90SparseDocsim(s: SparkSession, dir: String): DataFrame = {
     val maxDf = 30
     val topK = 3
-    val tf = gramPositions(s, dir, 3)
-      .groupBy(col("doc_id"), col("gram"))
+    // Staged by distinct text (TextGroups, adaptive): identical texts
+    // have identical TF vectors, so the gram self-join and the dot
+    // aggregation — the query's quadratic heart, Σ df² join rows per
+    // gram — run over distinct-text GROUPS and shrink by the square of
+    // the duplication factor; doc-level df (the 2..maxDf posting cap)
+    // is recovered as sum of gsz over the groups containing the gram.
+    // Group pair dots expand to doc pairs only after aggregation. On a
+    // unique corpus the prelude degenerates to singletons (projection
+    // only) and this IS the direct plan.
+    // key spelled lower(trim(...)) like q89/q91 so the three share one
+    // cached duplication measurement (same semantic hash); the value
+    // equals gramPositions' trim(lower(...)) — lowercasing preserves
+    // whitespace
+    val (members0, reps, sizes) = graft.operators.TextGroups
+      .preludeWithSizes(docs(s, dir), "doc_id", lower(trim(col("text"))))
+    val members = members0.withColumnRenamed("doc_id", "mid")
+    val gtf = reps
+      .select(col("gid"), split(col("t"), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+      .select(
+        col("gid"),
+        explode(
+          transform(sequence(lit(0), col("n_tokens") - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))
+        ).as("gram"))
+      .groupBy(col("gid"), col("gram"))
       .agg(count(lit(1)).as("tf"))
     // df via a whole-partition window instead of groupBy(gram)+join:
     // the join form re-evaluates the explode+TF subtree for the filter
@@ -886,15 +911,28 @@ object Documents {
     // exactly what the candidate self-join needs next (measured
     // 2.5 s → 1.6 s at sf0.1).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val kept = tf
-      .withColumn("df", count(lit(1)).over(w))
+    val kept = gtf
+      .join(sizes, "gid")
+      .withColumn("df", sum(col("gsz")).over(w))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .drop("df")
-    val pairs = kept.as("a")
+      .select("gid", "gram", "tf")
+    // Half the pair space (g1 <= g2), mirrored after aggregation; the
+    // g1 == g2 case carries within-group doc pairs (identical texts:
+    // dot = Σ tf², exactly what the direct form computes for them).
+    val gpairs = kept.as("a")
       .join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr_id"))
+        col("a.gram") === col("b.gram") && col("a.gid") <= col("b.gid"))
+      .groupBy(col("a.gid").as("g1"), col("b.gid").as("g2"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val oneWay = gpairs
+      .join(members.select(col("gid").as("g1"), col("mid").as("da")), "g1")
+      .join(members.select(col("gid").as("g2"), col("mid").as("db")), "g2")
+      .filter(col("da") =!= col("db"))
+    val pairs = oneWay
+      .select(col("da").as("doc_id"), col("db").as("nbr_id"), col("dot"))
+      .unionByName(oneWay
+        .filter(col("g1") =!= col("g2"))
+        .select(col("db").as("doc_id"), col("da").as("nbr_id"), col("dot")))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("dot").desc, col("nbr_id").asc)
