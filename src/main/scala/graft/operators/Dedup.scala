@@ -367,6 +367,94 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ingest-time staging relations for a document batch — the rows
+    * [[incrementalNearDups]] recomputes for the OLD side on every run,
+    * computed ONCE when the documents first arrive:
+    *
+    *   - bands:    (idCol, band, band_hash) — the LSH bucket relation
+    *   - shingles: (idCol, sh)              — the exact-verify relation
+    *
+    * Append both to per-corpus staging tables at ingest (partition by
+    * ingest date; bucket the bands table by band_hash to co-locate the
+    * incremental join). Docs with fewer than k tokens have no shingles
+    * and are absent from both — they can never pair.
+    *
+    * The (k, numHashes, bands) parameters are part of the staged
+    * data's identity: rows staged under different parameters must
+    * never mix (hashes would be incomparable). Keep them in the table
+    * path or partition values.
+    */
+  def stageNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): (DataFrame, DataFrame) = {
+    val sh = df
+      .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bandsDf = sh.select(
+      col(idCol),
+      posexplode(
+        bandHashes(graft.expressions.TextHashExprs.minhashSig(col("sh"), numHashes), bands, numHashes / bands)
+      ).as(Seq("band", "band_hash"))
+    )
+    (bandsDf, sh)
+  }
+
+  /** Incremental near-dup of a NEW batch against a PREVIOUSLY STAGED
+    * corpus — the production form of [[incrementalNearDups]], where
+    * the corpus side's band rows and shingle sets come from
+    * [[stageNearDup]] output written at ingest instead of being
+    * recomputed from raw text. Only the batch's own staging rows are
+    * computed here (and returned, so the caller appends them to the
+    * staging tables after consuming the pairs — making the next day's
+    * run incremental over today's).
+    *
+    * Output pairs: (id1, id2, new1, new2, jaccard), at least one side
+    * in the batch, identical to
+    * `incrementalNearDups(corpus ∪ batch, isNew = in-batch, …)`
+    * (DedupSpec pins the equality). Batch ids must be disjoint from
+    * staged ids — id identity is what makes the old×old restriction
+    * sound (enforce upstream; ingest pipelines that re-deliver a doc
+    * should exact-dedup first).
+    *
+    * Scale shape: one narrow map over the batch, one band shuffle of
+    * (staged ∪ batch) bucket rows — buckets with no batch member drop
+    * before any pair forms — and two verify joins against the
+    * pre-materialized shingle relation. Nothing recomputes corpus
+    * text; the corpus contributes only its staged bytes.
+    */
+  def incrementalNearDupsStaged(
+      stagedBands: DataFrame,
+      stagedShingles: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.0,
+      maxBucketSize: Int = Int.MaxValue
+  ): (DataFrame, (DataFrame, DataFrame)) = {
+    val (batchBands, batchSh) = stageNearDup(batch, idCol, textCol, k, numHashes, bands)
+    val allBands = stagedBands
+      .select(col(idCol), col("band"), col("band_hash"), lit(false).as("_new"))
+      .unionByName(batchBands.select(col(idCol), col("band"), col("band_hash"), lit(true).as("_new")))
+    val pairs = incrementalCandidatePairs(allBands, idCol, "_new", maxBucketSize)
+    val verifySh = stagedShingles
+      .select(col(idCol), col("sh"))
+      .unionByName(batchSh.select(col(idCol), col("sh")))
+    val verified = pairs
+      .join(verifySh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(verifySh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), col("new1"), col("new2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    (verified, (batchBands, batchSh))
+  }
+
   /** Near-duplicate clusters: ConnectedComponents over the LSH
     * candidate-pair graph, as (id, component) with component = the
     * minimum id in the cluster.

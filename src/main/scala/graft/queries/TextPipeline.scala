@@ -104,6 +104,25 @@ object TextPipeline {
         dedupFirst = graft.operators.TextGroups.adaptiveStaging(docs(s, dir), col("text")))
       .orderBy("id1", "id2")
 
+  // ---- q96: staged incremental near-dup (the production ingest path) --------
+  // The same pairs as q94, but the corpus side comes from an
+  // ingest-time STAGING TABLE (Dedup.stageNearDup: band rows + shingle
+  // sets, computed once per doc ever) instead of being recomputed from
+  // raw text — the form SCALE.md describes for daily crawl ingestion
+  // at corpus scale. Here the "corpus" is the non-src0 documents
+  // (staged) and the "batch" is src0 (computed fresh); output is
+  // bit-identical to q94's recompute-everything form, so it shares
+  // q94's oracle. Attests the staged path end-to-end: staging schema,
+  // bucket union, old×old suppression, pre-materialized verify.
+  def q96StagedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (stagedBands, stagedSh) =
+      Dedup.stageNearDup(d.filter(col("source") =!= "src0"), "doc_id", "text", 3, 8, 4)
+    val (pairs, _) = Dedup.incrementalNearDupsStaged(
+      stagedBands, stagedSh, d.filter(col("source") === "src0"), "doc_id", "text", 3, 8, 4)
+    pairs.orderBy("id1", "id2")
+  }
+
   val q94Sql: String =
     s"""WITH $lshSigCte,
       |flag AS (SELECT doc_id, source = 'src0' AS is_new FROM documents),
@@ -532,6 +551,7 @@ object TextPipeline {
     "q64_curation" -> (q64Curation _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q94_incremental_neardup" -> (q94IncrementalNeardup _),
+    "q96_staged_neardup" -> (q96StagedNeardup _),
     "q36_simhash" -> (q36Simhash _),
     "q37_winnow" -> (q37Winnow _),
     "q38_lang_id" -> (q38LangId _),
@@ -545,6 +565,7 @@ object TextPipeline {
     "q64_curation" -> q64Sql,
     "q35_minhash_lsh" -> q35Sql,
     "q94_incremental_neardup" -> q94Sql,
+    "q96_staged_neardup" -> q94Sql, // bit-identical to q94 by design
     "q36_simhash" -> q36Sql,
     "q37_winnow" -> q37Sql,
     "q38_lang_id" -> q38Sql,

@@ -165,6 +165,47 @@ class DedupSpec extends SparkSpec {
     run(col("is_new"), candOnly = true) shouldBe base
   }
 
+  test("staged incremental near-dup equals the recompute-everything form, day over day") {
+    val day0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val day1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),
+      (11L, "entirely novel words matching nothing else at all")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "pack my box with five dozen liquor jugs tonight")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean, Double)]
+      .collect()
+      .toSeq
+
+    // Day 1: batch vs staged day-0 corpus == recompute over day0 ∪ day1
+    val (b0, s0) = Dedup.stageNearDup(day0, "doc_id", "text", 3, 8, 4)
+    val (pairs1, (b1, s1)) =
+      Dedup.incrementalNearDupsStaged(b0, s0, day1, "doc_id", "text", 3, 8, 4)
+    val ids1 = Set(10L, 11L)
+    norm(pairs1) shouldBe norm(
+      Dedup.incrementalNearDups(day0.unionByName(day1), "doc_id", "text",
+        col("doc_id").isin(ids1.toSeq: _*), 3, 8, 4))
+
+    // Day 2: the appended staging tables make yesterday's batch OLD
+    val (pairs2, _) = Dedup.incrementalNearDupsStaged(
+      b0.unionByName(b1), s0.unionByName(s1), day2, "doc_id", "text", 3, 8, 4)
+    val ids2 = Set(20L, 21L)
+    val expected2 = Dedup.incrementalNearDups(
+      day0.unionByName(day1).unionByName(day2), "doc_id", "text",
+      col("doc_id").isin(ids2.toSeq: _*), 3, 8, 4)
+    norm(pairs2) shouldBe norm(expected2)
+    // sanity: day-2 exact dup of doc 1/3 pairs against the old corpus
+    norm(pairs2).exists { case (a, b, n1, n2, j) => a == 1L && b == 20L && !n1 && n2 && j == 1.0 } shouldBe true
+  }
+
   test("incrementalCandidatePairs coalesces a null flag to old at the kernel level") {
     // Direct call with a synthetic band relation (the production
     // staging table's shape, where the flag column can be nullable).
