@@ -155,8 +155,10 @@ object CorpusRules {
     *
     * Streaming cannot run the iterative clustering: applyStreaming
     * keeps first arrival per EXACT 64-bit signature — the near-exact
-    * tier. Pipelines needing true streaming near-dup should
-    * micro-batch through the batch form.
+    * tier. True streaming near-dup (each doc vs everything ingested
+    * before it) is [[graft.streaming.StreamingDedup.nearDupIngest]] —
+    * micro-batches against ingest-time staging tables with corpus
+    * memory and replay idempotence.
     */
   object NearDupRule extends Rule {
     val name = "nearDup"
