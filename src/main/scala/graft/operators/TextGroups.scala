@@ -49,21 +49,32 @@ import org.apache.spark.sql.functions._
   */
 object TextGroups {
 
-  /** Session-lifetime cache of measured duplication factors, keyed by
-    * the semantic hash of the keyed input plan (same corpus + same key
-    * expression = one measurement per session).
+  /** Session-lifetime cache of measured duplication factors: a WEAK
+    * map per session (a static cache must not retain stopped
+    * sessions), keyed inside by the semantic hash of the keyed input
+    * plan (same corpus + same key expression = one measurement per
+    * session).
     */
   private val dupCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Double]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[Int, Double]]()
+
+  private def sessionCache(s: SparkSession) = dupCache.synchronized {
+    var m = dupCache.get(s)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+      dupCache.put(s, m)
+    }
+    m
+  }
 
   /** rows / approx-distinct(textKey) — ≥ 1.0 on any non-empty input;
     * 1.0 on an empty one. Measured once per (session, input plan).
+    * Batch inputs only — the caller guards streaming frames.
     */
   def duplicationFactor(df: DataFrame, textKey: Column): Double = {
     val keyed = df.select(textKey.as("t"))
-    val key = (df.sparkSession, keyed.queryExecution.analyzed.semanticHash())
-    dupCache.computeIfAbsent(
-      key,
+    sessionCache(df.sparkSession).computeIfAbsent(
+      keyed.queryExecution.analyzed.semanticHash(),
       _ => {
         val row = keyed.agg(count(lit(1)), approx_count_distinct(col("t"))).head()
         val n = row.getLong(0)
@@ -83,6 +94,11 @@ object TextGroups {
   def adaptiveStaging(df: DataFrame, key: Column): Boolean = shouldMemoize(df, key)
 
   private def shouldMemoize(df: DataFrame, textKey: Column): Boolean = {
+    // A streaming frame can neither run the measurement (no head() on
+    // an unstarted stream) nor the grouped plan itself (the grouping
+    // window is not a streaming operator) — direct mode is the only
+    // executable form, under every conf setting.
+    if (df.isStreaming) return false
     val conf = df.sparkSession.conf
     conf.getOption("spark.graft.text.memoize").getOrElse("auto") match {
       case "always" => true

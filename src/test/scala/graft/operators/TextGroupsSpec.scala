@@ -153,6 +153,25 @@ class TextGroupsSpec extends SparkSpec {
       out.orderBy("doc_id").as[(Long, Int)].collect()
   }
 
+  test("a streaming input always takes the direct path (no measurement, no window)") {
+    // even under memoize=always: the grouping window is not a
+    // streaming operator and the measurement cannot run on a stream
+    withMemoize("always") {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+      mem.addData((1L, "alpha beta"), (2L, "alpha beta"))
+      val out = TextGroups.perDoc(mem.toDF.toDF("doc_id", "text"), "doc_id", col("text")) { reps =>
+        reps.select(col("gid"), strlen(col("t")).as("len"))
+      }
+      out.isStreaming shouldBe true
+      out.queryExecution.analyzed.toString should not include "Window"
+      val q = out.writeStream.format("memory").queryName("tgStream").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table("tgStream").as[(Long, Int)].collect().toSet shouldBe
+        Set((1L, 10), (2L, 10))
+    }
+  }
+
   test("an invalid memoize mode fails with the conf key's options named") {
     withMemoize("sometimes") {
       val e = intercept[IllegalArgumentException] {
