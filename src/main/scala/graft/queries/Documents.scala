@@ -919,11 +919,38 @@ object Documents {
     // Half the pair space (g1 <= g2), mirrored after aggregation; the
     // g1 == g2 case carries within-group doc pairs (identical texts:
     // dot = Σ tf², exactly what the direct form computes for them).
-    val gpairs = kept.as("a")
-      .join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.gid") <= col("b.gid"))
-      .groupBy(col("a.gid").as("g1"), col("b.gid").as("g2"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    // Bucket-grouped like Dedup.candidatePairs — a self-join of `kept`
+    // would re-execute the whole explode+TF+df subtree per side; here
+    // ONE pass groups each gram's (gid, tf) postings (≤ maxDf entries
+    // by the df cap, so the arrays are tiny) and pairs explode inside
+    // the bucket, i <= j keeping the self-pair. The groupBy lands on
+    // the gram partitioning the df window just established — no extra
+    // exchange before it.
+    val gpairs = kept
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(struct(col("gid"), col("tf")))).as("gs"))
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("gs"),
+              (x, i) =>
+                transform(
+                  slice(col("gs"), i + 1, size(col("gs"))),
+                  y =>
+                    struct(
+                      x.getField("gid").as("g1"),
+                      y.getField("gid").as("g2"),
+                      (x.getField("tf") * y.getField("tf")).as("p")))
+            )
+          )
+        ).as("pp"))
+      .groupBy(col("pp.g1").as("g1"), col("pp.g2").as("g2"))
+      .agg(sum(col("pp.p")).as("dot"))
+      // one row per colliding GROUP pair — tiny; the barrier stops the
+      // union's two expansion branches below from re-running the whole
+      // gram pipeline (the q91 repVerified idiom)
+      .localCheckpoint(false)
     val oneWay = gpairs
       .join(members.select(col("gid").as("g1"), col("mid").as("da")), "g1")
       .join(members.select(col("gid").as("g2"), col("mid").as("db")), "g2")

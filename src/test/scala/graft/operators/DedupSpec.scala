@@ -165,6 +165,23 @@ class DedupSpec extends SparkSpec {
     run(col("is_new"), candOnly = true) shouldBe base
   }
 
+  test("stageNearDup emits the stable staging-table schema (on-disk contract)") {
+    // These relations are written to per-corpus parquet tables at
+    // ingest and read back across engine versions — the column names
+    // and types are a FORMAT, not an implementation detail.
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val (b, sh) = Dedup.stageNearDup(d, "doc_id", "text", 3, 8, 4)
+    b.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq shouldBe
+      Seq(("doc_id", "bigint"), ("band", "int"), ("band_hash", "string"))
+    sh.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq shouldBe
+      Seq(("doc_id", "bigint"), ("sh", "array<string>"))
+    // a doc below the shingle width is absent from BOTH relations
+    val (b2, sh2) = Dedup.stageNearDup(
+      Seq((2L, "too short")).toDF("doc_id", "text"), "doc_id", "text", 3, 8, 4)
+    b2.count() shouldBe 0L
+    sh2.count() shouldBe 0L
+  }
+
   test("staged incremental near-dup equals the recompute-everything form, day over day") {
     val day0 = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
