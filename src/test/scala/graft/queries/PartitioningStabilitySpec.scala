@@ -30,7 +30,9 @@ class PartitioningStabilitySpec extends SparkSpec {
     "q76_scalar_quant", // quantization error audit
     "q79_kmv_distinct", // sketch estimate
     "q80_bloom_decontamination", // hit fractions
-    "q82_interpolate" // linear blends
+    "q82_interpolate", // linear blends
+    "q90_sparse_docsim", // bucket-grouped pair stage (round-6 rewrite)
+    "q96_staged_neardup" // staged incremental pairing + jaccard verify
   )
 
   test("risky queries return identical rows at 3-wide and 17-wide shuffles") {
