@@ -864,6 +864,78 @@ object Documents {
       |FROM t LEFT JOIN pg USING (doc_id) LEFT JOIN cov USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---- q97: duplicate-span REMOVAL (Lee et al. 2022 dedup action) ---------------
+  // q89 counts duplicated 5-gram spans; this is the dedup ACTION a
+  // training pipeline takes on them: cut every covered token position
+  // and emit the scrubbed text (plus the audit counts). Same staged
+  // shape as q89 — gram-keyed dup test over distinct texts, never a
+  // doc cross-product — then the cover set drives an index-filter over
+  // the token array, entirely map-side per doc.
+  def q97SpanScrub(s: SparkSession, dir: String): DataFrame = {
+    val (members0, reps0) = graft.operators.TextGroups
+      .prelude(docs(s, dir), "doc_id", lower(trim(col("text"))))
+    val members = members0.withColumnRenamed("doc_id", "mid")
+    val reps = reps0
+      .select(col("gid"), split(col("t"), "\\s+").as("toks"))
+      .select(col("gid"), col("toks"), size(col("toks")).as("n_tokens"))
+    val sizes = members.groupBy("gid").agg(count(lit(1)).as("gsz"))
+    val repGrams = reps
+      .filter(col("n_tokens") >= spanN)
+      .select(
+        col("gid"),
+        posexplode(
+          transform(sequence(lit(0), col("n_tokens") - spanN),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(spanN))))
+        ).as(Seq("pos", "gram")))
+      .join(sizes, "gid")
+    // duplicated ⟺ the gram occurs in >= 2 distinct DOCS: across
+    // groups (g_min != g_max) or inside one multi-member group
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val dupPos = repGrams
+      .withColumn("g_min", min(col("gid")).over(w))
+      .withColumn("g_max", max(col("gid")).over(w))
+      .withColumn("g_sz", max(col("gsz")).over(w))
+      .filter(col("g_min") =!= col("g_max") || col("g_sz") >= 2)
+      .select(col("gid"), col("pos"))
+    val covered = dupPos
+      .select(col("gid"), explode(sequence(col("pos"), col("pos") + (spanN - 1))).as("idx"))
+      .groupBy(col("gid"))
+      .agg(collect_set(col("idx")).as("cov"))
+    val cleaned = reps
+      .join(covered, Seq("gid"), "left")
+      .select(
+        col("gid"),
+        col("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(
+          " ",
+          filter(col("toks"), (_, i) => !coalesce(array_contains(col("cov"), i), lit(false)))
+        ).as("clean_text"))
+    members
+      .join(cleaned, "gid")
+      .select(col("mid").as("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val q97Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks FROM documents),
+      |t AS (SELECT doc_id, toks, LEN(toks) AS n_tokens FROM d),
+      |g0 AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 4)) AS pos FROM t WHERE n_tokens >= 5),
+      |g AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+5], ' ') AS gram FROM g0),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |cov AS (SELECT doc_id, list(DISTINCT idx) AS cov
+      |        FROM (SELECT doc_id, unnest(range(pos, pos+5)) AS idx FROM dp) GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+      |  CAST(COALESCE(LEN(cov.cov), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(
+      |    list_transform(
+      |      list_filter(range(0, t.n_tokens), i -> NOT list_contains(COALESCE(cov.cov, []), i)),
+      |      i -> t.toks[i+1]),
+      |    ' '), '') AS clean_text
+      |FROM t LEFT JOIN cov USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---- q90: sparse document similarity (feature-blocked TF inner product) -------
   // The sparse complement of the dense-vector ANN family: documents as
   // trigram TF vectors, similarity = integer dot product, candidate
@@ -1236,6 +1308,7 @@ object Documents {
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
     "q89_dup_ngram_spans" -> (q89DupNgramSpans _),
+    "q97_span_scrub" -> (q97SpanScrub _),
     "q90_sparse_docsim" -> (q90SparseDocsim _),
     "q91_fuzzy_editdist" -> (q91FuzzyEditdist _),
     "q84_sharded_pack" -> (q84ShardedPack _),
@@ -1264,6 +1337,7 @@ object Documents {
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,
     "q89_dup_ngram_spans" -> q89Sql,
+    "q97_span_scrub" -> q97Sql,
     "q90_sparse_docsim" -> q90Sql,
     "q91_fuzzy_editdist" -> q91Sql,
     "q84_sharded_pack" -> q84Sql,
