@@ -163,4 +163,33 @@ object KMeans {
   /** Add a `cell` column: the vector's nearest-centroid index. */
   def assign(df: DataFrame, embCol: String, centroids: Seq[Seq[Double]]): DataFrame =
     df.withColumn("cell", nearestCell(col(embCol), centroids))
+
+  /** Multi-probe assignment — classic IVF `nprobe`: each row explodes
+    * to its `nprobe` NEAREST centroid indices (ties to the lower
+    * index), so a query joined on `cell` searches ~nprobe/k of the
+    * corpus instead of 1/k, trading proportional work for recall. Use
+    * on the QUERY side of [[Similarity.cellTopK]] (the corpus keeps
+    * its single nearest cell); dedupe ranked results per query across
+    * probes downstream — cellTopK's rank window does this naturally
+    * since a (qid, nid) pair can only meet in nid's one home cell.
+    *
+    * Declarative (k folds per row) rather than a codegen kernel: it
+    * runs on the small probe side, never the corpus.
+    */
+  def assignProbes(
+      df: DataFrame,
+      embCol: String,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    // (dist, idx) structs sort by distance then index — slice the
+    // nprobe head and keep the indices.
+    val scored = sort_array(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col(embCol), c).as("d"), lit(i).as("i"))
+      }: _*))
+    df.withColumn("cell", explode(transform(slice(scored, 1, nprobe), s => s.getField("i"))))
+  }
 }

@@ -181,6 +181,45 @@ class SimilaritySpec extends SparkSpec {
     recallAtK(ivf, truth, k) should be >= 0.9
   }
 
+  test("multi-probe IVF: nprobe=1 equals single assignment; probing every cell is exact") {
+    val k = 5
+    val centroids = KMeans.fit(clustered, idCol = "id", embCol = "emb", k = 8, iters = 5)
+    val cells = KMeans.assign(clustered, "emb", centroids)
+    // nprobe=1 degenerates to the plain nearest-cell assignment
+    KMeans
+      .assignProbes(clustered, "emb", centroids, 1)
+      .select("id", "cell")
+      .as[(Long, Int)]
+      .collect()
+      .sorted
+      .toSeq shouldBe cells.select("id", "cell").as[(Long, Int)].collect().sorted.toSeq
+
+    val truth = Similarity
+      .bruteForceTopK(
+        clustered.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("emb").as("qemb")),
+        clustered.select(col("id").as("nid"), col("emb").as("nemb")),
+        k)
+      .select(col("qid"), col("nid"))
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val cc = cells.select(col("id").as("nid"), col("cell"), col("emb").as("nemb"))
+    def ivfAt(nprobe: Int) = Similarity.cellTopK(
+      KMeans
+        .assignProbes(clustered.filter(col("id") % 37 === 0), "emb", centroids, nprobe)
+        .select(col("id").as("qid"), col("cell"), col("emb").as("qemb")),
+      cc,
+      k)
+    // probing all k cells searches the whole corpus: exact recall, and
+    // no duplicate (qid, nid) pairs (a neighbor lives in ONE home cell)
+    val full = ivfAt(8)
+    recallAtK(full, truth, k) shouldBe 1.0
+    full.groupBy("qid", "nid").count().filter(col("count") > 1).count() shouldBe 0L
+    // recall is monotone in nprobe
+    recallAtK(ivfAt(2), truth, k) should be >= recallAtK(ivfAt(1), truth, k)
+  }
+
   test("recall gate: sign-LSH buckets recover >=0.7 of brute-force truth") {
     val k = 5
     val q = clustered.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("emb").as("qemb"))
