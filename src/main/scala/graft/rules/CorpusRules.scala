@@ -211,6 +211,11 @@ object CorpusRules {
     * parameters ride the session conf:
     *   - `spark.graft.corpusMatch.corpus`    — required parquet path with a `text` column
     *   - `spark.graft.corpusMatch.threshold` — Jaccard cutoff, default 0.5
+    *   - `spark.graft.corpusMatch.k`         — shingle width, default 3
+    *   - `spark.graft.corpusMatch.numHashes` — MinHash signature length, default 8
+    *   - `spark.graft.corpusMatch.bands`     — LSH bands (must divide numHashes),
+    *     default 4. More hashes/bands = higher candidate recall at higher
+    *     signature cost — tune for the corpus's near-dup tightness.
     *
     * Scale/streaming shape: the corpus side is STATIC — its band rows
     * and shingle sets behave as a lookup table (stream-static inner
@@ -221,9 +226,6 @@ object CorpusRules {
     */
   object CorpusMatchRule extends Rule {
     val name = "corpusMatch"
-    private val K = 3
-    private val NumHashes = 8
-    private val Bands = 4
 
     private def matches(df: DataFrame, persistCorpus: Boolean): DataFrame = {
       val spark = df.sparkSession
@@ -232,6 +234,14 @@ object CorpusRules {
           s"$name needs spark.graft.corpusMatch.corpus = <parquet dir with a text column>"))
       val threshold =
         spark.conf.getOption("spark.graft.corpusMatch.threshold").map(_.toDouble).getOrElse(0.5)
+      val K = spark.conf.getOption("spark.graft.corpusMatch.k").map(_.toInt).getOrElse(3)
+      val NumHashes =
+        spark.conf.getOption("spark.graft.corpusMatch.numHashes").map(_.toInt).getOrElse(8)
+      val Bands = spark.conf.getOption("spark.graft.corpusMatch.bands").map(_.toInt).getOrElse(4)
+      require(K >= 1 && NumHashes >= 1 && Bands >= 1,
+        s"$name LSH parameters must be positive (k=$K, numHashes=$NumHashes, bands=$Bands)")
+      require(NumHashes % Bands == 0,
+        s"$name: spark.graft.corpusMatch.bands ($Bands) must divide numHashes ($NumHashes)")
       // Output + working column names must not collide with the input's
       // (the internal ones are _-prefixed like the sibling rules'; the
       // two output names are part of this rule's contract) — fail with

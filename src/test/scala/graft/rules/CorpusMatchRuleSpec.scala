@@ -125,6 +125,26 @@ class CorpusMatchRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stream.eventTimeCol")
   }
 
+  test("LSH parameters ride the conf; a non-dividing band count fails loudly") {
+    withCorpus(Some(0.5)) {
+      // wider signature, finer bands — same matches on this corpus
+      spark.conf.set("spark.graft.corpusMatch.numHashes", "16")
+      spark.conf.set("spark.graft.corpusMatch.bands", "8")
+      try {
+        CorpusMatchRule(incoming.toDF("doc_id", "text"))
+          .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+        spark.conf.set("spark.graft.corpusMatch.bands", "5")
+        val e = intercept[IllegalArgumentException] {
+          CorpusMatchRule(incoming.toDF("doc_id", "text"))
+        }
+        e.getMessage should include("must divide")
+      } finally {
+        spark.conf.unset("spark.graft.corpusMatch.numHashes")
+        spark.conf.unset("spark.graft.corpusMatch.bands")
+      }
+    }
+  }
+
   test("missing corpus conf fails with the conf key named") {
     val e = intercept[IllegalArgumentException] {
       CorpusMatchRule(incoming.toDF("doc_id", "text")).collect()
