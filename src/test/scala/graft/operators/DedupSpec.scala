@@ -223,6 +223,38 @@ class DedupSpec extends SparkSpec {
     norm(pairs2).exists { case (a, b, n1, n2, j) => a == 1L && b == 20L && !n1 && n2 && j == 1.0 } shouldBe true
   }
 
+  test("staged incremental near-dup honors threshold and maxBucketSize like the direct form") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "pack my box with five dozen liquor jugs today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),
+      (11L, "pack my box with five dozen liquor jugs today")
+    ).toDF("doc_id", "text")
+    val (b, sh) = Dedup.stageNearDup(old, "doc_id", "text", 3, 8, 4)
+    def staged(threshold: Double, cap: Int) = Dedup
+      .incrementalNearDupsStaged(b, sh, batch, "doc_id", "text", 3, 8, 4, threshold, cap)
+      ._1
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean, Double)]
+      .collect()
+      .toSeq
+    def direct(threshold: Double, cap: Int) = Dedup
+      .incrementalNearDups(old.unionByName(batch), "doc_id", "text",
+        col("doc_id") >= 10L, 3, 8, 4, threshold, cap)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Boolean, Boolean, Double)]
+      .collect()
+      .toSeq
+    staged(0.9, Int.MaxValue) shouldBe direct(0.9, Int.MaxValue)
+    staged(0.9, Int.MaxValue).map(_._5).foreach(_ should be >= 0.9)
+    // a bucket cap of 2 drops the 3-doc dog-text bucket in BOTH forms
+    staged(0.0, 2) shouldBe direct(0.0, 2)
+    staged(0.0, 2).size should be < staged(0.0, Int.MaxValue).size
+  }
+
   test("incrementalCandidatePairs coalesces a null flag to old at the kernel level") {
     // Direct call with a synthetic band relation (the production
     // staging table's shape, where the flag column can be nullable).
