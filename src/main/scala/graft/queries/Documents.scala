@@ -1068,8 +1068,23 @@ object Documents {
   // verified with exact Levenshtein distance. The expensive O(len^2)
   // distance only runs on blocked candidates, which is what makes
   // edit-distance dedup feasible at corpus scale.
+  //
+  // Grams occurring in more than `maxDf` documents are NOT blocking
+  // keys (the Ed-Join-style stop-signature cap, same convention as
+  // q90's 2..30 posting cap): a boilerplate 5-gram shared by B
+  // documents would otherwise emit B² candidate rows — dedupFirst
+  // staging collapses duplicate TEXTS but not a gram shared by B
+  // DISTINCT texts. The cap bounds pair generation at
+  // Σ_gram min(df, maxDf)² regardless of corpus size. df is
+  // DOC-level (sum of group sizes over the groups containing the
+  // gram), so grouped and direct staging modes stay bit-identical;
+  // pairs whose every shared gram exceeds the cap are dropped — for
+  // such heavy boilerplate overlap the right tools are exact dedup
+  // (q30) / MinHash (q35), not edit-distance blocking.
   def q91FuzzyEditdist(s: SparkSession, dir: String): DataFrame = {
     val maxDist = 40
+    val maxDf =
+      s.conf.getOption("spark.graft.q91.maxDf").map(_.toInt).getOrElse(50)
     // Every output column is a function of the two LOWERCASED TEXTS
     // (shared 5-gram count, length filter, Levenshtein) — only the doc
     // ids differ between duplicate docs. So the whole query runs over
@@ -1081,8 +1096,8 @@ object Documents {
     // of the text's distinct grams at distance 0, which is what the
     // direct form computes for them. On a fully diverse corpus this
     // degenerates to one extra narrow window pass.
-    val (members0, reps) = graft.operators.TextGroups
-      .prelude(docs(s, dir), "doc_id", lower(trim(col("text"))))
+    val (members0, reps, sizes) = graft.operators.TextGroups
+      .preludeWithSizes(docs(s, dir), "doc_id", lower(trim(col("text"))))
     val members = members0.withColumnRenamed("doc_id", "mid")
     // distinct 5-grams per representative; array_distinct before the
     // explode keeps the distinct map-side (no shuffle)
@@ -1095,13 +1110,36 @@ object Documents {
         explode(array_distinct(
           transform(sequence(lit(0), col("n_tokens") - spanN),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(spanN)))))).as("gram"))
-    // Aggregate straight to (pair, shared-gram count): one shuffle does
-    // both the dedup a plain DISTINCT would need and yields the block
-    // strength as a free output column.
-    val repCand = repGrams.as("a")
-      .join(repGrams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.gid") < col("b.gid"))
-      .groupBy(col("a.gid").as("g1"), col("b.gid").as("g2"))
+    // Doc-level df per gram via a whole-partition window (q90's idiom:
+    // one pass, no join back, and it leaves the data hash-partitioned
+    // by gram — exactly what the posting groupBy needs next). The
+    // window's count aggregation spills, unlike collecting an uncapped
+    // hot gram's postings into one array before filtering would.
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val valid = repGrams
+      .join(sizes, "gid")
+      .withColumn("df", sum(col("gsz")).over(wdf))
+      .filter(col("df") <= maxDf)
+      .select("gid", "gram")
+    // Bucket-grouped pairing (q90's template): ONE pass groups each
+    // gram's postings (≤ maxDf docs by the cap, so the arrays are
+    // bounded) and pairs explode inside the bucket with g1 < g2 —
+    // never a self-join that re-executes the gram subtree per side.
+    // The aggregate yields (pair, shared-gram count): block strength
+    // as a free output column.
+    val repCand = valid
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("gid"))).as("gs"))
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("gs"),
+              (x, i) =>
+                transform(
+                  slice(col("gs"), i + 2, size(col("gs"))),
+                  y => struct(x.as("g1"), y.as("g2")))))).as("p"))
+      .groupBy(col("p.g1").as("g1"), col("p.g2").as("g2"))
       .agg(count(lit(1)).as("n_shared"))
     // The thresholded levenshtein banded-bails at maxDist instead of
     // filling the full len^2 matrix for far-apart pairs; it runs once
@@ -1127,7 +1165,11 @@ object Documents {
         least(col("a"), col("b")).as("doc1"),
         greatest(col("a"), col("b")).as("doc2"),
         col("n_shared"), col("dist"))
-    val repGramCount = repGrams.groupBy(col("gid")).agg(count(lit(1)).as("n_shared"))
+    // Within-group (identical-text) pairs share every VALID gram at
+    // distance 0 — the cap applies uniformly (the SQL's within pairs
+    // arise from the same capped gram join), so a group with zero
+    // under-cap grams emits no pairs here either.
+    val repGramCount = valid.groupBy(col("gid")).agg(count(lit(1)).as("n_shared"))
     val within = members.join(repGramCount, "gid").as("x")
       .join(members.as("y"), col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
       .select(col("x.mid").as("doc1"), col("y.mid").as("doc2"),
@@ -1143,8 +1185,10 @@ object Documents {
       |        array_to_string(toks[pos+1:pos+5], ' ') AS gram
       |      FROM (SELECT doc_id, toks, unnest(range(0, LEN(toks) - 4)) AS pos
       |            FROM d WHERE LEN(toks) >= 5)),
+      |keep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 50),
+      |k AS (SELECT doc_id, gram FROM g WHERE gram IN (SELECT gram FROM keep)),
       |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS n_shared
-      |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |         FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |         GROUP BY 1, 2)
       |SELECT doc1, doc2, n_shared, CAST(levenshtein(t1.t, t2.t) AS INTEGER) AS dist
       |FROM cand

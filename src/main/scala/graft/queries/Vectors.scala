@@ -201,10 +201,11 @@ object Vectors {
   // Lloyd's k-means (deterministic init + decimal-summed means, see
   // graft.operators.KMeans) fits 8 coarse centroids, every vector is
   // assigned to its nearest cell, and search is one co-located equi-join
-  // within the query's cell. No SQL oracle (an iterative trained model
-  // is not reasonably SQL-expressible — driver records the rows-only
-  // check); the cell machinery itself is oracle-checked by q42 and the
-  // quantizer by KMeansSpec.
+  // within the query's cell. The fit IS oracle-checkable because it is
+  // bit-deterministic by construction: q52Sql unrolls the three Lloyd
+  // iterations as plain CTEs (assignment = the same sequential
+  // squared-L2 fold with ties to the lowest cell; means = the same
+  // 12-decimal-place HALF_UP division, replayed in integer units).
   def q52AnnKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(
       col("vec_id"),
@@ -223,6 +224,83 @@ object Vectors {
       .select("qid", "cell", "rank", "nid", "cosine")
       .orderBy("qid", "rank")
   }
+
+  /** Squared-L2 distance in DuckDB, matching the NearestCellExpr
+    * kernel bit-for-bit: fold from 0.0 in dimension order.
+    */
+  private val sqDistSql =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(emb, cent), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+
+  /** One unrolled Lloyd iteration as DuckDB CTEs. The per-(cell, dim)
+    * mean replays KMeans.fit's decimal arithmetic exactly: values cast
+    * to 12-decimal-place decimals (exact — no double can sit on a
+    * 12-dp rounding midpoint, since midpoints have a 5^12 denominator
+    * factor no binary fraction carries), summed as integer units in
+    * HUGEINT, divided with HALF_UP (away-from-zero) rounding at scale
+    * 12 — Spark's decimal(38,12)/bigint result — then converted to
+    * double (one correctly-rounded IEEE division; the unit counts stay
+    * under 2^53). Cells an iteration leaves empty keep their previous
+    * centroid, like the Scala fit loop.
+    */
+  private def lloydIterSql(i: Int): String = {
+    val (prev, cur) = (s"cents${i - 1}", s"cents$i")
+    s"""cl$i AS (SELECT cell, list(val ORDER BY dim) AS cent FROM $prev GROUP BY cell),
+       |asg$i AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM e CROSS JOIN cl$i c)
+       |  WHERE rn = 1),
+       |x$i AS (SELECT cell, CAST(dim AS INTEGER) AS dim, emb[dim + 1] AS v
+       |        FROM (SELECT cell, unnest(range(0, LEN(emb))) AS dim, emb FROM asg$i)),
+       |m$i AS (
+       |  SELECT cell, dim,
+       |    CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+       |              ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 1e12 AS val
+       |  FROM (SELECT cell, dim,
+       |          SUM(CAST(CAST(v AS DECIMAL(18,12)) * 1000000000000 AS HUGEINT)) AS s,
+       |          CAST(COUNT(*) AS HUGEINT) AS n
+       |        FROM x$i GROUP BY cell, dim)),
+       |$cur AS (
+       |  SELECT p.cell, p.dim, COALESCE(m.val, p.val) AS val
+       |  FROM $prev p LEFT JOIN m$i m ON p.cell = m.cell AND p.dim = m.dim)""".stripMargin
+  }
+
+  /** The trained-quantizer replay: init = the 8 lowest-id vectors,
+    * three unrolled Lloyd iterations, final assignment, then q42's
+    * within-cell top-k. Deterministic end-to-end, so the driver's
+    * hash gate applies to the whole trained index.
+    */
+  val q52Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |init AS (SELECT emb, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+       |         FROM e ORDER BY vec_id LIMIT 8),
+       |cents0 AS (SELECT cell, CAST(dim AS INTEGER) AS dim, emb[dim + 1] AS val
+       |           FROM (SELECT cell, unnest(range(0, LEN(emb))) AS dim, emb FROM init)),
+       |${lloydIterSql(1)},
+       |${lloydIterSql(2)},
+       |${lloydIterSql(3)},
+       |clF AS (SELECT cell, list(val ORDER BY dim) AS cent FROM cents3 GROUP BY cell),
+       |cells AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM e CROSS JOIN clF c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, cell, emb AS qemb FROM cells WHERE vec_id < 8),
+       |pairs AS (
+       |  SELECT q.cell AS cell, qid, cells.vec_id AS nid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, emb), p -> p[1] * p[2])), (a, b) -> a + b)
+       |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, qemb), p -> p[1] * p[2])), (a, b) -> a + b))
+       |       * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(emb, emb),  p -> p[1] * p[2])), (a, b) -> a + b))) AS cosine
+       |  FROM cells JOIN q ON cells.cell = q.cell AND cells.vec_id <> qid),
+       |ranked AS (
+       |  SELECT cell, qid, nid, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rank
+       |  FROM pairs)
+       |SELECT qid, cell, rank, nid, cosine FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
 
   // ---- q66: per-label embedding centroids (vector aggregation) -------------------
   // Mean vector per label in long form (label, dim, mean): posexplode →
@@ -334,6 +412,7 @@ object Vectors {
     "q41_norm_stats" -> q41Sql,
     "q42_ann_ivf" -> q42Sql,
     "q43_sign_lsh" -> q43Sql,
-    "q44_embedding_near_dup" -> q44Sql
+    "q44_embedding_near_dup" -> q44Sql,
+    "q52_ann_kmeans" -> q52Sql
   )
 }

@@ -1,27 +1,29 @@
 package graft.tools
 
-import org.apache.spark.sql.DataFrame
-
-/** Scratch timing harness for text-query tuning — not part of the
-  * library. min/median of 3 noop-sink runs per query.
+/** Scratch timing harness for query tuning — not part of the library.
+  * min/median of 3 noop-sink runs per catalogued query (plus one
+  * discarded warmup), mirroring Bench's measurement protocol.
+  *
+  *   sbt "runMain graft.tools.TimeQueries /root/testdata/sf0.1 q91_fuzzy_editdist q90_sparse_docsim"
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TimeQueries <sfDir> <query>...")
+    val dir = args(0)
     val spark = graft.GraftSession.local()
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    def time(tag: String)(f: => DataFrame): Unit = {
-      f.write.mode("overwrite").format("noop").save()
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f.write.mode("overwrite").format("noop").save(); (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("WARN")
+    args.drop(1).foreach { name =>
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }
-      println(f"TIMEQ $tag%-10s min=${ts.min}%.2f med=${ts.sorted.apply(1)}%.2f")
+      run() // warmup, discarded
+      val ts = (1 to 3).map(_ => run()).sorted
+      println(f"TIMEQ $name%-24s min=${ts.head}%.2f med=${ts(1)}%.2f")
     }
-    time("q32") { graft.queries.Documents.q32TextQuality(spark, dir) }
-    time("q34") { graft.queries.Documents.q34Shingles(spark, dir) }
-    time("q46") { graft.queries.Documents.q46Repetition(spark, dir) }
-    time("q37") { graft.queries.TextPipeline.q37Winnow(spark, dir) }
-    time("q38") { graft.queries.TextPipeline.q38LangId(spark, dir) }
-    time("q39") { graft.queries.TextPipeline.q39Fingerprints(spark, dir) }
     spark.stop()
   }
 }
