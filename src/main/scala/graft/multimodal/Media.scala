@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract stages.
   *
   * The Spark-side plumbing is real and tested — schema, partition-wise
-  * batched processing, stage signatures; only the codec itself is a
-  * STUB (`FakeCodec`), because media libraries are not available in
-  * this environment. Swap `Codec` for a JNI/library-backed
-  * implementation and nothing else changes.
+  * batched processing, stage signatures. Two codec implementations sit
+  * behind the seam: [[Media.ImageIoCodec]]/[[Media.ImageIoResizer]]
+  * (real PNG/BMP/GIF/JPEG decode + bilinear resize via the JDK's
+  * `javax.imageio`, no external libraries) and
+  * [[Media.FakeCodec]]/[[Media.FakeResizer]] (deterministic synthetic
+  * fixtures for payloads that are not real containers — and the codec
+  * q50's cross-engine oracle replays, since DuckDB cannot decode
+  * PNGs). A JNI/ffmpeg-backed codec for audio/video drops into the
+  * same trait with nothing else changing.
   *
   * Scale design: decode runs as `mapPartitions` over the binary column
   * — one codec instance per partition (amortized init, the same shape
@@ -61,6 +66,43 @@ object Media {
       val mean = if (n == 0) 0.0 else sum.toDouble / n
       (width, height, channels, mean)
     }
+  }
+
+  /** Real JDK-backed image codec — `javax.imageio` ships with the JVM,
+    * so PNG/BMP/GIF/JPEG decode needs no external libraries. `kind ==
+    * "image"` payloads must be a readable container: decode failures
+    * are LOUD (a corrupt corpus should fail the task and surface in
+    * Spark's task error, not silently emit fake features). Other kinds
+    * (audio/video chunks) fall back to [[FakeCodec]]'s deterministic
+    * shape so mixed media tables keep flowing through one stage.
+    *
+    * meanIntensity = mean over all pixels of (R+G+B)/3 from the sRGB
+    * view — integer byte sums divided once, so it is deterministic
+    * across partitionings.
+    */
+  object ImageIoCodec extends Codec {
+    def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double) =
+      if (kind != "image") FakeCodec.decode(payload, kind)
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable image payload (${payload.length} bytes)")
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB view regardless of storage
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val mean = if (w == 0 || h == 0) 0.0 else sum.toDouble / (w.toLong * h * 3L)
+        (w, h, channels, mean)
+      }
   }
 
   /** Decode stage: binary payloads → typed features, batched per
@@ -134,6 +176,30 @@ object Media {
         out
       }
     }
+  }
+
+  /** Real JDK-backed resizer: bilinear Java2D scale to w×h, re-encoded
+    * as PNG (lossless, so resize → decode round-trips bit-exactly on a
+    * given JVM). Non-image kinds fall back to [[FakeResizer]].
+    */
+  object ImageIoResizer extends Resizer {
+    def resize(payload: Array[Byte], kind: String, w: Int, h: Int): Array[Byte] =
+      if (kind != "image") FakeResizer.resize(payload, kind, w, h)
+      else {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(src != null, s"undecodable image payload (${payload.length} bytes)")
+        val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
   }
 
   /** Resize stage: normalize every payload to a target frame geometry

@@ -381,8 +381,12 @@ object Dedup {
     *
     * The (k, numHashes, bands) parameters are part of the staged
     * data's identity: rows staged under different parameters must
-    * never mix (hashes would be incomparable). Keep them in the table
-    * path or partition values.
+    * never mix (hashes would be incomparable). They are therefore
+    * STAMPED into the output schema as column metadata on `band_hash`
+    * and `sh` — parquet preserves it end-to-end, and
+    * [[incrementalNearDupsStaged]] refuses a staged table whose stamp
+    * does not match the query's parameters (conf drift between ingest
+    * and query would otherwise yield silently wrong/missing pairs).
     */
   def stageNearDup(
       df: DataFrame,
@@ -392,8 +396,15 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4
   ): (DataFrame, DataFrame) = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.lsh.k", k.toLong)
+      .putLong("graft.lsh.numHashes", numHashes.toLong)
+      .putLong("graft.lsh.bands", bands.toLong)
+      .build()
     val sh = df
-      .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh"))
+      .select(
+        col(idCol),
+        graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("sh", meta))
       .filter(size(col("sh")) > 0)
     val bandsDf = sh.select(
       col(idCol),
@@ -401,8 +412,35 @@ object Dedup {
         bandHashes(graft.expressions.TextHashExprs.minhashSig(col("sh"), numHashes), bands, numHashes / bands)
       ).as(Seq("band", "band_hash"))
     )
-    (bandsDf, sh)
+    (
+      bandsDf.withColumn("band_hash", col("band_hash").as("band_hash", meta)),
+      sh
+    )
   }
+
+  /** Fail loudly when a staged relation's parameter stamp disagrees
+    * with the querying parameters. Relations without a stamp (staged
+    * by something other than [[stageNearDup]]) pass — the parameter
+    * match is then the caller's documented obligation.
+    */
+  private def assertStagedParams(
+      df: DataFrame,
+      colName: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int
+  ): Unit =
+    df.schema.find(_.name == colName).map(_.metadata).foreach { m =>
+      if (m.contains("graft.lsh.k")) {
+        val staged =
+          (m.getLong("graft.lsh.k"), m.getLong("graft.lsh.numHashes"), m.getLong("graft.lsh.bands"))
+        require(
+          staged == ((k.toLong, numHashes.toLong, bands.toLong)),
+          s"staged table was built with (k, numHashes, bands)=$staged but this query uses " +
+            s"($k, $numHashes, $bands) — band hashes and jaccards would be incomparable"
+        )
+      }
+    }
 
   /** Incremental near-dup of a NEW batch against a PREVIOUSLY STAGED
     * corpus — the production form of [[incrementalNearDups]], where
@@ -439,6 +477,8 @@ object Dedup {
       threshold: Double = 0.0,
       maxBucketSize: Int = Int.MaxValue
   ): (DataFrame, (DataFrame, DataFrame)) = {
+    assertStagedParams(stagedBands, "band_hash", k, numHashes, bands)
+    assertStagedParams(stagedShingles, "sh", k, numHashes, bands)
     val (batchBands, batchSh) = stageNearDup(batch, idCol, textCol, k, numHashes, bands)
     val allBands = stagedBands
       .select(col(idCol), col("band"), col("band_hash"), lit(false).as("_new"))

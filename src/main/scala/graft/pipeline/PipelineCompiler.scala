@@ -82,6 +82,33 @@ object PipelineCompiler {
       compiled <- compileValidated(spark, valid, reg, effective, streaming)
     } yield compiled
 
+  /** The Kafka source's option map — the offline-testable half of the
+    * connector arm (no broker in this environment, so the contract
+    * lives here and the spec pins it):
+    *
+    *   - `startingOffsets=latest` ↔ the reference's
+    *     `sarama.OffsetNewest` (input/kafka.go:36): a freshly started
+    *     pipeline tails new records, it does not replay the topic;
+    *   - `kafka_config.partitions = N` ↔ `createPartitionConsumers`
+    *     consuming EXACTLY partitions 0..N-1 (kafka.go:34-43) — an
+    *     explicit `assign` list, not a parallelism hint; without it
+    *     the whole topic is `subscribe`d;
+    *   - `path` stays a topic fallback for the graft-native flat form.
+    */
+  def kafkaSourceOptions(name: String, sc: SourceConfig): Map[String, String] = {
+    val topic = sc.kafkaTopic
+      .orElse(sc.path)
+      .getOrElse(sys.error(s"source $name: Kafka needs kafka_config.topic"))
+    val broker = sc.kafkaBroker
+      .getOrElse(sys.error(s"source $name: Kafka needs kafka_config.broker"))
+    val selection = sc.kafkaPartitions match {
+      case Some(n) =>
+        "assign" -> s"""{"$topic":[${(0 until n).mkString(",")}]}"""
+      case None => "subscribe" -> topic
+    }
+    Map("kafka.bootstrap.servers" -> broker, "startingOffsets" -> "latest", selection)
+  }
+
   private def compileValidated(
       spark: SparkSession,
       config: PipelineConfig,
@@ -119,18 +146,16 @@ object PipelineCompiler {
             spark.readStream.text(sc.path.getOrElse(sys.error(s"source $name: missing path"))).toDF("value")
           case ("Kafka", true) =>
             // config parity with input/kafka.go; requires a live broker.
-            // kafka_config.{broker, topic} wire through; `path` stays a
-            // topic fallback for the graft-native flat form.
-            val topic = sc.kafkaTopic
-              .orElse(sc.path)
-              .getOrElse(sys.error(s"source $name: Kafka needs kafka_config.topic"))
-            val broker = sc.kafkaBroker
-              .getOrElse(sys.error(s"source $name: Kafka needs kafka_config.broker"))
+            // The option mapping itself is pure and contract-tested
+            // offline (kafkaSourceOptions); only load() needs a broker.
             spark.readStream
               .format("kafka")
-              .option("kafka.bootstrap.servers", broker)
-              .option("subscribe", topic)
+              .options(kafkaSourceOptions(name, sc))
               .load()
+              // value-bytes → `value` contract: the reference forwards
+              // msg.Value ([]byte) into decode (kafka.go:53-58); here
+              // the bytes become the same one-string-column frame every
+              // other raw source feeds the trial-dispatch decoder.
               .selectExpr("CAST(value AS STRING) AS value")
           case ("Kafka", false) =>
             sys.error(s"source $name: Kafka is streaming-only")

@@ -26,9 +26,14 @@ final case class SourceConfig(
     `type`: String,
     path: Option[String],
     format: Option[String],
-    /** Kafka connection settings (reference kafka_config: broker, topic). */
+    /** Kafka connection settings (reference kafka_config: broker,
+      * topic, partitions). `kafkaPartitions` = the reference's
+      * explicit partition list 0..N-1 (input/kafka.go:35-40 consumes
+      * exactly those); None/0 = subscribe to the whole topic.
+      */
     kafkaBroker: Option[String] = None,
-    kafkaTopic: Option[String] = None
+    kafkaTopic: Option[String] = None,
+    kafkaPartitions: Option[Int] = None
 )
 
 final case class SinkConfig(
@@ -80,16 +85,23 @@ object PipelineConfig {
       val sources = objMap(root.getOrElse("sources", JObject())).map { case (name, sv) =>
         val o = objMap(sv)
         val nested = objMap(o.getOrElse("file_config", JNothing))
-        // reference input/kafka.go:10-14 — {broker, topic, partitions};
-        // partitions is a consumer-goroutine count the Spark connector
-        // decides itself, so only broker/topic carry over.
+        // reference input/kafka.go:10-14 — {broker, topic, partitions}.
+        // partitions is not a parallelism hint: createPartitionConsumers
+        // consumes EXACTLY partitions 0..N-1, so it maps to an explicit
+        // `assign` list (PipelineCompiler.kafkaSourceOptions).
         val kafka = objMap(o.getOrElse("kafka_config", JNothing))
+        val kafkaParts = kafka.getOrElse("partitions", JNothing) match {
+          case JInt(n) if n > 0    => Some(n.toInt)
+          case JDouble(n) if n > 0 => Some(n.toInt)
+          case _                   => None
+        }
         name -> SourceConfig(
           `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
           path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing))),
           format = str(o.getOrElse("format", JNothing)),
           kafkaBroker = str(kafka.getOrElse("broker", JNothing)).filter(_.nonEmpty),
-          kafkaTopic = str(kafka.getOrElse("topic", JNothing)).filter(_.nonEmpty)
+          kafkaTopic = str(kafka.getOrElse("topic", JNothing)).filter(_.nonEmpty),
+          kafkaPartitions = kafkaParts
         )
       }
       val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>

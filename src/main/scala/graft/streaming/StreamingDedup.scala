@@ -53,6 +53,23 @@ object StreamingDedup {
       maxBucketSize: Int = Int.MaxValue
   ): Unit = {
     val spark = batch.sparkSession
+    // Exactly-once holds only for same-checkpoint replay: a restart
+    // with a fresh/deleted checkpoint resets batchId to 0, and the
+    // overwrite-mode writes below would then silently clobber prior
+    // batches' partitions while readStaged(batch_id < 0) pairs against
+    // nothing — corpus memory destroyed without an error. Legit
+    // crash-replay only ever sees existing partitions <= its own
+    // batchId (batch N+1 starts only after N's checkpoint commit), so
+    // any partition id ABOVE the current batch is proof of checkpoint
+    // loss — fail fast before touching state.
+    Seq(s"$stagingDir/bands", s"$stagingDir/shingles", pairsDir).foreach { dir =>
+      maxBatchId(spark, dir).filter(_ > batchId).foreach { seen =>
+        throw new IllegalStateException(
+          s"$dir already holds batch_id=$seen > current batch $batchId: the stream " +
+            "restarted with a fresh checkpoint against existing staging/pairs tables. " +
+            "Resume from the original checkpoint, or point the new run at empty dirs.")
+      }
+    }
     val (batchBands, batchSh) = Dedup.stageNearDup(batch, idCol, textCol, k, numHashes, bands)
     val stagedBands =
       readStaged(spark, s"$stagingDir/bands", batchId, batchBands)
@@ -89,6 +106,91 @@ object StreamingDedup {
         .drop("batch_id")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaFrom.schema)
+  }
+
+  /** Highest `batch_id=N` partition under `dir`, if any. */
+  private def maxBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      fs.listStatus(p)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch_id=") => s.stripPrefix("batch_id=").toLong }
+        .maxOption
+  }
+
+  /** Fold all FINAL batch partitions of one staging/pairs table into a
+    * single partition — the maintenance pass that keeps "one partition
+    * directory per micro-batch forever" from degrading file listing and
+    * scan planning on a long-lived stream.
+    *
+    * Only batches strictly below the LATEST partition are compacted:
+    * the latest batch may still be replayed after a crash (its replay
+    * overwrites exactly its own partition), but once any higher
+    * partition exists a batch has committed and its partition is
+    * final — merging finals into the highest final id (`target`)
+    * preserves both replay invariants (`batch_id < current` reads all
+    * of them; a replay never writes a final id).
+    *
+    * Crash-safe via the QueueSink idiom: the compacted rows land in a
+    * hidden `_compact_tmp_<target>` dir first (underscore dirs are
+    * invisible to parquet listing), and the swap — delete absorbed
+    * partitions, rename tmp into place — completes on the next call if
+    * interrupted. NOT concurrency-safe against a live stream reading
+    * the same table mid-swap: run it between micro-batches or while
+    * the stream is stopped, like any table-maintenance job.
+    */
+  def compactStaged(spark: SparkSession, dir: String): Unit = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    // Complete an interrupted swap before planning a new one.
+    fs.listStatus(p)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_compact_tmp_"))
+      .foreach { tmp =>
+        val target = tmp.getName.stripPrefix("_compact_tmp_").toLong
+        if (fs.exists(new HPath(tmp, "_SUCCESS"))) finishSwap(fs, p, tmp, target)
+        else fs.delete(tmp, true) // incomplete write: plain debris
+      }
+    val ids = fs
+      .listStatus(p)
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_id=") => s.stripPrefix("batch_id=").toLong }
+      .toSeq
+      .sorted
+    if (ids.size < 3) return // latest + at most one final: nothing to fold
+    val target = ids.init.max
+    val tmp = new HPath(p, s"_compact_tmp_$target")
+    spark.read
+      .option("basePath", dir)
+      .parquet(dir)
+      .filter(col("batch_id") <= target)
+      .drop("batch_id")
+      .write
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    finishSwap(fs, p, tmp, target)
+  }
+
+  private def finishSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: HPath,
+      tmp: HPath,
+      target: Long
+  ): Unit = {
+    fs.listStatus(root)
+      .map(_.getPath)
+      .filter { q =>
+        q.getName.startsWith("batch_id=") &&
+        q.getName.stripPrefix("batch_id=").toLong <= target
+      }
+      .foreach(fs.delete(_, true))
+    fs.rename(tmp, new HPath(root, s"batch_id=$target"))
+    ()
   }
 
   /** Wire a streaming source into the ingest. Caller sets the trigger

@@ -46,6 +46,58 @@ class MediaSpec extends SparkSpec {
     feats.filter(_.kind == "image").foreach(_.payloadBytes shouldBe 48L)
   }
 
+  /** A real in-memory PNG: w×h with a known two-tone pattern (left
+    * half black, right half pure red), so width/height/channels and
+    * the mean intensity have exact expected values.
+    */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes a real PNG through the partition-batched stage") {
+    val ds = Seq(
+      Media.MediaRecord(10L, "image", "synthetic://10", pngBytes(64, 32)),
+      Media.MediaRecord(11L, "audio", "synthetic://11", Array.fill[Byte](2048)(1))
+    ).toDS()
+    val f = Media
+      .decodeFeatures(ds, () => Media.ImageIoCodec)
+      .collect()
+      .map(x => x.mediaId -> x)
+      .toMap
+    f(10L).width shouldBe 64
+    f(10L).height shouldBe 32
+    f(10L).channels shouldBe 3
+    // half the pixels are (255,0,0), half (0,0,0): mean = 255/3/2 = 42.5
+    f(10L).meanIntensity shouldBe 42.5
+    f(11L).channels shouldBe 1 // non-image kinds take the Fake path
+    f(11L).height shouldBe 2
+  }
+
+  test("ImageIoResizer rescales a real PNG and the result decodes at the target geometry") {
+    val ds = Seq(Media.MediaRecord(12L, "image", "synthetic://12", pngBytes(64, 32))).toDS()
+    val resized = Media.resizeTo(ds, w = 16, h = 8, () => Media.ImageIoResizer)
+    val feats = Media.decodeFeatures(resized, () => Media.ImageIoCodec).collect()
+    feats.length shouldBe 1
+    feats.head.width shouldBe 16
+    feats.head.height shouldBe 8
+    // the two-tone pattern survives scaling: mean stays near 42.5
+    // (bilinear edge blending can wiggle the boundary column slightly)
+    feats.head.meanIntensity shouldBe 42.5 +- 3.0
+  }
+
+  test("ImageIoCodec fails loudly on bytes that are not an image container") {
+    val ds = Seq(Media.MediaRecord(13L, "image", "synthetic://13", Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(ds, () => Media.ImageIoCodec).collect()
+    }
+    e.getMessage should include("undecodable image payload")
+  }
+
   test("fromText builds the canonical binary media schema") {
     val df = Media.fromText(Seq((7L, "abc")).toDF("doc_id", "text"), "doc_id", "text", "image")
     df.columns.toSeq shouldBe Seq("mediaId", "kind", "uri", "payload")

@@ -255,6 +255,30 @@ class DedupSpec extends SparkSpec {
     staged(0.0, 2).size should be < staged(0.0, Int.MaxValue).size
   }
 
+  test("staged tables carry their LSH parameter stamp; a mismatched query fails loudly") {
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp").toString
+    val (b, sh) = Dedup.stageNearDup(old, "doc_id", "text", 3, 8, 4)
+    // the stamp survives a parquet round trip (the production path)
+    b.write.parquet(s"$dir/bands"); sh.write.parquet(s"$dir/shingles")
+    val (rb, rsh) = (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"))
+    rb.schema.find(_.name == "band_hash").get.metadata.getLong("graft.lsh.numHashes") shouldBe 8L
+    // matching parameters run; any drifted parameter is refused
+    Dedup.incrementalNearDupsStaged(rb, rsh, batch, "doc_id", "text", 3, 8, 4)._1.count()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsStaged(rb, rsh, batch, "doc_id", "text", 3, 16, 4)
+    }
+    e.getMessage should include("incomparable")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsStaged(rb, rsh, batch, "doc_id", "text", 4, 8, 4)
+    }
+    // an unstamped relation (external staging) stays a caller obligation
+    val bare = rb.select(col("doc_id"), col("band"),
+      col("band_hash").as("band_hash", org.apache.spark.sql.types.Metadata.empty))
+    Dedup.incrementalNearDupsStaged(bare, rsh, batch, "doc_id", "text", 3, 8, 4)._1.count()
+  }
+
   test("incrementalCandidatePairs coalesces a null flag to old at the kernel level") {
     // Direct call with a synthetic band relation (the production
     // staging table's shape, where the flag column can be nullable).

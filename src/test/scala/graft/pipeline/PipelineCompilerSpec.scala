@@ -275,6 +275,51 @@ class PipelineCompilerSpec extends SparkSpec {
     res.left.toOption.get should include("streaming-only")
   }
 
+  test("Kafka option contract: OffsetNewest ↔ startingOffsets=latest, topic subscribe") {
+    // reference input/kafka.go:36 — ConsumePartition(..., OffsetNewest):
+    // a fresh pipeline tails new records, it never replays the topic.
+    val parsed = PipelineConfig
+      .parse(
+        """{"sources": {"in": {"type": "Kafka",
+          |  "kafka_config": {"broker": "broker1:9092", "topic": "events"}}}}""".stripMargin)
+      .toOption.get
+    val opts = PipelineCompiler.kafkaSourceOptions("in", parsed.sources("in"))
+    opts("kafka.bootstrap.servers") shouldBe "broker1:9092"
+    opts("startingOffsets") shouldBe "latest"
+    opts("subscribe") shouldBe "events"
+    opts should not contain key("assign")
+  }
+
+  test("Kafka option contract: kafka_config.partitions = N assigns exactly partitions 0..N-1") {
+    // reference input/kafka.go:34-43 — createPartitionConsumers consumes
+    // EXACTLY partitions 0..N-1 of the topic, so N maps to an explicit
+    // assign list, not a parallelism hint.
+    val parsed = PipelineConfig
+      .parse(
+        """{"sources": {"in": {"type": "Kafka",
+          |  "kafka_config": {"broker": "b:9092", "topic": "t", "partitions": 3}}}}""".stripMargin)
+      .toOption.get
+    parsed.sources("in").kafkaPartitions shouldBe Some(3)
+    val opts = PipelineCompiler.kafkaSourceOptions("in", parsed.sources("in"))
+    opts("assign") shouldBe """{"t":[0,1,2]}"""
+    opts should not contain key("subscribe")
+  }
+
+  test("Kafka option contract: flat `path` is a topic fallback; missing broker fails loudly") {
+    val flat = PipelineConfig
+      .parse("""{"sources": {"in": {"type": "Kafka", "path": "fallback-topic",
+               |  "kafka_config": {"broker": "b:9092"}}}}""".stripMargin)
+      .toOption.get
+    PipelineCompiler.kafkaSourceOptions("in", flat.sources("in"))("subscribe") shouldBe "fallback-topic"
+    val noBroker = PipelineConfig
+      .parse("""{"sources": {"in": {"type": "Kafka", "path": "t"}}}""")
+      .toOption.get
+    val e = intercept[RuntimeException] {
+      PipelineCompiler.kafkaSourceOptions("in", noBroker.sources("in"))
+    }
+    e.getMessage should include("kafka_config.broker")
+  }
+
   test("eventFolder loads the schema registry from JSON files (plugin-folder parity)") {
     import spark.implicits._
     val dir = tmpDir("graft_schema_folder")

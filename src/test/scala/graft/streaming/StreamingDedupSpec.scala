@@ -88,4 +88,83 @@ class StreamingDedupSpec extends SparkSpec {
       .parquet(s"$root/staging/bands")
       .groupBy("doc_id", "band").count().filter(col("count") > 1).count() shouldBe 0L
   }
+
+  test("a fresh-checkpoint restart against existing staging fails fast, not clobbers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_guard").toString
+    val d0 = day0.toDF("doc_id", "text")
+    val d1 = day1.toDF("doc_id", "text")
+    StreamingDedup.nearDupIngestBatch(d0, 0L, "doc_id", "text",
+      s"$root/staging", s"$root/pairs", k = 3, numHashes = 8, bands = 4)
+    StreamingDedup.nearDupIngestBatch(d1, 1L, "doc_id", "text",
+      s"$root/staging", s"$root/pairs", k = 3, numHashes = 8, bands = 4)
+    val before = pairSet(s"$root/pairs")
+    // checkpoint lost → batchId resets to 0 while batch_id=1 exists:
+    // this must throw BEFORE any overwrite destroys corpus memory
+    val e = intercept[IllegalStateException] {
+      StreamingDedup.nearDupIngestBatch(d0, 0L, "doc_id", "text",
+        s"$root/staging", s"$root/pairs", k = 3, numHashes = 8, bands = 4)
+    }
+    e.getMessage should include("fresh checkpoint")
+    pairSet(s"$root/pairs") shouldBe before // nothing was clobbered
+  }
+
+  test("compaction folds final batches into one partition without changing reads or replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_compact").toString
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")),
+      Seq((2L, "pack my box with five dozen liquor jugs today")),
+      Seq((3L, "the quick brown fox jumps over the lazy cat")),
+      Seq((4L, "the quick brown fox leaps over the lazy dog"))
+    )
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      StreamingDedup.nearDupIngestBatch(rows.toDF("doc_id", "text"), i.toLong, "doc_id", "text",
+        s"$root/staging", s"$root/pairs", k = 3, numHashes = 8, bands = 4)
+    }
+    val before = pairSet(s"$root/pairs")
+    def staged(sub: String) = spark.read
+      .option("basePath", s"$root/staging/$sub").parquet(s"$root/staging/$sub")
+    val bandRows = staged("bands").drop("batch_id").collect().toSet
+
+    Seq("bands", "shingles").foreach(s => StreamingDedup.compactStaged(spark, s"$root/staging/$s"))
+
+    // partitions folded: finals {0,1,2} became one batch_id=2; latest kept
+    def ids(sub: String) = new java.io.File(s"$root/staging/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong).toSet
+    ids("bands") shouldBe Set(2L, 3L)
+    staged("bands").drop("batch_id").collect().toSet shouldBe bandRows // no row lost or duplicated
+    // the stream continues correctly after compaction: batch 4 still
+    // pairs against ALL prior docs (compacted ids 2 < 4 stay visible)
+    StreamingDedup.nearDupIngestBatch(
+      Seq((10L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      4L, "doc_id", "text", s"$root/staging", s"$root/pairs", k = 3, numHashes = 8, bands = 4)
+    val after = pairSet(s"$root/pairs")
+    before.subsetOf(after) shouldBe true
+    // 10 is a near-dup of 1 (batch 0, inside the compacted partition), 3 and 4
+    Set(1L, 3L, 4L).foreach { old =>
+      assert(after.exists { case (a, b, _, _, _) => Set(a, b) == Set(old, 10L) },
+        s"pair ($old, 10) missing after compaction")
+    }
+  }
+
+  test("an interrupted compaction swap completes on the next call") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_swapfix").toString
+    val dir = s"$root/staging/bands"
+    (0 to 3).foreach { i =>
+      StreamingDedup.nearDupIngestBatch(
+        Seq((i.toLong, s"totally distinct text number $i with unique words $i")).toDF("doc_id", "text"),
+        i.toLong, "doc_id", "text", s"$root/staging", s"$root/pairs", k = 3, numHashes = 8, bands = 4)
+    }
+    val rows = spark.read.option("basePath", dir).parquet(dir).drop("batch_id").collect().toSet
+    // simulate a crash AFTER the tmp write, BEFORE the swap: build the
+    // tmp exactly as compactStaged would, then leave it orphaned
+    spark.read.option("basePath", dir).parquet(dir)
+      .filter(col("batch_id") <= 2).drop("batch_id")
+      .write.mode("overwrite").parquet(s"$dir/_compact_tmp_2")
+    // next maintenance call finds the completed tmp and finishes the swap
+    StreamingDedup.compactStaged(spark, dir)
+    val ids = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong).toSet
+    ids shouldBe Set(2L, 3L)
+    spark.read.option("basePath", dir).parquet(dir).drop("batch_id").collect().toSet shouldBe rows
+  }
 }
