@@ -51,17 +51,30 @@ object TextGroups {
 
   /** Session-lifetime cache of measured duplication factors: a WEAK
     * map per session (a static cache must not retain stopped
-    * sessions), keyed inside by the semantic hash of the keyed input
-    * plan (same corpus + same key expression = one measurement per
-    * session).
+    * sessions), keyed inside by the CANONICALIZED keyed input plan —
+    * full structural equality, not a 32-bit hash, so two different
+    * corpora can never collide into one cached factor. (The retained
+    * plans are one per distinct query shape per session — bounded.)
+    *
+    * Staleness is the accepted trade-off: data appended to the same
+    * path mid-session keeps the first measured factor, exactly like a
+    * warehouse's ingest-time statistics — and a stale factor can only
+    * pick the slower of two OUTPUT-IDENTICAL plans, never change a
+    * result. Pin `spark.graft.text.memoize` to sidestep measurement.
     */
   private val dupCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[Int, Double]]()
+    new java.util.WeakHashMap[
+      SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        java.lang.Double]]()
 
   private def sessionCache(s: SparkSession) = dupCache.synchronized {
     var m = dupCache.get(s)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+      m = new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        java.lang.Double]()
       dupCache.put(s, m)
     }
     m
@@ -70,17 +83,25 @@ object TextGroups {
   /** rows / approx-distinct(textKey) — ≥ 1.0 on any non-empty input;
     * 1.0 on an empty one. Measured once per (session, input plan).
     * Batch inputs only — the caller guards streaming frames.
+    *
+    * The measurement job runs OUTSIDE any cache lock (get → measure →
+    * putIfAbsent): a concurrent caller on the same plan may measure
+    * twice, but never blocks other keys behind a running Spark job the
+    * way computeIfAbsent's bin lock would.
     */
   def duplicationFactor(df: DataFrame, textKey: Column): Double = {
     val keyed = df.select(textKey.as("t"))
-    sessionCache(df.sparkSession).computeIfAbsent(
-      keyed.queryExecution.analyzed.semanticHash(),
-      _ => {
-        val row = keyed.agg(count(lit(1)), approx_count_distinct(col("t"))).head()
-        val n = row.getLong(0)
-        if (n == 0L) 1.0 else n.toDouble / math.max(row.getLong(1), 1L)
-      }
-    )
+    val cache = sessionCache(df.sparkSession)
+    val key = keyed.queryExecution.analyzed.canonicalized
+    val cached = cache.get(key)
+    if (cached != null) cached.doubleValue()
+    else {
+      val row = keyed.agg(count(lit(1)), approx_count_distinct(col("t"))).head()
+      val n = row.getLong(0)
+      val factor = if (n == 0L) 1.0 else n.toDouble / math.max(row.getLong(1), 1L)
+      val prev = cache.putIfAbsent(key, java.lang.Double.valueOf(factor))
+      if (prev != null) prev.doubleValue() else factor
+    }
   }
 
   /** The staging decision itself, exposed for the `dedupFirst`
@@ -90,6 +111,16 @@ object TextGroups {
     * `spark.graft.text.memoize` setting steers every staging family
     * consistently. Pass the dedup key (text column, embedding hash,
     * …) as `key`.
+    *
+    * NOTE: under `memoize=auto` this is EAGER — the first call per
+    * (session, input plan) runs the narrow measurement aggregate
+    * immediately, at plan-construction time, not at execution. That
+    * is deliberate (the factor chooses BETWEEN plans, so it must exist
+    * before the plan does), but it means building a query can trigger
+    * a small Spark job the caller never executes, and per-query wall
+    * times attribute the first measurement to whichever query builds
+    * first. Pipelines that care pre-warm via [[duplicationFactor]] or
+    * pin `always`/`never`.
     */
   def adaptiveStaging(df: DataFrame, key: Column): Boolean = shouldMemoize(df, key)
 

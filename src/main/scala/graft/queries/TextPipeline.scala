@@ -22,10 +22,14 @@ object TextPipeline {
   // its exact Jaccard over 3-gram shingle sets.
   def q35MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup
-      // persistShingles=false: with the codegen'd kernels, recomputing
-      // the shingle projection is cheaper than building a deserialized
-      // array cache (measured 1.7s vs 6.7s cold at sf0.1); at 100 TB
-      // the equivalent is a staging table, not executor cache (SCALE.md).
+      // persistShingles=true: round 5 dropped the cache because the
+      // PER-DOC shingle projection cost more to materialize than the
+      // codegen kernels cost to recompute (6.7s vs 1.7s cold at
+      // sf0.1). Since the pipeline now runs over DISTINCT texts, the
+      // cached projection is the deduplicated one and the trade
+      // reverses (round 7 re-measure: 1.5s vs 1.9s at sf0.1; sf1
+      // inside the noise band). At 100 TB the equivalent remains a
+      // staging table, not executor cache (SCALE.md).
       // dedupFirst: run LSH over distinct texts only and expand the
       // group pairs — output-identical (DedupSpec property), and on a
       // duplicate-heavy corpus every stage shrinks by the duplication
@@ -34,7 +38,7 @@ object TextPipeline {
       // window+expand is pure overhead, so the measured duplication
       // factor decides (TextGroups.adaptiveStaging).
       .minhashNearDups(docs(s, dir), idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
-        persistShingles = false,
+        persistShingles = true,
         dedupFirst = graft.operators.TextGroups.adaptiveStaging(docs(s, dir), col("text")))
       .orderBy("id1", "id2")
 

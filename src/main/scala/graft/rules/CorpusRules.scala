@@ -53,6 +53,13 @@ object CorpusRules {
     * by the reference corpus × offending inputs). A declared column
     * missing from the frame fails loudly: a typo must not silently
     * reintroduce unbounded state.
+    *
+    * NULL event times fail loudly too: the watermark operator would
+    * otherwise DROP such rows silently — a data-dependent semantic
+    * divergence from the conf-off path, which keeps them. A source
+    * with legitimately-optional timestamps must coalesce them to a
+    * real time (ingest time, usually) or not declare an event-time
+    * column.
     */
   private[rules] def streamDedupFirstArrival(df: DataFrame, keys: Seq[String]): DataFrame = {
     val conf = df.sparkSession.conf
@@ -63,7 +70,15 @@ object CorpusRules {
           s"spark.graft.stream.eventTimeCol=$ts is not a column of the stream " +
             s"(${df.columns.mkString(", ")})")
         val delay = conf.getOption("spark.graft.stream.watermarkDelay").getOrElse("24 hours")
-        df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+        val guarded = df.withColumn(
+          ts,
+          when(
+            col(ts).isNull,
+            raise_error(lit(
+              s"null $ts in stream: the watermarked dedup would silently drop this row — " +
+                s"coalesce the timestamp upstream or unset spark.graft.stream.eventTimeCol")))
+            .otherwise(col(ts)))
+        guarded.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       case None =>
         df.dropDuplicates(keys.head, keys.tail: _*)
     }

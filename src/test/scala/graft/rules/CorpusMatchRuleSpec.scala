@@ -115,6 +115,25 @@ class CorpusMatchRuleSpec extends SparkSpec {
     }
   }
 
+  test("a NULL event time fails the stream instead of silently vanishing in the watermark") {
+    // The watermark operator DROPS null-event-time rows; the conf-off
+    // dropDuplicates path keeps them — a data-dependent divergence.
+    // The guard turns it into a loud error at the offending row.
+    spark.conf.set("spark.graft.stream.eventTimeCol", "ts")
+    try {
+      val mem =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Option[java.sql.Timestamp])](spark)
+      mem.addData((1L, "a", Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))), (2L, "b", None))
+      val out = CorpusRules.streamDedupFirstArrival(mem.toDF.toDF("doc_id", "text", "ts"), Seq("text"))
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      e.getMessage should include("null ts in stream")
+    } finally spark.conf.unset("spark.graft.stream.eventTimeCol")
+  }
+
   test("a declared event-time column missing from the stream fails loudly") {
     spark.conf.set("spark.graft.stream.eventTimeCol", "no_such_col")
     try {
