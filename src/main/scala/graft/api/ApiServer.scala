@@ -5,7 +5,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.LongAdder
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
@@ -19,16 +18,34 @@ import graft.pipeline.PipelineCompiler
   *   GET  /pipelines/{id}  → stored raw config bytes, 404 if absent
   *   GET  /metrics         → the two reference metrics (monitoring.go:
   *                           27-31): pipelines gauge + events counter,
-  *                           prometheus text format
+  *                           per-pipeline labels, via the pluggable
+  *                           [[MonitoringService]] factory (prometheus
+  *                           text by default; cloudwatch backend =
+  *                           accumulate + flush daemon behind a
+  *                           PutMetricData transport seam)
   *
   * Config storage is a filesystem metadata directory (one file per
   * UUID) replacing BoltDB/DynamoDB (backend.go:17-21); the reference
   * also stores raw pre-validated bytes and returns them verbatim
   * (api.go:84-101), so GET is byte-faithful.
   */
-final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
+final class ApiServer(
+    spark: SparkSession,
+    storeDir: String,
+    port: Int = 8000,
+    monitoring: MonitoringService = new PrometheusMonitoring("gofish"),
+    configStore: Option[ConfigStore] = None
+) {
 
+  // Persistence backend (reference backend.go factory): filesystem by
+  // default, any ConfigStore (e.g. RemoteConfigStore over DynamoDB)
+  // injectable.
+  private val backend: ConfigStore = configStore.getOrElse(new FsConfigStore(storeDir))
   private val store = new ConcurrentHashMap[String, Array[Byte]]()
+  // query runId → owning pipeline id, for per-pipeline metric
+  // attribution (the reference increments from each pipeline's own
+  // input goroutine; here the listener looks the owner up).
+  private val owners = new ConcurrentHashMap[UUID, String]()
   private var server: HttpServer = _
   // Streaming checkpoints live in a sibling directory so the config
   // store holds only config files and a restart never trips over a
@@ -40,16 +57,13 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
 
   // reload persisted configs (reference: backend Init)
   locally {
-    val s = Files.list(Paths.get(storeDir))
-    try s.filter(Files.isRegularFile(_)).forEach { p =>
-      store.put(p.getFileName.toString, Files.readAllBytes(p))
-    } finally s.close()
+    backend.loadAll().foreach { case (id, bytes) => store.put(id, bytes) }
   }
 
   def start(): Unit = {
     // The events counter is fed by a query listener — registering is
     // part of serving /metrics, not something callers must remember.
-    listener = Metrics.listen(spark)
+    listener = Metrics.listen(spark, monitoring, owners)
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/pipelines", (ex: HttpExchange) => handlePipelines(ex))
     server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
@@ -103,13 +117,17 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
             case Right(compiled) =>
               val id = UUID.randomUUID().toString
               store.put(id, raw.getBytes(StandardCharsets.UTF_8))
-              Files.write(Paths.get(storeDir, id), raw.getBytes(StandardCharsets.UTF_8))
-              Metrics.pipelines.increment()
+              backend.put(id, raw.getBytes(StandardCharsets.UTF_8))
+              monitoring.incrPipelines(id)
               // async start, failures logged only (api.go:134-139)
               new Thread(() =>
                 try {
                   val qs = PipelineCompiler
                     .startStreaming(compiled, s"$ckptDir/$id", availableNow = false)
+                  // Attribution registers after start: a first batch
+                  // racing ahead lands on "unattributed" rather than
+                  // vanishing (Metrics.listen).
+                  qs.foreach(q => owners.put(q.runId, id))
                   startedLock.synchronized {
                     if (stopping) qs.foreach { q =>
                       try q.stop()
@@ -123,7 +141,9 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
           }
         case ("GET", path) if path.startsWith("/") && path.length > 1 =>
           val id = path.stripPrefix("/")
-          Option(store.get(id)) match {
+          // cache first, then the backend — a shared remote store can
+          // hold configs another node posted after this one started
+          Option(store.get(id)).orElse(backend.get(id)) match {
             case Some(bytes) => respond(ex, 200, new String(bytes, StandardCharsets.UTF_8))
             case None        => respond(ex, 404, "pipeline not found")
           }
@@ -133,30 +153,34 @@ final class ApiServer(spark: SparkSession, storeDir: String, port: Int = 8000) {
       case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}")
     }
 
-  private def handleMetrics(ex: HttpExchange): Unit = {
-    val body =
-      s"""# TYPE gofish_pipelines gauge
-         |gofish_pipelines ${Metrics.pipelines.sum()}
-         |# TYPE gofish_events_received_total counter
-         |gofish_events_received_total ${Metrics.eventsReceived.sum()}
-         |""".stripMargin
-    respond(ex, 200, body)
-  }
+  private def handleMetrics(ex: HttpExchange): Unit =
+    monitoring.metricsText match {
+      case Some(body) => respond(ex, 200, body)
+      // the reference registers /metrics only for the prometheus
+      // backend (monitoring.go:89) — other backends have no scrape page
+      case None => respond(ex, 404, "metrics not exposed by this monitoring backend")
+    }
 }
 
-/** The two reference metrics (monitoring.go:27-31), fed by a
-  * StreamingQueryListener instead of per-event instrumentation.
+/** Feeds [[MonitoringService]]'s events counter from a
+  * StreamingQueryListener instead of per-event instrumentation: each
+  * micro-batch adds its `numInputRows` to the owning pipeline's
+  * series (owner = the registered runId; a first batch racing ahead
+  * of registration lands on "unattributed" rather than vanishing).
   */
 object Metrics {
-  val pipelines = new LongAdder
-  val eventsReceived = new LongAdder
 
-  /** Register once per session; every micro-batch adds its input rows. */
-  def listen(spark: SparkSession): StreamingQueryListener = {
+  def listen(
+      spark: SparkSession,
+      service: MonitoringService,
+      owners: ConcurrentHashMap[UUID, String]
+  ): StreamingQueryListener = {
     val l = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        eventsReceived.add(e.progress.numInputRows)
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val pipeline = Option(owners.get(e.progress.runId)).getOrElse("unattributed")
+        service.incrEventsReceived(pipeline, e.progress.numInputRows)
+      }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(l)
