@@ -183,4 +183,41 @@ object Similarity {
       .select(col("cell"), col("a").as("id1"), col("b").as("id2"), col("cosine"))
     cross.unionByName(within)
   }
+
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space coarsely, then inside
+    * each cluster drop every document that has an EARLIER (lower-id)
+    * in-cluster neighbor at cosine >= `threshold`. The earliest member
+    * of each near-duplicate neighborhood survives; the rule is greedy
+    * and id-ordered, so it is deterministic without a connected-
+    * components pass (a doc is dropped iff ANY earlier in-cell doc is
+    * within the threshold, whether or not that doc itself survived —
+    * the paper's keep-one-per-group semantics under a fixed ordering).
+    *
+    * Scale shape: pairs form only inside a cell ([[cellNearDups]] —
+    * one co-located self-join on the cell key), and the keep decision
+    * is one count aggregation keyed by the later id. At corpus scale
+    * the cluster count k grows with the data (SemDeDup sizes k so
+    * clusters stay small), so per-cell pair work stays bounded;
+    * nothing here is all-pairs across cells.
+    *
+    * @param df one row per document: (id, emb, cell)
+    * @return one row per document: (id, cell, n_dups_earlier, kept) —
+    *         `n_dups_earlier` counts in-cell neighbors with a lower id
+    *         at cosine >= threshold; `kept` iff that count is zero
+    */
+  def semDedup(df: DataFrame, threshold: Double, dedupFirst: Boolean = false): DataFrame = {
+    val pairs = cellNearDups(df, threshold, dedupFirst)
+    // Pairs carry id1 < id2: the later doc (id2) is the one a match
+    // condemns. Count per id2, then left-join back so survivors (no
+    // pair at all) keep n_dups_earlier = 0.
+    val drops = pairs.groupBy(col("id2").as("id")).agg(count(lit(1)).as("_nde"))
+    df.select(col("id"), col("cell"))
+      .join(drops, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        col("cell"),
+        coalesce(col("_nde"), lit(0L)).as("n_dups_earlier"),
+        col("_nde").isNull.as("kept"))
+  }
 }

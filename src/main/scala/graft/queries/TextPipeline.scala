@@ -549,7 +549,70 @@ object TextPipeline {
       |WHERE CAST(COALESCE(m.n_hits, 0) AS DOUBLE) / LEN(c.sh) >= 0.1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q99: DSIR-style importance-weighted data selection ---------------------
+  // Xie et al. 2023 (arXiv:2302.03169): hashed-ngram importance weights
+  // against a target domain (source = 'src0' stands in for "the
+  // high-quality domain"), then keep the 100 most target-like docs.
+  // All-integer scoring (graft.operators.ImportanceWeights): the
+  // per-bucket likelihood-ratio score is a fixed-point integer and the
+  // per-doc weight a decimal-exact sum, so weights AND the selection
+  // hash-compare against DuckDB. Shape: 256-row model broadcast,
+  // map-side scoring, TakeOrdered top-N — no global sort, no
+  // driver-side loop.
+  def q99DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val perDoc = graft.operators.ImportanceWeights
+      // fused fit+score: ONE gram pass over the corpus (spec-pinned
+      // identical to the modular bucketScores->score composition)
+      .fitScore(d, col("doc_id"), col("text"), col("source") === "src0", buckets = 256)
+      // micro-unit weights stay far inside BIGINT at any catalog sf
+      // (the operator's decimal(38,0) is the no-overflow general form;
+      // narrowing here gives the oracle a clean int64 = int64 schema)
+      .withColumn("w_units", col("w_units").cast("long"))
+      // tiny (one row per doc); both the top-N and the flag join read it
+      .localCheckpoint(false)
+    val top = perDoc
+      .orderBy(col("w_units").desc, col("id"))
+      .limit(100)
+      .select(col("id").as("_sel"))
+    perDoc
+      .join(top, col("id") === col("_sel"), "left_outer")
+      .select(
+        col("id").as("doc_id"),
+        col("n_grams"),
+        col("w_units"),
+        col("_sel").isNotNull.as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val q99Sql: String =
+    """WITH tk AS (SELECT doc_id, source, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      |            FROM documents),
+      |g0 AS (SELECT doc_id, source,
+      |         unnest(list_concat(toks,
+      |           list_transform(range(0, LEN(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))) AS gram
+      |       FROM tk),
+      |g AS (SELECT doc_id, source, substr(md5(gram), 1, 2) AS bucket FROM g0),
+      |pb AS (SELECT bucket,
+      |         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS HUGEINT) AS ct,
+      |         CAST(COUNT(*) AS HUGEINT) AS cr
+      |       FROM g GROUP BY bucket),
+      |tot AS (SELECT SUM(ct) AS tot_t, SUM(cr) AS tot_r FROM pb),
+      |sc AS (SELECT bucket,
+      |         (2 * (ct + 1) * (tot_r + 256) * 1000000 + (cr + 1) * (tot_t + 256))
+      |           // (2 * (cr + 1) * (tot_t + 256)) AS units
+      |       FROM pb CROSS JOIN tot),
+      |dc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS HUGEINT) AS cnt FROM g GROUP BY doc_id, bucket),
+      |pd AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |              CAST(SUM(CAST(cnt * units AS DECIMAL(28,0))) AS BIGINT) AS w_units
+      |       FROM dc JOIN sc USING (bucket) GROUP BY doc_id),
+      |top AS (SELECT doc_id FROM pd ORDER BY w_units DESC, doc_id LIMIT 100)
+      |SELECT pd.doc_id, n_grams, w_units, top.doc_id IS NOT NULL AS selected
+      |FROM pd LEFT JOIN top ON pd.doc_id = top.doc_id
+      |ORDER BY pd.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_dsir_select" -> (q99DsirSelect _),
     "q80_bloom_decontamination" -> (q80BloomDecontamination _),
     "q65_decontamination" -> (q65Decontamination _),
     "q64_curation" -> (q64Curation _),
@@ -564,6 +627,7 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_dsir_select" -> q99Sql,
     "q80_bloom_decontamination" -> q80Sql,
     "q65_decontamination" -> q65Sql,
     "q64_curation" -> q64Sql,

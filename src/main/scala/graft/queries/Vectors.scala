@@ -267,12 +267,11 @@ object Vectors {
        |  FROM $prev p LEFT JOIN m$i m ON p.cell = m.cell AND p.dim = m.dim)""".stripMargin
   }
 
-  /** The trained-quantizer replay: init = the 8 lowest-id vectors,
-    * three unrolled Lloyd iterations, final assignment, then q42's
-    * within-cell top-k. Deterministic end-to-end, so the driver's
-    * hash gate applies to the whole trained index.
+  /** The shared trained-quantizer replay prefix (q52/q98): init = the
+    * 8 lowest-id vectors, three unrolled Lloyd iterations, final
+    * assignment into `cells(vec_id, emb, cell)`.
     */
-  val q52Sql: String =
+  private val lloydCellsSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |init AS (SELECT emb, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
        |         FROM e ORDER BY vec_id LIMIT 8),
@@ -287,7 +286,14 @@ object Vectors {
        |    SELECT e.vec_id, e.emb, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
        |    FROM e CROSS JOIN clF c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The trained-quantizer replay + q42's within-cell top-k.
+    * Deterministic end-to-end, so the driver's hash gate applies to
+    * the whole trained index.
+    */
+  val q52Sql: String =
+    s"""$lloydCellsSql,
        |q AS (SELECT vec_id AS qid, cell, emb AS qemb FROM cells WHERE vec_id < 8),
        |pairs AS (
        |  SELECT q.cell AS cell, qid, cells.vec_id AS nid,
@@ -394,7 +400,57 @@ object Vectors {
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
 
+  // ---- q98: SemDeDup — semantic deduplication over embeddings ---------------------
+  // Abbas et al. 2023 (arXiv:2303.09540): cluster the embedding space
+  // with the deterministic k-means quantizer (q52's fit — decimal
+  // sums, lowest-id init), then inside each cluster drop every vector
+  // with an EARLIER in-cluster neighbor at cosine >= 0.35. The whole
+  // chain is bit-deterministic, so the trained clustering AND the
+  // keep/drop decisions hash-compare against a DuckDB replay (the
+  // unrolled Lloyd CTEs q52 established, plus one in-cell pair join).
+  // Scale shape: k grows with the corpus so cells stay small; pairs
+  // never form across cells; the keep rule is one count aggregation.
+  def q98SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val adaptive = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e")))
+    val centroids = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3,
+      dedupVectors = adaptive)
+    val cells = graft.operators.KMeans
+      .assign(e, "e", centroids)
+      .select(col("vec_id").as("id"), col("e").as("emb"), col("cell"))
+    graft.operators.Similarity
+      .semDedup(cells, threshold = 0.35, dedupFirst = adaptive)
+      .select(col("id").as("vec_id"), col("cell"), col("n_dups_earlier"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Cosine between two `cells` rows in DuckDB — the exact q44Sql
+    * form (sequential fold from 0.0; norms via the same long-form
+    * sqrt(dot) the Spark kernel computes).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a.emb, $b.emb), p -> p[1] * p[2])), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip($a.emb, $a.emb), p -> p[1] * p[2])), (x, y) -> x + y))
+       |     * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip($b.emb, $b.emb), p -> p[1] * p[2])), (x, y) -> x + y)))""".stripMargin
+
+  val q98Sql: String =
+    s"""$lloydCellsSql,
+       |p AS (
+       |  SELECT b.vec_id AS vid
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a", "b")} >= 0.35),
+       |drops AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS nde FROM p GROUP BY vid)
+       |SELECT c.vec_id, c.cell,
+       |  COALESCE(d.nde, 0) AS n_dups_earlier,
+       |  d.vid IS NULL AS kept
+       |FROM cells c LEFT JOIN drops d ON c.vec_id = d.vid
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_semdedup" -> (q98SemDedup _),
     "q76_scalar_quant" -> (q76ScalarQuant _),
     "q66_label_centroids" -> (q66LabelCentroids _),
     "q40_knn_brute_force" -> (q40KnnBruteForce _),
@@ -406,6 +462,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_semdedup" -> q98Sql,
     "q76_scalar_quant" -> q76Sql,
     "q66_label_centroids" -> q66Sql,
     "q40_knn_brute_force" -> q40Sql,

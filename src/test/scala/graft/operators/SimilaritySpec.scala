@@ -239,4 +239,79 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.cellTopK(qc, cc, k)
     recallAtK(lsh, truth, k) should be >= 0.7
   }
+
+  // ---- semDedup -------------------------------------------------------------
+
+  /** Unit vector at `deg` degrees in the plane — cos(a, b) is exactly
+    * the cosine of the angle between them.
+    */
+  private def at(deg: Double) = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r), math.sin(r))
+  }
+
+  test("semDedup keeps the earliest member and drops later in-cell near-dups") {
+    // 0 and 1 are 20 degrees apart (cos ~0.94 >= 0.9); 2 is orthogonal.
+    val df = Seq(
+      (0L, at(0), 0),
+      (1L, at(20), 0),
+      (2L, at(90), 0)
+    ).toDF("id", "emb", "cell")
+    val out = Similarity
+      .semDedup(df, threshold = 0.9)
+      .select("id", "kept", "n_dups_earlier")
+      .as[(Long, Boolean, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    out(0L) shouldBe ((true, 0L))
+    out(1L) shouldBe ((false, 1L))
+    out(2L) shouldBe ((true, 0L))
+  }
+
+  test("semDedup is greedy by id order: a doc drops for an earlier neighbor even if that neighbor dropped") {
+    // 0~1 (20 deg) and 1~2 (20 deg) but 0!~2 (40 deg, cos ~0.766 < 0.9):
+    // 1 drops for 0, and 2 STILL drops (its earlier neighbor 1 matched),
+    // the paper's fixed-ordering greedy semantics.
+    val df = Seq(
+      (0L, at(0), 0),
+      (1L, at(20), 0),
+      (2L, at(40), 0)
+    ).toDF("id", "emb", "cell")
+    val kept = Similarity
+      .semDedup(df, threshold = 0.9)
+      .filter(col("kept"))
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSet
+    kept shouldBe Set(0L)
+  }
+
+  test("semDedup never pairs across cells") {
+    val df = Seq(
+      (0L, at(0), 0),
+      (1L, at(0), 1) // identical vector, different cell
+    ).toDF("id", "emb", "cell")
+    Similarity
+      .semDedup(df, threshold = 0.9)
+      .filter(col("kept"))
+      .count() shouldBe 2L
+  }
+
+  test("semDedup dedupFirst staging is output-identical") {
+    // duplicate vectors present so the staged path actually collapses
+    val df = Seq(
+      (0L, at(0), 0),
+      (1L, at(0), 0),
+      (2L, at(20), 0),
+      (3L, at(90), 0),
+      (4L, at(90), 0)
+    ).toDF("id", "emb", "cell")
+    val direct = Similarity.semDedup(df, threshold = 0.9, dedupFirst = false)
+    val staged = Similarity.semDedup(df, threshold = 0.9, dedupFirst = true)
+    val key = Seq("id", "cell", "n_dups_earlier", "kept")
+    direct.select(key.head, key.tail: _*).except(staged.select(key.head, key.tail: _*)).count() shouldBe 0L
+    staged.select(key.head, key.tail: _*).except(direct.select(key.head, key.tail: _*)).count() shouldBe 0L
+  }
 }
