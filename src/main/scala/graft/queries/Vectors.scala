@@ -243,28 +243,28 @@ object Vectors {
     * under 2^53). Cells an iteration leaves empty keep their previous
     * centroid, like the Scala fit loop.
     */
-  private def lloydIterSql(i: Int): String = {
-    val (prev, cur) = (s"cents${i - 1}", s"cents$i")
-    s"""cl$i AS (SELECT cell, list(val ORDER BY dim) AS cent FROM $prev GROUP BY cell),
-       |asg$i AS (
+  private def lloydIterSql(i: Int, p: String = "", src: String = "e"): String = {
+    val (prev, cur) = (s"${p}cents${i - 1}", s"${p}cents$i")
+    s"""${p}cl$i AS (SELECT cell, list(val ORDER BY dim) AS cent FROM $prev GROUP BY cell),
+       |${p}asg$i AS (
        |  SELECT vec_id, emb, cell FROM (
        |    SELECT e.vec_id, e.emb, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
-       |    FROM e CROSS JOIN cl$i c)
+       |    FROM $src e CROSS JOIN ${p}cl$i c)
        |  WHERE rn = 1),
-       |x$i AS (SELECT cell, CAST(dim AS INTEGER) AS dim, emb[dim + 1] AS v
-       |        FROM (SELECT cell, unnest(range(0, LEN(emb))) AS dim, emb FROM asg$i)),
-       |m$i AS (
+       |${p}x$i AS (SELECT cell, CAST(dim AS INTEGER) AS dim, emb[dim + 1] AS v
+       |        FROM (SELECT cell, unnest(range(0, LEN(emb))) AS dim, emb FROM ${p}asg$i)),
+       |${p}m$i AS (
        |  SELECT cell, dim,
        |    CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
        |              ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 1e12 AS val
        |  FROM (SELECT cell, dim,
        |          SUM(CAST(CAST(v AS DECIMAL(18,12)) * 1000000000000 AS HUGEINT)) AS s,
        |          CAST(COUNT(*) AS HUGEINT) AS n
-       |        FROM x$i GROUP BY cell, dim)),
+       |        FROM ${p}x$i GROUP BY cell, dim)),
        |$cur AS (
        |  SELECT p.cell, p.dim, COALESCE(m.val, p.val) AS val
-       |  FROM $prev p LEFT JOIN m$i m ON p.cell = m.cell AND p.dim = m.dim)""".stripMargin
+       |  FROM $prev p LEFT JOIN ${p}m$i m ON p.cell = m.cell AND p.dim = m.dim)""".stripMargin
   }
 
   /** The shared trained-quantizer replay prefix (q52/q98): init = the
@@ -449,7 +449,69 @@ object Vectors {
        |FROM cells c LEFT JOIN drops d ON c.vec_id = d.vid
        |ORDER BY vec_id""".stripMargin
 
+  // ---- q100: product quantization (PQ codebooks + codes) --------------------------
+  // Jegou et al. 2011: split 64-dim embeddings into 4 subspaces of 16
+  // dims, fit a small deterministic k-means codebook per subspace
+  // (k=4, 2 Lloyd iterations — decimal sums, lowest-id init), and emit
+  // every vector's per-subspace code with its reconstruction error.
+  // The whole index build is bit-deterministic, so codes AND sq_err
+  // doubles hash-compare against a DuckDB replay that unrolls the
+  // Lloyd chain once per subspace. 4 codes x 2 bits here; production
+  // PQ (m=8..64, k=256) is the same plan with bigger literals.
+  def q100ProductQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val dims = graft.operators.Similarity.embeddingDims(e, "e")
+    val cbs = graft.operators.ProductQuant.fitCodebooks(
+      e, idCol = "vec_id", embCol = "e", dims = dims, m = 4, k = 4, iters = 2,
+      // full-vector duplication implies subspace duplication; the
+      // weighted fit is output-identical either way (KMeansSpec)
+      dedupVectors = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e"))))
+    graft.operators.ProductQuant
+      .encode(e, idCol = "vec_id", embCol = "e", codebooks = cbs)
+      .select(col("id").as("vec_id"), col("sub"), col("code"), col("sq_err"))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** One subspace's Lloyd chain + assignment, CTE-name-prefixed so
+    * four of them coexist in one WITH. The assignment keeps the
+    * winning squared-L2 distance — the same sequential fold the
+    * encoder re-computes as `sq_err`.
+    */
+  private def pqChainSql(s: Int, subDims: Int, k: Int, iters: Int): String = {
+    val p = s"s$s"
+    val lo = s * subDims + 1
+    val hi = (s + 1) * subDims
+    val iterCtes = (1 to iters).map(i => lloydIterSql(i, p, s"${p}e")).mkString(",\n")
+    s"""${p}e AS (SELECT vec_id, emb[$lo:$hi] AS emb FROM e),
+       |${p}init AS (SELECT emb, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+       |         FROM ${p}e ORDER BY vec_id LIMIT $k),
+       |${p}cents0 AS (SELECT cell, CAST(dim AS INTEGER) AS dim, emb[dim + 1] AS val
+       |           FROM (SELECT cell, unnest(range(0, LEN(emb))) AS dim, emb FROM ${p}init)),
+       |$iterCtes,
+       |${p}clF AS (SELECT cell, list(val ORDER BY dim) AS cent FROM ${p}cents$iters GROUP BY cell),
+       |${p}out AS (
+       |  SELECT vec_id, $s AS sub, cell AS code, dist AS sq_err FROM (
+       |    SELECT e.vec_id, c.cell, $sqDistSql AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM ${p}e e CROSS JOIN ${p}clF c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val q100Sql: String = {
+    val chains = (0 until 4).map(s => pqChainSql(s, subDims = 16, k = 4, iters = 2)).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |$chains
+       |SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code, sq_err
+       |FROM (SELECT * FROM s0out UNION ALL SELECT * FROM s1out
+       |      UNION ALL SELECT * FROM s2out UNION ALL SELECT * FROM s3out)
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_product_quant" -> (q100ProductQuant _),
     "q98_semdedup" -> (q98SemDedup _),
     "q76_scalar_quant" -> (q76ScalarQuant _),
     "q66_label_centroids" -> (q66LabelCentroids _),
@@ -462,6 +524,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_product_quant" -> q100Sql,
     "q98_semdedup" -> q98Sql,
     "q76_scalar_quant" -> q76Sql,
     "q66_label_centroids" -> q66Sql,

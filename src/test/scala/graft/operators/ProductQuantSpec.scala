@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0, 0.0, 10.0, 0.0)),
+    (1L, Seq(0.9, 0.1, 10.1, -0.1)),
+    (2L, Seq(-1.0, 0.0, -10.0, 0.0)),
+    (3L, Seq(-0.9, -0.1, -9.9, 0.1))
+  ).toDF("id", "emb")
+
+  test("dims must split evenly into subspaces") {
+    val e = intercept[IllegalArgumentException] {
+      ProductQuant.fitCodebooks(vecs, "id", "emb", dims = 4, m = 3, k = 2, iters = 1)
+    }
+    e.getMessage should include("subspaces")
+  }
+
+  test("m=1 reduces to plain k-means: codes match assign, sq_err is the true distance") {
+    val cbs = ProductQuant.fitCodebooks(vecs, "id", "emb", dims = 4, m = 1, k = 2, iters = 2)
+    cbs.size shouldBe 1
+    val direct = KMeans
+      .assign(vecs.select(col("id"), col("emb")), "emb", cbs.head)
+      .select("id", "cell")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    val enc = ProductQuant.encode(vecs, "id", "emb", cbs)
+    val codes = enc.select("id", "code").as[(Long, Int)].collect().toMap
+    codes shouldBe direct
+    // hand-check one reconstruction error against the codebook
+    val rows = enc.select("id", "code", "sq_err").as[(Long, Int, Double)].collect()
+    val byId = vecs.as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, code, err) =>
+      val c = cbs.head(code)
+      val expected = byId(id).zip(c).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+      err shouldBe expected
+    }
+  }
+
+  test("subspaces quantize independently: clear 2-cluster structure recovers per subspace") {
+    val cbs = ProductQuant.fitCodebooks(vecs, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
+    cbs.size shouldBe 2
+    val enc = ProductQuant
+      .encode(vecs, "id", "emb", cbs)
+      .select("id", "sub", "code")
+      .as[(Long, Int, Int)]
+      .collect()
+    enc.length shouldBe 8 // 4 vectors x 2 subspaces
+    // vectors 0,1 cluster together and 2,3 together in BOTH subspaces
+    val bySub = enc.groupBy(_._2)
+    for ((_, rows) <- bySub) {
+      val m = rows.map(r => r._1 -> r._3).toMap
+      m(0L) shouldBe m(1L)
+      m(2L) shouldBe m(3L)
+      m(0L) should not be m(2L)
+    }
+  }
+}
