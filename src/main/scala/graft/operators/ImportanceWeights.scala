@@ -123,21 +123,43 @@ object ImportanceWeights {
     * sum of per-bucket gram count x score units (decimal(38,0) so the
     * sum can never overflow), plus the gram count for reference.
     *
+    * @param defaultUnits score for grams hashing into a bucket the
+    *        model never observed. None (the default) DROPS such grams
+    *        from both the weight and the gram count — right when
+    *        scoring the fit corpus itself, where every bucket is
+    *        observed (q99). Scoring NEW documents against a model
+    *        snapshot wants Some(neutral), the smoothed-model behavior
+    *        ([[graft.rules.CorpusRules.ImportanceFilterRule]] uses
+    *        1e6 = ratio 1.0).
     * @return (id, n_grams: long, w_units: decimal(38,0))
     */
-  def score(docs: DataFrame, idCol: Column, textCol: Column, scores: DataFrame): DataFrame =
-    docs
+  def score(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      scores: DataFrame,
+      defaultUnits: Option[Long] = None
+  ): DataFrame = {
+    val counts = docs
       .select(idCol.as("id"), split(trim(lower(textCol)), "\\s+").as("_toks"))
       .select(col("id"), explode(gramsOfToks(col("_toks"))).as("_gram"))
       .select(col("id"), bucket(col("_gram")).as("bucket"))
       .groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(scores), "bucket")
+    val joined = defaultUnits match {
+      case None => counts.join(broadcast(scores), "bucket")
+      case Some(d) =>
+        counts
+          .join(broadcast(scores), Seq("bucket"), "left_outer")
+          .withColumn("units", coalesce(col("units"), lit(d)))
+    }
+    joined
       .groupBy(col("id"))
       .agg(
         sum(col("cnt")).as("n_grams"),
         sum(col("cnt").cast("decimal(18,0)") * col("units").cast("decimal(19,0)")).as("w_units"))
       .select(col("id"), col("n_grams"), col("w_units").cast("decimal(38,0)").as("w_units"))
+  }
 
   /** Fit-and-score over ONE corpus in ONE gram pass: the fused form of
     * [[bucketScores]] + [[score]] for the common self-selection case

@@ -329,6 +329,74 @@ object CorpusRules {
       ).drop("_did")
   }
 
+  /** DSIR-style importance filter: keep docs whose hashed-ngram
+    * importance weight against a PRE-FIT model clears a per-gram
+    * threshold — the ingest-time form of q99's selection (the
+    * production DSIR flow: fit the bucket model offline with
+    * `ImportanceWeights.bucketScores` and persist it; filter every
+    * batch/stream against that snapshot).
+    *
+    * Entirely map-side and ZERO-state: the model (<= 64k rows) loads
+    * once at compile time into a literal lookup map, and the per-doc
+    * weight folds over the gram array inside the row — no explode, no
+    * shuffle, no groupBy, so the rule streams in append mode with no
+    * aggregation state (unlike a naive port of q99's explode+groupBy
+    * plan, which would be a streaming aggregation).
+    *
+    * The keep decision is pure integer arithmetic (exact, replayable):
+    *   keep iff w_units >= minAvgUnits * n_grams
+    * i.e. the doc's MEAN per-gram score in 1e-6 units clears the bar —
+    * length-normalized without a division. minAvgUnits = 1e6 means
+    * "more target-like than background on average".
+    *
+    * Conf (zero-arg plugin, like the sibling rules):
+    *   - `spark.graft.importance.model`        — required parquet path
+    *     with (bucket: string, units: long) — `bucketScores` output
+    *   - `spark.graft.importance.minAvgUnits`  — default 1000000
+    *   - `spark.graft.importance.defaultUnits` — score for grams whose
+    *     bucket the model never saw, default 1000000 (neutral). A
+    *     model fit on the full corpus observes every bucket the corpus
+    *     produces, so this only fires on drift.
+    *
+    * Adds `imp_units` (long) and `imp_grams` (long) to surviving rows
+    * for downstream logging/threshold audits.
+    */
+  object ImportanceFilterRule extends Rule {
+    val name = "importanceFilter"
+    def apply(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val path = spark.conf.getOption("spark.graft.importance.model").getOrElse(
+        throw new IllegalArgumentException(
+          s"$name needs spark.graft.importance.model = <parquet dir with (bucket, units)>"))
+      val minAvg =
+        spark.conf.getOption("spark.graft.importance.minAvgUnits").map(_.toLong).getOrElse(1000000L)
+      val dflt =
+        spark.conf.getOption("spark.graft.importance.defaultUnits").map(_.toLong).getOrElse(1000000L)
+      val reserved = Seq("imp_units", "imp_grams", "_toks")
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty, s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
+      val entries = spark.read.parquet(path).select("bucket", "units").collect()
+      require(entries.nonEmpty, s"$name: empty model at $path")
+      require(entries.length <= 65536,
+        s"$name: model at $path has ${entries.length} buckets — beyond the literal-map form; " +
+          "shrink the bucket space or join against the model table instead")
+      val modelMap = map(entries.flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+      val g = graft.operators.ImportanceWeights.gramsOfToks(col("_toks"))
+      val units = transform(
+        g,
+        gr => coalesce(
+          element_at(modelMap, substring(md5(gr), 1, 2)),
+          lit(dflt)))
+      val out = df
+        .withColumn("_toks", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("imp_units", aggregate(units, lit(0L), (acc, x) => acc + x))
+        .withColumn("imp_grams", size(g).cast("long"))
+        .drop("_toks")
+      out.filter(col("imp_units") >= lit(minAvg) * col("imp_grams"))
+    }
+  }
+
   val all: Seq[Rule] =
-    Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule, CorpusMatchRule)
+    Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule, CorpusMatchRule,
+      ImportanceFilterRule)
 }
