@@ -37,12 +37,27 @@ object ProductQuant {
   ): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
     val sub = dims / m
-    (0 until m).map { s =>
-      val sl = df.select(
-        col(idCol).as("_pqid"),
-        slice(col(embCol), lit(s * sub + 1), lit(sub)).as("_pqes"))
-      KMeans.fit(sl, "_pqid", "_pqes", k, iters, dedupVectors)
-    }
+    // The m fits are independent driver-blocking Lloyd loops over
+    // disjoint slice projections — run them as concurrent Spark job
+    // groups instead of serially (each iteration is a small job whose
+    // fixed scheduling cost would otherwise add up m-fold). Results
+    // are deterministic per subspace, so concurrency cannot change
+    // the codebooks.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fits = (0 until m).map { s =>
+        Future {
+          val sl = df.select(
+            col(idCol).as("_pqid"),
+            slice(col(embCol), lit(s * sub + 1), lit(sub)).as("_pqes"))
+          KMeans.fit(sl, "_pqid", "_pqes", k, iters, dedupVectors)
+        }
+      }
+      Await.result(Future.sequence(fits), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Sequential squared-L2 fold between an array column and its
@@ -86,5 +101,69 @@ object ProductQuant {
           sqErr(col("_es"), element_at(cbLit, col("cell") + 1)).as("sq_err"))
     }
     parts.reduce(_ unionByName _)
+  }
+
+  /** Asymmetric distance computation (ADC) — the search half of PQ:
+    * approximate squared-L2 from a query to every encoded vector is
+    * the sum over subspaces of the precomputed distance from the
+    * query's subvector to the vector's ASSIGNED centroid. Per query
+    * that is an m x k lookup table (driver-built, like every literal
+    * quantizer here), and per corpus vector m table lookups — no
+    * embedding is ever read at search time.
+    *
+    * Determinism: the per-(query, sub, code) entries fold
+    * sequentially in dimension order, and the m per-subspace terms
+    * add in FIXED subspace order (0..m-1), so ADC distances — and the
+    * ranking — are bit-identical under any partitioning and replay in
+    * the oracle.
+    *
+    * Scale shape: the distance-table DF is queries x m x k rows
+    * (broadcast), the join against the (id, sub, code) codes table is
+    * map-side, and the per-(query, vector) sum groups on the already
+    * co-located id — one shuffle, then a per-query top-k window
+    * (WindowGroupLimit-capped).
+    *
+    * @param queries collected driver-side: (qid, full embedding) —
+    *                the SMALL side, like q40's brute-force query set
+    * @param enc     [[encode]] output (id, sub, code)
+    * @return (qid, rank, nid, adc_dist), rank 1..k per query
+    */
+  def adcTopK(
+      queries: Seq[(Long, Seq[Double])],
+      enc: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int
+  ): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    // driver-built distance tables: same fold as sqErr/the oracle
+    def sqd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val tdist = for {
+      (qid, qemb) <- queries
+      s <- 0 until m
+      (cent, c) <- codebooks(s).zipWithIndex
+    } yield (qid, s, c, sqd(qemb.slice(s * sub, (s + 1) * sub), cent))
+    val tdf = broadcast(tdist.toDF("qid", "sub", "code", "_d"))
+    // one row per (qid, nid) with the m per-subspace terms as columns,
+    // then an explicitly-parenthesized left-to-right sum — NOT a SUM()
+    // aggregate, whose addition order is partition-dependent
+    val terms = (0 until m).map(s => max(when(col("sub") === s, col("_d"))).as(s"_d$s"))
+    val summed = enc
+      .join(tdf, Seq("sub", "code"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(terms.head, terms.tail: _*)
+    val dist = (0 until m).foldLeft(lit(0.0)) { (acc, s) => acc + col(s"_d$s") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("nid"))
+    summed
+      .select(col("qid"), col("nid"), dist.as("adc_dist"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc_dist"))
   }
 }

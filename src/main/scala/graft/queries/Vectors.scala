@@ -510,7 +510,72 @@ object Vectors {
        |ORDER BY vec_id, sub""".stripMargin
   }
 
+  // ---- q101: PQ-ADC approximate nearest neighbors ---------------------------------
+  // The search half of q100 (Jegou et al. 2011 §IV): queries never read
+  // corpus embeddings — each query precomputes an m x k distance table
+  // to the codebooks and every encoded vector's approximate distance is
+  // m table lookups summed in fixed subspace order. Deterministic
+  // end-to-end (driver-built tables use the same sequential fold the
+  // oracle replays; the sum is explicitly parenthesized, never a
+  // partition-ordered SUM()), so the full ranking hash-compares.
+  def q101PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val dims = graft.operators.Similarity.embeddingDims(e, "e")
+    val cbs = graft.operators.ProductQuant.fitCodebooks(
+      e, idCol = "vec_id", embCol = "e", dims = dims, m = 4, k = 4, iters = 2,
+      dedupVectors = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e"))))
+    val enc = graft.operators.ProductQuant
+      .encode(e, idCol = "vec_id", embCol = "e", codebooks = cbs)
+      .select(col("id"), col("sub"), col("code"))
+    val queries = e
+      .filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+      .toSeq
+    graft.operators.ProductQuant
+      .adcTopK(queries, enc, cbs, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val q101Sql: String = {
+    val chains = (0 until 4).map(s => pqChainSql(s, subDims = 16, k = 4, iters = 2)).mkString(",\n")
+    val sliceDist =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(emb[(sub*16+1):(sub*16+16)], cent), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |$chains,
+       |qv AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < 8),
+       |cb AS (SELECT 0 AS sub, cell AS code, cent FROM s0clF
+       |       UNION ALL SELECT 1, cell, cent FROM s1clF
+       |       UNION ALL SELECT 2, cell, cent FROM s2clF
+       |       UNION ALL SELECT 3, cell, cent FROM s3clF),
+       |td AS (SELECT qid, sub, code, $sliceDist AS d FROM qv CROSS JOIN cb),
+       |codes AS (SELECT vec_id AS nid, sub, code FROM
+       |  (SELECT vec_id, sub, code FROM s0out UNION ALL SELECT vec_id, sub, code FROM s1out
+       |   UNION ALL SELECT vec_id, sub, code FROM s2out UNION ALL SELECT vec_id, sub, code FROM s3out)),
+       |pairs AS (SELECT qid, nid,
+       |    MAX(CASE WHEN sub = 0 THEN d END) AS d0,
+       |    MAX(CASE WHEN sub = 1 THEN d END) AS d1,
+       |    MAX(CASE WHEN sub = 2 THEN d END) AS d2,
+       |    MAX(CASE WHEN sub = 3 THEN d END) AS d3
+       |  FROM codes JOIN td USING (sub, code)
+       |  GROUP BY qid, nid),
+       |dist AS (SELECT qid, nid, ((((0.0 + d0) + d1) + d2) + d3) AS adc_dist
+       |         FROM pairs WHERE qid <> nid),
+       |ranked AS (
+       |  SELECT qid, nid, adc_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS INTEGER) AS rank
+       |  FROM dist)
+       |SELECT qid, rank, nid, adc_dist FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_pq_adc" -> (q101PqAdc _),
     "q100_product_quant" -> (q100ProductQuant _),
     "q98_semdedup" -> (q98SemDedup _),
     "q76_scalar_quant" -> (q76ScalarQuant _),
@@ -524,6 +589,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_pq_adc" -> q101Sql,
     "q100_product_quant" -> q100Sql,
     "q98_semdedup" -> q98Sql,
     "q76_scalar_quant" -> q76Sql,

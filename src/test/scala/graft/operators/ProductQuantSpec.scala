@@ -43,6 +43,45 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("ADC is exact on a zero-residual corpus (vectors sit on codebook centroids)") {
+    // 2 subspaces x 2 codes; the 4 vectors enumerate the centroid
+    // combinations, so after the fit every reconstruction is exact and
+    // ADC distance == true squared L2.
+    val combos = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(0.0, 0.0, -10.0, -10.0)),
+      (2L, Seq(5.0, 5.0, 10.0, 10.0)),
+      (3L, Seq(5.0, 5.0, -10.0, -10.0))
+    )
+    val df = combos.toDF("id", "emb")
+    val cbs = ProductQuant.fitCodebooks(df, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
+    val enc = ProductQuant.encode(df, "id", "emb", cbs)
+    // zero residual: the fit recovered the points exactly
+    enc.agg(max(col("sq_err"))).head.getDouble(0) shouldBe 0.0
+    val adc = ProductQuant
+      .adcTopK(combos, enc.select("id", "sub", "code"), cbs, k = 3)
+      .select("qid", "nid", "adc_dist")
+      .as[(Long, Long, Double)]
+      .collect()
+    def sqd(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val byId = combos.toMap
+    adc.foreach { case (q, n, d) => d shouldBe sqd(byId(q), byId(n)) }
+    adc.length shouldBe 4 * 3
+  }
+
+  test("ADC ranking is complete and deterministically tie-broken") {
+    val df = vecs
+    val cbs = ProductQuant.fitCodebooks(df, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
+    val enc = ProductQuant.encode(df, "id", "emb", cbs).select("id", "sub", "code")
+    val qs = Seq((0L, Seq(1.0, 0.0, 10.0, 0.0)))
+    val out = ProductQuant.adcTopK(qs, enc, cbs, k = 10).select("rank", "nid").as[(Int, Long)].collect()
+    out.map(_._1).sorted shouldBe Seq(1, 2, 3) // 3 non-self neighbors
+    // vectors 0 and 1 share codes in every subspace -> equal ADC dist;
+    // the tie breaks by nid, and the near cluster outranks the far one
+    out.toMap.apply(1) shouldBe 1L
+  }
+
   test("subspaces quantize independently: clear 2-cluster structure recovers per subspace") {
     val cbs = ProductQuant.fitCodebooks(vecs, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
     cbs.size shouldBe 2
