@@ -192,4 +192,23 @@ object KMeans {
       }: _*))
     df.withColumn("cell", explode(transform(slice(scored, 1, nprobe), s => s.getField("i"))))
   }
+
+  /** Driver-side twin of [[assignProbes]] for an already-collected
+    * query vector: the nprobe nearest centroid indices, ties to the
+    * lower index, computed with the same sequential squared-L2 fold —
+    * parity with the DataFrame form is spec-pinned, so a driver-built
+    * search table (IVFADC's per-probe ADC tables, q102) probes exactly
+    * the cells the distributed assignment would.
+    */
+  def nearestCells(emb: Seq[Double], centroids: Seq[Seq[Double]], nprobe: Int): Seq[Int] = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    def sqd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    centroids.indices
+      .map(i => (sqd(emb, centroids(i)), i))
+      .sorted
+      .take(nprobe)
+      .map(_._2)
+  }
 }

@@ -480,12 +480,13 @@ object Vectors {
     * winning squared-L2 distance — the same sequential fold the
     * encoder re-computes as `sq_err`.
     */
-  private def pqChainSql(s: Int, subDims: Int, k: Int, iters: Int): String = {
-    val p = s"s$s"
+  private def pqChainSql(s: Int, subDims: Int, k: Int, iters: Int,
+      src: String = "e", prefix: String = "s"): String = {
+    val p = s"$prefix$s"
     val lo = s * subDims + 1
     val hi = (s + 1) * subDims
     val iterCtes = (1 to iters).map(i => lloydIterSql(i, p, s"${p}e")).mkString(",\n")
-    s"""${p}e AS (SELECT vec_id, emb[$lo:$hi] AS emb FROM e),
+    s"""${p}e AS (SELECT vec_id, emb[$lo:$hi] AS emb FROM $src),
        |${p}init AS (SELECT emb, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
        |         FROM ${p}e ORDER BY vec_id LIMIT $k),
        |${p}cents0 AS (SELECT cell, CAST(dim AS INTEGER) AS dim, emb[dim + 1] AS val
@@ -574,7 +575,131 @@ object Vectors {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- q102: IVFADC — the full PQ index (coarse cells + residual PQ + probed ADC) --
+  // Jegou et al. 2011 §V: the production ANN index. Vectors assign to a
+  // trained coarse cell (q52's fit), the RESIDUAL to the cell centroid
+  // is product-quantized (q100's fit over residuals), and a query
+  // searches only its nprobe=2 nearest cells — per probed cell it
+  // builds an m x k ADC table against the query's own residual, so
+  // distance is m lookups per candidate and corpus embeddings are
+  // never read at search time. Every stage is bit-deterministic
+  // (elementwise residual subtraction, decimal fits, fixed-order
+  // sums), so the full probed ranking hash-compares against a DuckDB
+  // replay of the whole index build.
+  def q102Ivfadc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val adaptive = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e")))
+    val coarse = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3,
+      dedupVectors = adaptive)
+    val cells = graft.operators.KMeans.assign(e, "e", coarse)
+    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    // persist: the 4 residual codebook fits, the adaptive measure and
+    // the encoder all read this projection (the production form is a
+    // staged residual table written at index-build time)
+    val res = cells.select(
+      col("vec_id"),
+      zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"),
+      col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = graft.operators.Similarity.embeddingDims(e, "e")
+    val cbs = graft.operators.ProductQuant.fitCodebooks(
+      res, idCol = "vec_id", embCol = "e", dims = dims, m = 4, k = 4, iters = 2,
+      dedupVectors = graft.operators.TextGroups.adaptiveStaging(res, xxhash64(col("e"))))
+    val enc = graft.operators.ProductQuant
+      .encode(res, idCol = "vec_id", embCol = "e", codebooks = cbs)
+      .select(col("id"), col("sub"), col("code"))
+    // driver-side query prep: probes + per-(query, cell) residual tables
+    def sqd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val m = 4
+    val sub = dims / m
+    val nprobe = 2
+    val qs = e
+      .filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+      .toSeq
+    val tdist = for {
+      (qid, qemb) <- qs
+      // nprobe nearest coarse cells, ties to the lower cell — the
+      // assignProbes / ROW_NUMBER(dist, cell) order (parity spec-pinned)
+      cell <- graft.operators.KMeans.nearestCells(qemb, coarse, nprobe)
+      qres = qemb.zip(coarse(cell)).map { case (x, y) => x - y }
+      s <- 0 until m
+      (cent, c) <- cbs(s).zipWithIndex
+    } yield (qid, cell, s, c, sqd(qres.slice(s * sub, (s + 1) * sub), cent))
+    import s.implicits._
+    val tdf = broadcast(tdist.toDF("qid", "cell", "sub", "code", "_d"))
+    val encWithCell = enc.join(cells.select(col("vec_id").as("id"), col("cell")), "id")
+    val terms = (0 until m).map(x => max(when(col("sub") === x, col("_d"))).as(s"_d$x"))
+    val summed = encWithCell
+      .join(tdf, Seq("cell", "sub", "code"))
+      .groupBy(col("qid"), col("id").as("nid"), col("cell"))
+      .agg(terms.head, terms.tail: _*)
+    val dist = (0 until m).foldLeft(lit(0.0)) { (acc, x) => acc + col(s"_d$x") }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))
+    summed
+      .select(col("qid"), col("nid"), col("cell"), dist.as("adc_dist"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cell"), col("adc_dist"))
+      .orderBy("qid", "rank")
+  }
+
+  val q102Sql: String = {
+    val resChains = (0 until 4)
+      .map(x => pqChainSql(x, subDims = 16, k = 4, iters = 2, src = "res", prefix = "r"))
+      .mkString(",\n")
+    val sliceDist =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(emb[(sub*16+1):(sub*16+16)], cent), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    s"""$lloydCellsSql,
+       |res AS (SELECT c.vec_id, list_transform(list_zip(c.emb, f.cent), p -> p[1] - p[2]) AS emb, c.cell
+       |        FROM cells c JOIN clF f ON c.cell = f.cell),
+       |$resChains,
+       |probes AS (
+       |  SELECT qid, cell, cent FROM (
+       |    SELECT e.vec_id AS qid, c.cell, c.cent,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM e CROSS JOIN clF c
+       |    WHERE e.vec_id < 8)
+       |  WHERE rn <= 2),
+       |qres AS (SELECT p.qid, p.cell, list_transform(list_zip(e.emb, p.cent), x -> x[1] - x[2]) AS emb
+       |         FROM probes p JOIN e ON e.vec_id = p.qid),
+       |rcb AS (SELECT 0 AS sub, cell AS code, cent FROM r0clF
+       |        UNION ALL SELECT 1, cell, cent FROM r1clF
+       |        UNION ALL SELECT 2, cell, cent FROM r2clF
+       |        UNION ALL SELECT 3, cell, cent FROM r3clF),
+       |td AS (SELECT qid, qres.cell AS cell, sub, code, $sliceDist AS d FROM qres CROSS JOIN rcb),
+       |rcodes AS (SELECT vec_id AS nid, sub, code FROM
+       |  (SELECT vec_id, sub, code FROM r0out UNION ALL SELECT vec_id, sub, code FROM r1out
+       |   UNION ALL SELECT vec_id, sub, code FROM r2out UNION ALL SELECT vec_id, sub, code FROM r3out)),
+       |withcell AS (SELECT rcodes.nid, cells.cell, sub, code
+       |             FROM rcodes JOIN cells ON rcodes.nid = cells.vec_id),
+       |pairs AS (SELECT qid, nid, cell,
+       |    MAX(CASE WHEN sub = 0 THEN d END) AS d0,
+       |    MAX(CASE WHEN sub = 1 THEN d END) AS d1,
+       |    MAX(CASE WHEN sub = 2 THEN d END) AS d2,
+       |    MAX(CASE WHEN sub = 3 THEN d END) AS d3
+       |  FROM withcell JOIN td USING (cell, sub, code)
+       |  GROUP BY qid, nid, cell),
+       |adist AS (SELECT qid, nid, cell, ((((0.0 + d0) + d1) + d2) + d3) AS adc_dist
+       |          FROM pairs WHERE qid <> nid),
+       |ranked AS (
+       |  SELECT qid, nid, cell, adc_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS INTEGER) AS rank
+       |  FROM adist)
+       |SELECT qid, rank, nid, cell, adc_dist FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_ivfadc" -> (q102Ivfadc _),
     "q101_pq_adc" -> (q101PqAdc _),
     "q100_product_quant" -> (q100ProductQuant _),
     "q98_semdedup" -> (q98SemDedup _),
@@ -589,6 +714,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q102_ivfadc" -> q102Sql,
     "q101_pq_adc" -> q101Sql,
     "q100_product_quant" -> q100Sql,
     "q98_semdedup" -> q98Sql,

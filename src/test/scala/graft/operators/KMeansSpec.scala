@@ -77,4 +77,22 @@ class KMeansSpec extends SparkSpec {
     centroids.size shouldBe 4
     centroids.foreach(c => c.size shouldBe 2)
   }
+
+  test("driver-side nearestCells matches assignProbes for every vector and nprobe") {
+    val df = clusters.toDF("id", "emb")
+    val centroids = KMeans.fit(df, "id", "emb", k = 3, iters = 2)
+    val vecs = df.as[(Long, Seq[Double])].collect()
+    for (nprobe <- 1 to 3) {
+      val dfProbes = KMeans
+        .assignProbes(df, "emb", centroids, nprobe)
+        .select("id", "cell")
+        .as[(Long, Int)]
+        .collect()
+        .groupBy(_._1)
+        .map { case (id, xs) => id -> xs.map(_._2).toSet }
+      vecs.foreach { case (id, emb) =>
+        KMeans.nearestCells(emb, centroids, nprobe).toSet shouldBe dfProbes(id)
+      }
+    }
+  }
 }
