@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 top-k keyword retrieval over an inverted index — the
+  * sparse-retrieval complement of the dense ANN family (q40-q44,
+  * q100-q102) and of q90's pairwise tf-idf similarity: here the left
+  * side is a QUERY SET, not the corpus, so no document pair ever
+  * materializes and the per-term work is one posting row per matching
+  * document.
+  *
+  * Determinism: the classic idf is `ln((N-df+0.5)/(df+0.5)+1)`, but ln
+  * is not bit-defined across engines (see the q27 note — only sqrt is
+  * correctly-rounded everywhere), so scoring uses the log-free
+  * rational idf `(N-df+0.5)/(df+0.5)` — per term a monotone transform
+  * of the classic weight, so single-term rankings are identical and
+  * multi-term rankings equivalent in spirit while every arithmetic
+  * step (mul/div/add of identical IEEE operands) is bit-identical in
+  * any engine. Per-document scores sum query-term slots in FIXED slot
+  * order (a pivot, never a partition-ordered SUM), the same guard the
+  * ADC distance sums use.
+  *
+  * Scale shape: query terms are a broadcast literal; the corpus-stats
+  * row (N, Σdl) is a 1-row broadcast cross join; postings are filtered
+  * to query terms BEFORE the explode/groupBy so only matching tokens
+  * ever shuffle; df rides a window over the term partitioning that the
+  * groupBy just established (no second exchange). Top-k per query is a
+  * rank window -> WindowGroupLimit pushes the limit map-side. At
+  * production scale the posting build is a staged inverted index and
+  * hot terms get impact-ordered pruning (WAND) — the df math here is
+  * the exact form; the cap knob mirrors q90's posting df cap.
+  */
+object Bm25 {
+
+  /** Tokenized corpus projection: (doc_id, toks, dl). */
+  private def base(docs: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val toks = split(trim(lower(textCol)), "\\s+")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+  }
+
+  /** Top-k documents per query, BM25-scored (rational-idf variant).
+    *
+    * @param queries (qid, terms) — terms in fixed slot order; a doc
+    *                matches if it contains ANY query term (disjunctive)
+    */
+  def topK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxTerms = queries.map(_._2.size).max
+    val corpus = base(docs, idCol, textCol)
+    val allTerms = queries.flatMap(_._2).distinct
+    // ONE aggregate for (N, Σdl); joined as a 1-row broadcast so avgdl
+    // is a scalar everywhere without a driver collect.
+    val stats = corpus.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = corpus
+      .select(
+        col("doc_id"),
+        col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(allTerms))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df = docs-per-term: one posting row per (doc, term) after the
+    // groupBy, so a count over the term window IS the document
+    // frequency — and the window reuses the groupBy's partitioning.
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn(
+        "s",
+        ((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0) - lit(b) + (lit(b) * col("dl").cast("double")) / col("avgdl")))))
+    val qterms = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }
+    val qdf = broadcast(qterms.toDF("qid", "slot", "term"))
+    val slots = (0 until maxTerms).map(i => max(when(col("slot") === i, col("s"))).as(s"_s$i"))
+    val score = (0 until maxTerms).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + coalesce(col(s"_s$i"), lit(0.0))
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .join(qdf, "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -82,4 +82,67 @@ object TextAnalysis {
         t => length(trim(t)) > 0
       )
     )
+
+  // ---- Gopher quality rules (Rae et al. 2021, Appendix A1.1) -----------------
+
+  /** The Gopher stop-word indicator list (the paper uses a similar
+    * closed-class set; a doc must contain at least 2 DISTINCT entries).
+    */
+  val gopherStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Count of ALL tokens in `arr`'s most frequent element, computed as
+    * the longest run of equal adjacent entries of the SORTED array —
+    * O(n log n) per doc instead of the O(n²) count-each-distinct
+    * lambda (the quadratic-lambda pitfall `ImportanceWeights
+    * .gramsOfToks` documents). Pure fold, so it stays inside codegen.
+    */
+  def maxElementCount(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")
+    )
+
+  /** Per-document Gopher rule metrics over a lower-cased token array.
+    * Every ratio is an exact-integer quotient evaluated once in IEEE
+    * double, so the metrics hash-match an external replay bit-for-bit.
+    * Line-based rules (bullet/ellipsis line fractions) apply only to
+    * corpora with line structure; on a single-line corpus they are the
+    * whole-doc symbol ratios and fold into `alpha_ratio`.
+    */
+  def gopherMetrics(toks: Column): Seq[Column] = {
+    val n = size(toks)
+    val bigrams = transform(
+      sequence(lit(0), n - 2),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    Seq(
+      n.as("n_words"),
+      (aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / n)
+        .as("mean_word_len"),
+      (size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / n).as("alpha_ratio"),
+      size(filter(typedLit(gopherStopwords), sw => array_contains(toks, sw)))
+        .as("n_stop_distinct"),
+      when(n >= 2, (maxElementCount(bigrams) * 2L).cast("double") / n)
+        .otherwise(lit(0.0))
+        .as("top_bigram_frac")
+    )
+  }
+
+  /** The Gopher keep decision over [[gopherMetrics]] columns: word
+    * count in [minWords, 100k], mean word length in [3, 10], ≥80% of
+    * words alphabetic, ≥2 distinct stop words, and the most frequent
+    * bigram covering ≤18% of tokens (the paper's 2-gram repetition
+    * cap). The paper's word floor of 50 assumes web documents;
+    * short-doc corpora tune `minWords` down.
+    */
+  def gopherKeep(minWords: Int = 50): Column =
+    col("n_words") >= minWords && col("n_words") <= 100000 &&
+      col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+      col("alpha_ratio") >= 0.8 &&
+      col("n_stop_distinct") >= 2 &&
+      col("top_bigram_frac") <= 0.18
 }

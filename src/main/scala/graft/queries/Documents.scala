@@ -1348,7 +1348,129 @@ object Documents {
       |FROM b GROUP BY strategy, source, batch_id
       |ORDER BY strategy, source, batch_id""".stripMargin
 
+  // ---- q103: Gopher quality rules (Rae et al. 2021, Appendix A1.1) -----------
+  // The published rule bundle behind the Gopher/MassiveText corpus:
+  // word-count bounds, mean word length, alphabetic-word fraction,
+  // distinct-stop-word presence, and the top-bigram repetition cap —
+  // metrics AND the keep verdict per document. Pure text function →
+  // memoized by distinct text (TextGroups); every ratio is an exact
+  // integer quotient so the whole row hash-matches the DuckDB replay.
+  // The top-bigram count is a sorted-adjacent-run fold (O(B log B)),
+  // not the O(B²) count-per-distinct lambda.
+  def q103GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    graft.operators.TextGroups
+      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+        val toks = split(trim(lower(col("t"))), "\\s+")
+        reps
+          .select(col("gid") +: TextAnalysis.gopherMetrics(toks): _*)
+          .withColumn("keep", TextAnalysis.gopherKeep())
+      }
+      .orderBy("doc_id")
+  }
+
+  val q103Sql: String = {
+    val stop = graft.operators.TextAnalysis.gopherStopwords
+      .map("'" + _ + "'")
+      .mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(LEN(toks) AS INTEGER) AS n_words,
+       |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(toks, w -> CAST(LENGTH(w) AS BIGINT))),
+       |             (a, b) -> a + b) AS DOUBLE) / LEN(toks) AS mean_word_len,
+       |        CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+       |          / LEN(toks) AS alpha_ratio,
+       |        CAST(LEN(list_filter($stop, sw -> list_contains(toks, sw))) AS INTEGER)
+       |          AS n_stop_distinct
+       |      FROM t),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, LEN(toks)),
+       |                i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |       FROM t),
+       |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+       |bb AS (SELECT doc_id, MAX(c) AS best FROM bc GROUP BY doc_id),
+       |j AS (SELECT m.doc_id, n_words, mean_word_len, alpha_ratio, n_stop_distinct,
+       |        CASE WHEN n_words >= 2
+       |             THEN CAST(COALESCE(bb.best, 0) * 2 AS DOUBLE) / n_words
+       |             ELSE 0.0 END AS top_bigram_frac
+       |      FROM m LEFT JOIN bb ON m.doc_id = bb.doc_id)
+       |SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_distinct, top_bigram_frac,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND alpha_ratio >= 0.8
+       |   AND n_stop_distinct >= 2
+       |   AND top_bigram_frac <= 0.18) AS keep
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q104: BM25 top-k keyword retrieval (Robertson et al., Okapi) ----------
+  // Sparse retrieval over the corpus inverted index: a fixed query set
+  // is broadcast, postings are filtered to query terms BEFORE any
+  // shuffle, df rides the term-partitioned window, and per-doc scores
+  // sum fixed query-term slots (never a partition-ordered double SUM).
+  // The rational-idf (log-free) variant keeps every arithmetic step
+  // bit-identical across engines — see operators.Bm25 for the scale
+  // and determinism rationale. qid 4 includes a term absent from the
+  // corpus, exercising the missing-slot coalesce path.
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("window", "agg"),
+    3 -> Seq("customer", "stream", "query"),
+    4 -> Seq("vector", "perplexity")
+  )
+
+  def q104Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25
+      .topK(docs(s, dir), "doc_id", col("text"), bm25Queries, k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("qid", "rank")
+
+  val q104Sql: String = {
+    val allTerms = bm25Queries.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")
+    val qtRows = bm25Queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
+      .mkString(",")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |           FROM documents),
+       |base AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |          FROM base),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(list_filter(toks, w -> w IN ($allTerms))) AS term
+       |             FROM base)
+       |       GROUP BY doc_id, dl, term),
+       |wdf AS (SELECT doc_id, dl, term, tf,
+       |          CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |        FROM tf),
+       |sc AS (SELECT doc_id, term,
+       |         ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |         ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |          (CAST(tf AS DOUBLE) +
+       |           1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE))
+       |                  / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS s
+       |       FROM wdf CROSS JOIN stats),
+       |qt(qid, slot, term) AS (VALUES $qtRows),
+       |per AS (SELECT qid, doc_id,
+       |          MAX(CASE WHEN slot = 0 THEN s END) AS s0,
+       |          MAX(CASE WHEN slot = 1 THEN s END) AS s1,
+       |          MAX(CASE WHEN slot = 2 THEN s END) AS s2
+       |        FROM sc JOIN qt USING (term) GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id,
+       |        ((0.0 + COALESCE(s0, 0.0)) + COALESCE(s1, 0.0)) + COALESCE(s2, 0.0) AS score
+       |      FROM per),
+       |rk AS (SELECT qid, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+       |              AS INTEGER) AS rank
+       |       FROM r)
+       |SELECT CAST(qid AS INTEGER) AS qid, rank, doc_id, score
+       |FROM rk WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_bm25" -> (q104Bm25 _),
+    "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
     "q89_dup_ngram_spans" -> (q89DupNgramSpans _),
@@ -1378,6 +1500,8 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_bm25" -> q104Sql,
+    "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,
     "q89_dup_ngram_spans" -> q89Sql,

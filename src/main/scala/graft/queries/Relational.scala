@@ -898,6 +898,90 @@ object Relational {
       |FROM a
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q105: portable HyperLogLog (hash-gated, unlike q45's engine-private HLL) ----
+  // The real HLL algorithm (Flajolet et al. 2007) over an engine-
+  // portable hash: h = first 14 md5 hex digits as a 56-bit int, bucket
+  // = top 4 bits (m=16), rho = leading zeros of the remaining 52 bits
+  // + 1 via LENGTH(bin(rem)) — no ln/log2 anywhere (not bit-defined
+  // across engines; see the q27 note). The register sum Σ2^-M_j is
+  // kept EXACT by multiplying through by 2^52: Z = Σ 2^(52-M_j) is an
+  // integer ≤ 16·2^52, so the raw estimate α·m²·2^52/Z divides two
+  // bit-identical operands. Empty buckets (register 0) enter via a
+  // generated (flag × 16) bucket universe — dropping them is the
+  // classic HLL implementation bug. Small-range LinearCounting is
+  // omitted (needs ln); n ≫ 2.5m here, where raw HLL is the estimator.
+  // This is the sketch shape that merges across 1000 executors: 16
+  // integer registers per group, constant size at any corpus scale.
+  def q105PortableHll(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
+      .select(
+        col("l_returnflag"),
+        conv(md5(col("l_partkey").cast("string")).substr(1, 14), 16, 10)
+          .cast("long")
+          .as("h"))
+    val regs = d
+      .select(
+        col("l_returnflag"),
+        shiftright(col("h"), 52).as("bucket"),
+        col("h").bitwiseAND(lit((1L << 52) - 1)).as("rem"))
+      .withColumn(
+        "rho",
+        when(col("rem") === 0L, lit(53L)).otherwise(lit(53L) - length(bin(col("rem")))))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("m_reg"), count(lit(1)).as("n_in_bucket"))
+    val universe = d
+      .select(col("l_returnflag"))
+      .distinct()
+      .select(col("l_returnflag"), explode(sequence(lit(0L), lit(15L))).as("bucket"))
+    val z = universe
+      .join(regs, Seq("l_returnflag", "bucket"), "left")
+      .select(
+        col("l_returnflag"),
+        expr("shiftleft(cast(1 as bigint), cast(52 - coalesce(m_reg, 0L) as int))").as("zterm"),
+        coalesce(col("n_in_bucket"), lit(0L)).as("n_in_bucket"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("zterm")).as("z"), sum(col("n_in_bucket")).as("n_exact"))
+    z.select(
+        col("l_returnflag"),
+        col("n_exact"),
+        ((lit(0.673) * lit(256.0)) * lit(4503599627370496.0) / col("z").cast("double"))
+          .as("est_distinct"))
+      .orderBy("l_returnflag")
+  }
+
+  val q105Sql: String =
+    """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+      |h AS (SELECT l_returnflag,
+      |        CAST(list_reduce(list_transform(range(1, 15),
+      |               ii -> CAST(strpos('0123456789abcdef',
+      |                            substr(md5(CAST(l_partkey AS VARCHAR)), ii, 1)) - 1 AS BIGINT)),
+      |               (a, x) -> a * 16 + x) AS BIGINT) AS h
+      |      FROM d),
+      |b AS (SELECT l_returnflag, h >> 52 AS bucket,
+      |        h & ((CAST(1 AS BIGINT) << 52) - 1) AS rem
+      |      FROM h),
+      |regs AS (SELECT l_returnflag, bucket,
+      |           MAX(CASE WHEN rem = 0 THEN CAST(53 AS BIGINT)
+      |                    ELSE 53 - LENGTH(bin(rem)) END) AS m_reg,
+      |           CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+      |         FROM b GROUP BY l_returnflag, bucket),
+      |universe AS (SELECT l_returnflag, unnest(range(0, 16)) AS bucket
+      |             FROM (SELECT DISTINCT l_returnflag FROM d)),
+      |z AS (SELECT u.l_returnflag,
+      |        CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - COALESCE(m_reg, 0) AS INTEGER))
+      |             AS BIGINT) AS z,
+      |        CAST(SUM(COALESCE(n_in_bucket, 0)) AS BIGINT) AS n_exact
+      |      FROM universe u LEFT JOIN regs r
+      |        ON u.l_returnflag = r.l_returnflag AND u.bucket = r.bucket
+      |      GROUP BY u.l_returnflag)
+      |SELECT l_returnflag, n_exact,
+      |  (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)) * CAST(4503599627370496.0 AS DOUBLE)
+      |    / CAST(z AS DOUBLE) AS est_distinct
+      |FROM z
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---- q85: regex extraction family (groups, counts, anchors) ---------------------
   def q85RegexFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -990,6 +1074,7 @@ object Relational {
     "q85_regex_funcs" -> (q85RegexFuncs _),
     "q86_date_arithmetic" -> (q86DateArithmetic _),
     "q79_kmv_distinct" -> (q79KmvDistinct _),
+    "q105_portable_hll" -> (q105PortableHll _),
     "q69_lateral_topk" -> (q69LateralTopK _),
     "q70_small_qty_parts" -> (q70SmallQtyParts _),
     "q71_string_agg" -> (q71StringAgg _),
@@ -1029,6 +1114,7 @@ object Relational {
     "q85_regex_funcs" -> q85Sql,
     "q86_date_arithmetic" -> q86Sql,
     "q79_kmv_distinct" -> q79Sql,
+    "q105_portable_hll" -> q105Sql,
     "q69_lateral_topk" -> q69Sql,
     "q70_small_qty_parts" -> q70Sql,
     "q71_string_agg" -> q71Sql,

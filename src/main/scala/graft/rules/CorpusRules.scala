@@ -396,7 +396,36 @@ object CorpusRules {
     }
   }
 
+  /** The Gopher rule bundle (Rae et al. 2021, A1.1) as an ingest-time
+    * filter: drops documents failing the published quality rules and
+    * keeps the metric columns on survivors for threshold audits —
+    * q103 is the batch/oracle twin of this rule. Stateless, one
+    * codegen'd projection per row; the top-bigram cap uses the
+    * O(B log B) sorted-run fold, never the O(B²) count-per-distinct
+    * lambda. `spark.graft.gopher.minWords` overrides the word-count
+    * floor (the paper's 50 assumes web documents; short-doc corpora
+    * tune it down).
+    */
+  object GopherFilterRule extends Rule {
+    val name = "gopherFilter"
+    def apply(df: DataFrame): DataFrame = {
+      val minWords = df.sparkSession.conf
+        .getOption("spark.graft.gopher.minWords")
+        .map(_.toInt)
+        .getOrElse(50)
+      val reserved =
+        Seq("n_words", "mean_word_len", "alpha_ratio", "n_stop_distinct", "top_bigram_frac")
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(
+        clash.isEmpty,
+        s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      df.select(col("*") +: TextAnalysis.gopherMetrics(toks): _*)
+        .filter(TextAnalysis.gopherKeep(minWords))
+    }
+  }
+
   val all: Seq[Rule] =
     Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule, CorpusMatchRule,
-      ImportanceFilterRule)
+      ImportanceFilterRule, GopherFilterRule)
 }

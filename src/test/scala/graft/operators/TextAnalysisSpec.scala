@@ -51,4 +51,37 @@ class TextAnalysisSpec extends SparkSpec {
     n("你好世界") shouldBe 4 // Han: one token per ideograph
     n("hello 世界") shouldBe 3 // mixed Latin + Han
   }
+
+  test("maxElementCount finds the most frequent array element's count") {
+    def mc(xs: Seq[String]): Long =
+      Seq(Tuple1(xs)).toDF("a").select(TextAnalysis.maxElementCount(col("a"))).as[Long].head()
+    mc(Seq("x", "y", "x", "z", "x")) shouldBe 3L
+    mc(Seq("x")) shouldBe 1L
+    mc(Seq.empty) shouldBe 0L
+    // runs must not bridge across distinct values after sorting
+    mc(Seq("a", "b", "a", "b")) shouldBe 2L
+  }
+
+  test("gopher metrics and keep verdict on hand-computed documents") {
+    val good = (Seq("the", "of") ++ (1 to 60).map(i => s"word$i")).mkString(" ")
+    val short = "the of tiny doc" // word count < 50
+    val nostop = (1 to 60).map(i => s"word$i").mkString(" ") // no stopwords
+    val repeated = (Seq("the", "of") ++ Seq.fill(30)(Seq("spam", "ham")).flatten).mkString(" ")
+    val rows = Seq(good, short, nostop, repeated).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val out = rows
+      .select(col("doc_id") +: TextAnalysis.gopherMetrics(toks): _*)
+      .withColumn("keep", TextAnalysis.gopherKeep())
+      .orderBy("doc_id")
+      .collect()
+    out(0).getAs[Boolean]("keep") shouldBe true
+    out(0).getAs[Int]("n_words") shouldBe 62
+    out(1).getAs[Boolean]("keep") shouldBe false // too short
+    out(2).getAs[Boolean]("keep") shouldBe false // no stopwords
+    out(3).getAs[Boolean]("keep") shouldBe false // top bigram over the 18% cap
+    // "spam ham" occurs 30 times of 62 tokens -> frac = 60/62
+    out(3).getAs[Double]("top_bigram_frac") shouldBe (60.0 / 62) +- 1e-12
+  }
 }
