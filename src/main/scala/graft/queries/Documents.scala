@@ -1468,7 +1468,102 @@ object Documents {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
+  // The published fair-sampling allocator for multi-source training
+  // mixes: every (source, lang) stratum gets a uniform share of the
+  // token budget, capped at epochCap·n_tokens (here 1 epoch), surplus
+  // waterfilling into the uncapped strata. The waterline has a closed
+  // form over the cap-ascending order — stratum r is capped iff
+  // c_r·(S-r+1) ≤ B - cum_{r-1}, and that predicate is prefix-monotone
+  // (f(r+1)-f(r) = (c_r-c_{r+1})(S-r) ≤ 0), so no iteration is needed:
+  // one ranked window pass + one bounded aggregate. All the feasibility
+  // math is exact integer arithmetic (the budget is an integer `div`);
+  // only the final uniform share divides two exact longs in IEEE
+  // double, so the whole allocation hash-matches the DuckDB replay.
+  // The global windows run over the per-stratum AGGREGATE, bounded by
+  // dimension cardinality (sources × langs), never by corpus size —
+  // same argument as q68's nation rank (PlanSpec-pinned allowlist).
+  // n_capped < S always: capping ALL strata would need B ≥ Σcaps, and
+  // B = 0.6·Σcaps by construction, so the share division is total.
+  def q106UnimaxAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strata = docs(s, dir)
+      .select(
+        col("source"),
+        col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val tot = strata.agg(sum(col("n_tokens")).as("t_total"), count(lit(1)).as("n_strata"))
+    val wOrd = Window.orderBy(col("n_tokens"), col("source"), col("lang"))
+    val ranked = strata
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(t_total * 6) div 10"))
+      .withColumn("rank", row_number().over(wOrd))
+      .withColumn(
+        "cum",
+        sum(col("n_tokens")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "capped",
+        col("n_tokens") * (col("n_strata") - col("rank") + 1L) <=
+          col("budget") - (col("cum") - col("n_tokens")))
+    // Waterline totals via an unbounded frame over the SAME strata
+    // rows — a second aggregate branch would re-scan the corpus (the
+    // strata subtree is consumed twice); the full-frame window costs
+    // one pass over the dimension-bounded aggregate instead.
+    val wAll = Window
+      .partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("cap_sum", sum(when(col("capped"), col("n_tokens")).otherwise(0L)).over(wAll))
+      .withColumn("n_capped", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn(
+        "alloc",
+        when(col("capped"), col("n_tokens").cast("double"))
+          .otherwise(
+            (col("budget") - col("cap_sum")).cast("double") / (col("n_strata") - col("n_capped"))))
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_tokens"),
+        col("rank"),
+        col("capped"),
+        col("alloc"),
+        (col("alloc") / col("n_tokens")).as("epochs"))
+      .orderBy("rank")
+  }
+
+  val q106Sql: String =
+    """WITH t AS (SELECT source, lang,
+      |             CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n
+      |           FROM documents),
+      |strata AS (SELECT source, lang, CAST(SUM(n) AS BIGINT) AS n_tokens
+      |           FROM t GROUP BY source, lang),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+      |          CAST(COUNT(*) AS BIGINT) AS n_strata FROM strata),
+      |j AS (SELECT source, lang, n_tokens, t_total, n_strata,
+      |        (t_total * 6) // 10 AS budget,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source, lang) AS INTEGER) AS rank,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source, lang
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM strata CROSS JOIN tot),
+      |c AS (SELECT *,
+      |        (n_tokens * (n_strata - rank + 1) <= budget - (cum - n_tokens)) AS capped
+      |      FROM j),
+      |f AS (SELECT *,
+      |        CAST(SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS BIGINT) AS cap_sum,
+      |        CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_capped
+      |      FROM c),
+      |o AS (SELECT source, lang, n_tokens, rank, capped,
+      |        CASE WHEN capped THEN CAST(n_tokens AS DOUBLE)
+      |             ELSE CAST(budget - cap_sum AS DOUBLE) / (n_strata - n_capped) END AS alloc
+      |      FROM f)
+      |SELECT source, lang, n_tokens, rank, capped, alloc, alloc / n_tokens AS epochs
+      |FROM o
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q104_bm25" -> (q104Bm25 _),
     "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
@@ -1500,6 +1595,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_unimax_alloc" -> q106Sql,
     "q104_bm25" -> q104Sql,
     "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,

@@ -698,7 +698,97 @@ object Vectors {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- q107: hard-negative / hard-positive mining (contrastive training) -------
+  // The standard contrastive-pair miner over a labeled embedding
+  // corpus: for each query, the NEAREST different-label vectors (hard
+  // negatives) and the FARTHEST same-label vectors (hard positives),
+  // searched only in the query's nprobe=2 trained coarse cells — the
+  // q52/q102 recall/work dial applied to pair mining, so candidate
+  // work scales with nprobe/k of the corpus and never pairs across
+  // cells. Distances are the same sequential squared-L2 fold the
+  // quantizer uses, so the full mined set hash-matches the DuckDB
+  // replay of the trained index. A candidate appears once even under
+  // multi-probe: candidates come from their single assigned cell.
+  def q107HardMining(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e"),
+      col("label"))
+    val eFit = e.select(col("vec_id"), col("e"))
+    val centroids = graft.operators.KMeans.fit(eFit, idCol = "vec_id", embCol = "e", k = 8,
+      iters = 3, dedupVectors = graft.operators.TextGroups.adaptiveStaging(eFit, xxhash64(col("e"))))
+    val cells = graft.operators.KMeans.assign(e, "e", centroids)
+    val q = graft.operators.KMeans
+      .assignProbes(e.filter(col("vec_id") < 8), "e", centroids, nprobe = 2)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qemb"), col("cell"))
+    val c = cells.select(
+      col("vec_id").as("nid"),
+      col("label").as("nlabel"),
+      col("e").as("nemb"),
+      col("cell"))
+    val d = q
+      .join(c, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(
+        col("qid"),
+        col("qlabel"),
+        col("nid"),
+        col("nlabel"),
+        aggregate(
+          zip_with(col("qemb"), col("nemb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0),
+          (acc, v) => acc + v).as("dist"))
+    val wNeg = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val wPos = Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("nid"))
+    val neg = d
+      .filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("kind", lit("hard_neg"))
+      .withColumn("rank", row_number().over(wNeg))
+    val pos = d
+      .filter(col("nlabel") === col("qlabel"))
+      .withColumn("kind", lit("hard_pos"))
+      .withColumn("rank", row_number().over(wPos))
+    neg
+      .unionByName(pos)
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("kind"), col("rank"), col("nid"), col("nlabel"), col("dist"))
+      .orderBy("qid", "kind", "rank")
+  }
+
+  val q107Sql: String = {
+    val pairDist =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, nemb), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    s"""$lloydCellsSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |probes AS (
+       |  SELECT qid, cell, qemb, qlabel FROM (
+       |    SELECT e.vec_id AS qid, c.cell, e.emb AS qemb, l.label AS qlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM e JOIN lab l ON e.vec_id = l.vec_id CROSS JOIN clF c
+       |    WHERE e.vec_id < 8)
+       |  WHERE rn <= 2),
+       |d AS (SELECT p.qid, p.qlabel, cl.vec_id AS nid, l2.label AS nlabel,
+       |        $pairDist AS dist
+       |      FROM (SELECT qid, qlabel, qemb, cell FROM probes) p
+       |      JOIN (SELECT vec_id, emb AS nemb, cell FROM cells) cl
+       |        ON cl.cell = p.cell AND cl.vec_id <> p.qid
+       |      JOIN lab l2 ON cl.vec_id = l2.vec_id),
+       |neg AS (SELECT qid, 'hard_neg' AS kind,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS INTEGER) AS rank,
+       |          nid, nlabel, dist
+       |        FROM d WHERE nlabel <> qlabel),
+       |pos AS (SELECT qid, 'hard_pos' AS kind,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist DESC, nid) AS INTEGER) AS rank,
+       |          nid, nlabel, dist
+       |        FROM d WHERE nlabel = qlabel)
+       |SELECT qid, kind, rank, nid, nlabel, dist
+       |FROM (SELECT * FROM neg WHERE rank <= 5 UNION ALL SELECT * FROM pos WHERE rank <= 5)
+       |ORDER BY qid, kind, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_hard_mining" -> (q107HardMining _),
     "q102_ivfadc" -> (q102Ivfadc _),
     "q101_pq_adc" -> (q101PqAdc _),
     "q100_product_quant" -> (q100ProductQuant _),
@@ -714,6 +804,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_hard_mining" -> q107Sql,
     "q102_ivfadc" -> q102Sql,
     "q101_pq_adc" -> q101Sql,
     "q100_product_quant" -> q100Sql,

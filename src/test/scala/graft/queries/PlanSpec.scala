@@ -183,8 +183,10 @@ class PlanSpec extends SparkSpec {
     // A window with an empty partition spec serializes its whole input
     // through ONE task — the scale bug the q73 rewrite removed. Audit
     // every catalog query's optimized plan; the only acceptable global
-    // window is q68's rank over the per-NATION aggregate, whose input
-    // is bounded by dimension cardinality (<=25 rows), not data size.
+    // windows run over dimension-bounded AGGREGATES, never data-sized
+    // inputs: q68's rank over the per-NATION aggregate (<=25 rows) and
+    // q106's waterfill rank over the per-(source, lang) strata
+    // aggregate (sources x langs rows).
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val global = fn(spark, dir).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -192,6 +194,6 @@ class PlanSpec extends SparkSpec {
       }
       if (global.nonEmpty) Some(name) else None
     }
-    offenders shouldBe Seq("q68_revenue_share")
+    offenders shouldBe Seq("q106_unimax_alloc", "q68_revenue_share")
   }
 }
