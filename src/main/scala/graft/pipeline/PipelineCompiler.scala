@@ -43,7 +43,12 @@ object PipelineCompiler {
   final case class Compiled(
       /** One DataFrame per sink (batch) or per sink query (streaming). */
       sinks: Map[String, DataFrame],
-      config: PipelineConfig
+      config: PipelineConfig,
+      /** Live websocket→spool bridges started by CertStream sources
+        * with a `certstream_config.url`; callers own closing them when
+        * the pipeline stops. Empty for replay/offline pipelines.
+        */
+      spools: Map[String, graft.sources.WebSocketSpool.Handle] = Map.empty
   )
 
   /** Parse + validate + compile against a spark session. Batch mode:
@@ -117,6 +122,8 @@ object PipelineCompiler {
       streaming: Boolean
   ): Either[String, Compiled] =
     try {
+      val spoolHandles =
+        scala.collection.mutable.Map.empty[String, graft.sources.WebSocketSpool.Handle]
       // One decoded DataFrame per source, shared by every consumer.
       val sourceDfs: Map[String, DataFrame] = config.sources.map { case (name, sc) =>
         // Structured formats (csv/json/parquet) carry their own schema:
@@ -159,6 +166,25 @@ object PipelineCompiler {
               .selectExpr("CAST(value AS STRING) AS value")
           case ("Kafka", false) =>
             sys.error(s"source $name: Kafka is streaming-only")
+          case ("CertStream", s) =>
+            // Live feed → WebSocketSpool bridge → file source over the
+            // spool dir (reference input/cert_stream.go:11-47; its
+            // demo-only unbounded channel becomes durable atomic spool
+            // files). With no certstream_config.url the same arm
+            // replays a captured spool — identical engine-side path.
+            val path = sc.path.getOrElse(sys.error(s"source $name: CertStream needs a spool path"))
+            if (sc.wsUrl.isDefined && !s)
+              // batch read.text captures its file listing at COMPILE
+              // time — a just-started bridge would feed a stale empty
+              // index. Live feeds are streaming; spools replay anywhere.
+              sys.error(s"source $name: live CertStream (certstream_config.url) is streaming-only; " +
+                "batch mode replays a captured spool path")
+            sc.wsUrl.foreach { url =>
+              val h = graft.sources.WebSocketSpool.run(url, path)
+              spoolHandles += (name -> h)
+            }
+            if (s) spark.readStream.text(path).toDF("value")
+            else spark.read.text(path).toDF("value")
           case ("Kinesis", s) =>
             // config parity with input/kinesis.go; offline deployments
             // replay captured records from a path (SURVEY §7.1)
@@ -207,7 +233,7 @@ object PipelineCompiler {
         require(feeders.nonEmpty, s"sink $sinkName has no feeding rules")
         sinkName -> feeders.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
       }
-      Right(Compiled(sinkDfs, config))
+      Right(Compiled(sinkDfs, config, spoolHandles.toMap))
     } catch {
       case e: Exception => Left(s"compile error: ${e.getMessage}")
     }

@@ -33,7 +33,14 @@ final case class SourceConfig(
       */
     kafkaBroker: Option[String] = None,
     kafkaTopic: Option[String] = None,
-    kafkaPartitions: Option[Int] = None
+    kafkaPartitions: Option[Int] = None,
+    /** CertStream websocket URL (reference cert_stream.go:16 hardcodes
+      * the calidog feed; here it's `certstream_config.url`). When set,
+      * the compiler starts a [[graft.sources.WebSocketSpool]] bridge
+      * writing into `path`; without it, `path` replays a captured
+      * spool — the same engine-side pipeline either way.
+      */
+    wsUrl: Option[String] = None
 )
 
 final case class SinkConfig(
@@ -101,7 +108,10 @@ object PipelineConfig {
           format = str(o.getOrElse("format", JNothing)),
           kafkaBroker = str(kafka.getOrElse("broker", JNothing)).filter(_.nonEmpty),
           kafkaTopic = str(kafka.getOrElse("topic", JNothing)).filter(_.nonEmpty),
-          kafkaPartitions = kafkaParts
+          kafkaPartitions = kafkaParts,
+          wsUrl = str(
+            objMap(o.getOrElse("certstream_config", JNothing)).getOrElse("url", JNothing))
+            .filter(_.nonEmpty)
         )
       }
       val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>

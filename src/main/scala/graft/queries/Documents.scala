@@ -1361,9 +1361,14 @@ object Documents {
     import graft.operators.TextAnalysis
     graft.operators.TextGroups
       .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
-        val toks = split(trim(lower(col("t"))), "\\s+")
+        // Materialize the token array BEFORE the per-bigram lambdas:
+        // slice() on an unmaterialized split(...) re-runs the split per
+        // position — the quadratic-lambda pitfall (same class as the
+        // q99 19x regression in SCALE.md). Bound to a column, each
+        // metric reads the one materialized array.
         reps
-          .select(col("gid") +: TextAnalysis.gopherMetrics(toks): _*)
+          .select(col("gid"), split(trim(lower(col("t"))), "\\s+").as("_toks"))
+          .select(col("gid") +: TextAnalysis.gopherMetrics(col("_toks")): _*)
           .withColumn("keep", TextAnalysis.gopherKeep())
       }
       .orderBy("doc_id")
@@ -1562,7 +1567,90 @@ object Documents {
       |FROM o
       |ORDER BY rank""".stripMargin
 
+  // ---- q108: content-defined chunking + chunk-level dedup (LBFS, Muthitacharoen
+  // et al. 2001) ---------------------------------------------------------------
+  // The storage-dedup primitive behind CDC systems: cut a document
+  // into variable-size chunks at CONTENT-DEFINED boundaries (here:
+  // after a 3-token window whose md5 ends in hex '0' — expected chunk
+  // ≈ 16 tokens), so a shared passage chunks identically regardless of
+  // where it sits in each document — exactly what fixed-size blocks
+  // miss. Then chunk-content hashes group across the corpus: chunks
+  // with n_copies ≥ 2 are the dedup hits. Scale shape: one row per
+  // TOKEN (posexplode distributes giant docs across tasks instead of
+  // folding per-doc in one lambda), boundary flags assign chunk ids
+  // via an offset-frame running sum over the doc partition, the
+  // (doc, chunk) groupBy rides the same doc partitioning, and only
+  // chunk summaries shuffle by content hash. Chunk content is
+  // reassembled position-sorted (collect_list is order-free;
+  // sort_array pins it), so the hash is deterministic under any
+  // partitioning.
+  def q108CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -3)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val perTok = docs(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn(
+        "cut",
+        when(
+          col("pos") <= col("n") - 3 &&
+            substring(md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(3)))), 32, 1) === "0",
+          1L).otherwise(0L))
+      .select(col("doc_id"), col("pos"), col("tok"), col("cut"))
+    val chunks = perTok
+      .withColumn("chunk", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))), s => s.getField("tok")),
+          " ")).as("chunk_hash"))
+    chunks
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("sample_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy("chunk_hash")
+  }
+
+  val q108Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+      |           FROM documents),
+      |p AS (SELECT doc_id, toks, LEN(toks) AS n,
+      |        CAST(unnest(range(0, LEN(toks))) AS INTEGER) AS pos
+      |      FROM t),
+      |flagged AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+      |        CASE WHEN pos <= n - 3
+      |              AND substr(md5(toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3]),
+      |                         32, 1) = '0'
+      |             THEN 1 ELSE 0 END AS cut
+      |      FROM p),
+      |assigned AS (SELECT doc_id, pos, tok,
+      |        COALESCE(CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 3 PRECEDING) AS BIGINT), 0) AS chunk
+      |      FROM flagged),
+      |chunks AS (SELECT doc_id, chunk,
+      |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      |      FROM assigned GROUP BY doc_id, chunk)
+      |SELECT chunk_hash,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS sample_doc
+      |FROM chunks
+      |GROUP BY chunk_hash
+      |HAVING COUNT(*) >= 2
+      |ORDER BY chunk_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_cdc_chunks" -> (q108CdcChunks _),
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q104_bm25" -> (q104Bm25 _),
     "q103_gopher_rules" -> (q103GopherRules _),
@@ -1595,6 +1683,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_cdc_chunks" -> q108Sql,
     "q106_unimax_alloc" -> q106Sql,
     "q104_bm25" -> q104Sql,
     "q103_gopher_rules" -> q103Sql,

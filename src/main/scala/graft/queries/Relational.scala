@@ -982,6 +982,99 @@ object Relational {
       |FROM z
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q109: priority sampling (Duffield, Lund & Thorup 2007) -------------------
+  // The weighted complement of the KMV/HLL sketches: a k-row sample
+  // per group whose priorities q_i = w_i/u_i (u_i a deterministic
+  // md5-uniform) yield UNBIASED subset-sum estimates — est = Σ over
+  // the top-k of max(w_i, τ), τ the (k+1)-th priority. Every step is
+  // IEEE division/comparison on identical operands, so even the
+  // ESTIMATE hash-matches the oracle; the per-group estimate sum runs
+  // in exact decimal (non-tie rounding of a double at 4 dp is
+  // unambiguous — decimal midpoints carry a 5^5 factor no binary
+  // fraction has — so both engines round identically). At scale this
+  // is the bounded-memory answer to "total revenue by segment ± ε
+  // without scanning twice": k rows of state per group, mergeable.
+  def q109PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val d = t(s, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("w"),
+        (conv(
+          md5(concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")))
+            .substr(1, 15),
+          16, 10).cast("double") / lit(math.pow(2, 60))).as("u"),
+        col("l_orderkey"),
+        col("l_linenumber"))
+      .withColumn("p", col("w") / col("u"))
+    // Sample path: the rank filter sits DIRECTLY above the window so
+    // Spark inserts WindowGroupLimit — each task keeps its local
+    // top-(k+1) per group before the shuffle, instead of sorting the
+    // whole group in one task (l_returnflag has cardinality 3: a full
+    // per-group sort would funnel everything through 3 tasks at scale).
+    // The exact total rides a plain partial-agg groupBy on a second
+    // scan; two cheap scans beat one 3-partition sort at 100 TB.
+    val wRk = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("p").desc, col("l_orderkey"), col("l_linenumber"))
+    val sample = d
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= k + 1)
+    val est = sample
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rk") === k + 1, col("p"))).as("tau"),
+        // collect_list skips the null rk=k+1 slot; ONE aggregation pass
+        // yields both tau and the k sample weights, so the sample
+        // subtree is consumed once (no re-scan for a second branch)
+        collect_list(when(col("rk") <= k, col("w"))).as("ws"))
+      .select(col("l_returnflag"), col("tau"), explode(col("ws")).as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(graft.functions.Num.dec(greatest(col("w"), coalesce(col("tau"), lit(0.0)))))
+          .cast("double")
+          .as("est_sum"))
+    val exact = d
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), graft.functions.Num.dsum(col("w")).as("exact_sum"))
+    exact
+      .join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"), col("exact_sum"), col("est_sum"))
+      .withColumn("rel_err", (col("est_sum") - col("exact_sum")) / col("exact_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  val q109Sql: String =
+    """WITH d AS (
+      |  SELECT l_returnflag,
+      |    l_extendedprice * (1.0 - l_discount) AS w,
+      |    CAST(list_reduce(list_transform(range(1, 16),
+      |           ii -> CAST(strpos('0123456789abcdef',
+      |                        substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+      |                                   CAST(l_linenumber AS VARCHAR)), ii, 1)) - 1 AS BIGINT)),
+      |           (a, x) -> a * 16 + x) AS DOUBLE) / 1152921504606846976.0 AS u,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |p AS (SELECT *, w / u AS p FROM d),
+      |r AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                           ORDER BY p DESC, l_orderkey, l_linenumber) AS rk
+      |      FROM p),
+      |tt AS (SELECT *,
+      |         MAX(CASE WHEN rk = 65 THEN p END) OVER (PARTITION BY l_returnflag) AS tau
+      |       FROM r),
+      |a AS (SELECT l_returnflag,
+      |        CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |        CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS exact_sum,
+      |        CAST(SUM(CASE WHEN rk <= 64
+      |                 THEN CAST(GREATEST(w, COALESCE(tau, 0.0)) AS DECIMAL(18,4)) END)
+      |             AS DOUBLE) AS est_sum
+      |      FROM tt GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_rows, exact_sum, est_sum,
+      |  (est_sum - exact_sum) / exact_sum AS rel_err
+      |FROM a
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---- q85: regex extraction family (groups, counts, anchors) ---------------------
   def q85RegexFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -1075,6 +1168,7 @@ object Relational {
     "q86_date_arithmetic" -> (q86DateArithmetic _),
     "q79_kmv_distinct" -> (q79KmvDistinct _),
     "q105_portable_hll" -> (q105PortableHll _),
+    "q109_priority_sample" -> (q109PrioritySample _),
     "q69_lateral_topk" -> (q69LateralTopK _),
     "q70_small_qty_parts" -> (q70SmallQtyParts _),
     "q71_string_agg" -> (q71StringAgg _),
@@ -1115,6 +1209,7 @@ object Relational {
     "q86_date_arithmetic" -> q86Sql,
     "q79_kmv_distinct" -> q79Sql,
     "q105_portable_hll" -> q105Sql,
+    "q109_priority_sample" -> q109Sql,
     "q69_lateral_topk" -> q69Sql,
     "q70_small_qty_parts" -> q70Sql,
     "q71_string_agg" -> q71Sql,

@@ -414,13 +414,17 @@ object CorpusRules {
         .map(_.toInt)
         .getOrElse(50)
       val reserved =
-        Seq("n_words", "mean_word_len", "alpha_ratio", "n_stop_distinct", "top_bigram_frac")
+        Seq("n_words", "mean_word_len", "alpha_ratio", "n_stop_distinct", "top_bigram_frac",
+          "_toks")
       val clash = df.columns.toSet.intersect(reserved.toSet)
       require(
         clash.isEmpty,
         s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
-      val toks = split(trim(lower(col("text"))), "\\s+")
-      df.select(col("*") +: TextAnalysis.gopherMetrics(toks): _*)
+      // materialize the token array before the per-bigram lambdas
+      // (unmaterialized split re-runs per position — quadratic)
+      df.withColumn("_toks", split(trim(lower(col("text"))), "\\s+"))
+        .select(col("*") +: TextAnalysis.gopherMetrics(col("_toks")): _*)
+        .drop("_toks")
         .filter(TextAnalysis.gopherKeep(minWords))
     }
   }
