@@ -132,6 +132,36 @@ object TextAnalysis {
     )
   }
 
+  /** The line-structure half of the Gopher bundle (A1.1's "90% of
+    * lines starting with a bullet" / "30% ending with an ellipsis"
+    * rules), meaningful only for corpora that carry newlines — a
+    * single-line document is one line, so the fractions are 0 or 1 and
+    * [[gopherLineKeep]] still behaves sensibly. Kept separate from
+    * [[gopherMetrics]] so the oracle-gated token metrics stay
+    * line-agnostic.
+    */
+  def gopherLineMetrics(text: Column): Seq[Column] = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val n = size(lines)
+    Seq(
+      n.as("n_lines"),
+      when(n > 0,
+        size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / n)
+        .otherwise(lit(0.0))
+        .as("bullet_line_frac"),
+      when(n > 0,
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / n)
+        .otherwise(lit(0.0))
+        .as("ellipsis_line_frac")
+    )
+  }
+
+  /** Gopher's line-rule keep decision: ≤90% bullet lines and ≤30%
+    * ellipsis-terminated lines.
+    */
+  def gopherLineKeep: Column =
+    col("bullet_line_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3
+
   /** The Gopher keep decision over [[gopherMetrics]] columns: word
     * count in [minWords, 100k], mean word length in [3, 10], ≥80% of
     * words alphabetic, ≥2 distinct stop words, and the most frequent

@@ -415,7 +415,7 @@ object CorpusRules {
         .getOrElse(50)
       val reserved =
         Seq("n_words", "mean_word_len", "alpha_ratio", "n_stop_distinct", "top_bigram_frac",
-          "_toks")
+          "n_lines", "bullet_line_frac", "ellipsis_line_frac", "_toks")
       val clash = df.columns.toSet.intersect(reserved.toSet)
       require(
         clash.isEmpty,
@@ -423,9 +423,12 @@ object CorpusRules {
       // materialize the token array before the per-bigram lambdas
       // (unmaterialized split re-runs per position — quadratic)
       df.withColumn("_toks", split(trim(lower(col("text"))), "\\s+"))
-        .select(col("*") +: TextAnalysis.gopherMetrics(col("_toks")): _*)
+        .select(
+          col("*") +:
+            (TextAnalysis.gopherMetrics(col("_toks")) ++
+              TextAnalysis.gopherLineMetrics(col("text"))): _*)
         .drop("_toks")
-        .filter(TextAnalysis.gopherKeep(minWords))
+        .filter(TextAnalysis.gopherKeep(minWords) && TextAnalysis.gopherLineKeep)
     }
   }
 

@@ -31,28 +31,45 @@ import java.util.concurrent.CompletionStage
 object WebSocketSpool {
 
   final class Handle private[WebSocketSpool] (
-      ws: WebSocket,
+      wsRef: java.util.concurrent.atomic.AtomicReference[WebSocket],
       flushFn: () => Unit,
-      counter: AtomicLong) {
+      counter: AtomicLong,
+      reconnects: AtomicLong,
+      stopped: java.util.concurrent.atomic.AtomicBoolean) {
 
     /** Messages fully received so far (multi-frame messages count once
       * on their final frame).
       */
     def received: Long = counter.get()
 
+    /** Times the bridge re-dialed after a drop (0 = never dropped). */
+    def reconnected: Long = reconnects.get()
+
     /** Flush buffered messages to a spool file without closing. */
     def flush(): Unit = flushFn()
 
-    /** Close the socket (best-effort goodbye) and flush the tail. */
+    /** Close the socket (best-effort goodbye), stop reconnecting, and
+      * flush the tail.
+      */
     def close(): Unit = {
-      try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+      stopped.set(true)
+      try wsRef.get().sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
       catch { case _: Throwable => () }
       flushFn()
     }
   }
 
   /** Connect to `uri` and spool every text message as one line under
-    * `spoolDir`. Blocks until the websocket handshake completes.
+    * `spoolDir`. Blocks until the first websocket handshake completes.
+    * If the server drops the connection (close or error) before
+    * [[Handle.close]] is called, the bridge flushes what it has and
+    * re-dials with capped exponential backoff (1s, 2s, 4s, ... max
+    * 30s) — live CT feeds drop routinely, and a certificate is only
+    * durable once spooled, so the bridge must outlive the socket.
+    * Messages have no cross-connection identity, so a drop between
+    * receive and flush can lose (never duplicate) in-flight messages —
+    * the same at-most-once contract as the reference's channel
+    * (cert_stream.go), minus its unbounded buffering.
     */
   def run(uri: String, spoolDir: String, flushEvery: Int = 100): Handle = {
     val dir = Paths.get(spoolDir)
@@ -60,6 +77,9 @@ object WebSocketSpool {
     val buf = new java.util.ArrayList[String]()
     val received = new AtomicLong(0)
     val fileSeq = new AtomicLong(0)
+    val reconnects = new AtomicLong(0)
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wsRef = new java.util.concurrent.atomic.AtomicReference[WebSocket]()
     def flush(): Unit = buf.synchronized {
       if (!buf.isEmpty) {
         val lines = new java.util.ArrayList[String](buf)
@@ -72,7 +92,27 @@ object WebSocketSpool {
         Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
-    val listener = new WebSocket.Listener {
+    def redial(): Unit = if (!stopped.get()) {
+      flush() // make everything received so far durable before waiting
+      val t = new Thread(() => {
+        var backoffMs = 1000L
+        var connected = false
+        while (!connected && !stopped.get()) {
+          Thread.sleep(backoffMs)
+          backoffMs = math.min(backoffMs * 2, 30000L)
+          try {
+            if (!stopped.get()) {
+              connect()
+              reconnects.incrementAndGet()
+              connected = true
+            }
+          } catch { case _: Throwable => () }
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+    }
+    def listener(): WebSocket.Listener = new WebSocket.Listener {
       // partial-frame assembly: onText may deliver a message in pieces
       private val part = new StringBuilder
       override def onText(ws: WebSocket, data: CharSequence, last: Boolean): CompletionStage[_] = {
@@ -89,12 +129,21 @@ object WebSocketSpool {
         ws.request(1)
         null
       }
+      override def onClose(ws: WebSocket, statusCode: Int, reason: String): CompletionStage[_] = {
+        redial()
+        null
+      }
+      override def onError(ws: WebSocket, error: Throwable): Unit = redial()
     }
-    val ws = HttpClient
-      .newHttpClient()
-      .newWebSocketBuilder()
-      .buildAsync(URI.create(uri), listener)
-      .join()
-    new Handle(ws, () => flush(), received)
+    def connect(): Unit = {
+      val ws = HttpClient
+        .newHttpClient()
+        .newWebSocketBuilder()
+        .buildAsync(URI.create(uri), listener())
+        .join()
+      wsRef.set(ws)
+    }
+    connect()
+    new Handle(wsRef, () => flush(), received, reconnects, stopped)
   }
 }

@@ -84,4 +84,27 @@ class TextAnalysisSpec extends SparkSpec {
     // "spam ham" occurs 30 times of 62 tokens -> frac = 60/62
     out(3).getAs[Double]("top_bigram_frac") shouldBe (60.0 / 62) +- 1e-12
   }
+
+  test("gopher line metrics and keep on multi-line documents") {
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val prose = "a normal paragraph\nand another one\n- one bullet is fine"
+    val trailing = "first…\nsecond...\nthird stays"
+    val single = "no newlines here at all"
+    val rows = Seq(bullets, prose, trailing, single).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id") +: TextAnalysis.gopherLineMetrics(col("text")): _*)
+      .withColumn("keep", TextAnalysis.gopherLineKeep)
+      .orderBy("doc_id")
+      .collect()
+    out(0).getAs[Double]("bullet_line_frac") shouldBe 1.0
+    out(0).getAs[Boolean]("keep") shouldBe false // all-bullet doc dropped
+    out(1).getAs[Double]("bullet_line_frac") shouldBe (1.0 / 3) +- 1e-12
+    out(1).getAs[Boolean]("keep") shouldBe true
+    out(2).getAs[Double]("ellipsis_line_frac") shouldBe (2.0 / 3) +- 1e-12
+    out(2).getAs[Boolean]("keep") shouldBe false // ellipsis-heavy dropped
+    out(3).getAs[Int]("n_lines") shouldBe 1 // single-line corpus degenerates sanely
+    out(3).getAs[Boolean]("keep") shouldBe true
+  }
 }

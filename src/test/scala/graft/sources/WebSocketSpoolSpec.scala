@@ -119,6 +119,57 @@ class WebSocketSpoolSpec extends SparkSpec {
     out.select(col("EventId")).head().getString(0) shouldBe "12345"
   }
 
+  test("bridge reconnects with backoff after a server drop and keeps spooling") {
+    val batch1 = Seq("""{"batch": 1, "n": 1}""", """{"batch": 1, "n": 2}""")
+    val batch2 = Seq("""{"batch": 2, "n": 1}""", """{"batch": 2, "n": 2}""")
+    val ss = new ServerSocket(0)
+    val t = new Thread(() => {
+      // two sequential connections on the same port: batch1, abrupt
+      // drop (no close frame), then batch2 after the bridge re-dials
+      Seq(batch1, batch2).foreach { batch =>
+        val s = ss.accept()
+        val reader = new BufferedReader(new InputStreamReader(s.getInputStream, "UTF-8"))
+        var key = ""
+        var line = reader.readLine()
+        while (line != null && line.nonEmpty) {
+          if (line.toLowerCase.startsWith("sec-websocket-key:"))
+            key = line.substring("sec-websocket-key:".length).trim
+          line = reader.readLine()
+        }
+        val accept = Base64.getEncoder.encodeToString(
+          MessageDigest
+            .getInstance("SHA-1")
+            .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("UTF-8")))
+        val out = s.getOutputStream
+        out.write(
+          ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+            s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n").getBytes("UTF-8"))
+        batch.foreach { m =>
+          val p = m.getBytes("UTF-8")
+          out.write(0x81); out.write(p.length); out.write(p)
+        }
+        out.flush()
+        Thread.sleep(200) // let the frames land before the abrupt drop
+        s.close() // no close frame: a real feed drop
+      }
+      ss.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val dir = Files.createTempDirectory("graft_ws_reconnect").toString
+    val h = WebSocketSpool.run(s"ws://127.0.0.1:${ss.getLocalPort}/", dir)
+    await(h.received == 4, timeoutMs = 30000) // second batch needs the ~1s re-dial
+    h.reconnected should be >= 1L
+    h.close()
+    val lines = Files
+      .list(Paths.get(dir))
+      .iterator()
+      .asScala
+      .toSeq
+      .flatMap(p => Files.readAllLines(p).asScala)
+    lines.sorted shouldBe (batch1 ++ batch2).sorted
+  }
+
   test("certstream_config.url parses into SourceConfig.wsUrl; replay form has none") {
     val parsed = graft.pipeline.PipelineConfig
       .parse(
