@@ -72,6 +72,10 @@ final class ApiServer(
   }
 
   private val started = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.streaming.StreamingQuery]()
+  // live websocket->spool bridges owned by pipelines this server
+  // compiled; Compiled.spools documents the caller-owns-close contract
+  private val spools =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.sources.WebSocketSpool.Handle]()
   // Guards the handoff between the async pipeline starter and stop():
   // once `stopping` is set (under the lock), a starter that raced past
   // it stops its freshly-started queries itself instead of parking
@@ -94,6 +98,11 @@ final class ApiServer(
       }
       started.clear()
     }
+    spools.forEach { h =>
+      try h.close()
+      catch { case e: Exception => System.err.println(s"[api] closing spool: ${e.getMessage}") }
+    }
+    spools.clear()
     if (listener != null) spark.streams.removeListener(listener)
   }
 
@@ -115,6 +124,7 @@ final class ApiServer(
           PipelineCompiler.compile(spark, raw, streaming = true) match {
             case Left(err) => respond(ex, 400, err)
             case Right(compiled) =>
+              compiled.spools.values.foreach(spools.add)
               val id = UUID.randomUUID().toString
               store.put(id, raw.getBytes(StandardCharsets.UTF_8))
               backend.put(id, raw.getBytes(StandardCharsets.UTF_8))
@@ -141,6 +151,11 @@ final class ApiServer(
           }
         case ("GET", path) if path.startsWith("/") && path.length > 1 =>
           val id = path.stripPrefix("/")
+          // ids are server-generated UUIDs; anything else (separators,
+          // dots, traversal — URI.getPath decodes %2F) is not a
+          // pipeline id and must never reach a filesystem-backed store
+          if (!id.matches("[A-Za-z0-9_-]{1,64}")) respond(ex, 404, "pipeline not found")
+          else
           // cache first, then the backend — a shared remote store can
           // hold configs another node posted after this one started
           Option(store.get(id)).orElse(backend.get(id)) match {

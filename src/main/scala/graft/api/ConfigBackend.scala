@@ -45,15 +45,28 @@ object ConfigStore {
 final class FsConfigStore(dir: String) extends ConfigStore {
   Files.createDirectories(Paths.get(dir))
 
+  /** Ids are server-generated UUIDs — a single path segment under
+    * `dir`, nothing else. An id arriving from the HTTP path could
+    * carry separators or `..` (URI.getPath decodes %2F), so resolve
+    * and verify containment: anything that escapes or nests below the
+    * store directory is rejected, never read or written.
+    */
+  private def safePath(id: String): Option[java.nio.file.Path] = {
+    val base = Paths.get(dir).toAbsolutePath.normalize
+    val p = base.resolve(id).normalize
+    if (p.getParent == base && p.startsWith(base) && !id.contains("/") && !id.contains("\\"))
+      Some(p)
+    else None
+  }
+
   def put(id: String, config: Array[Byte]): Unit = {
-    Files.write(Paths.get(dir, id), config)
+    val p = safePath(id).getOrElse(sys.error(s"invalid config id: $id"))
+    Files.write(p, config)
     ()
   }
 
-  def get(id: String): Option[Array[Byte]] = {
-    val p = Paths.get(dir, id)
-    if (Files.isRegularFile(p)) Some(Files.readAllBytes(p)) else None
-  }
+  def get(id: String): Option[Array[Byte]] =
+    safePath(id).filter(Files.isRegularFile(_)).map(Files.readAllBytes)
 
   def loadAll(): Map[String, Array[Byte]] = {
     val s = Files.list(Paths.get(dir))

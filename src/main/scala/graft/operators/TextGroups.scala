@@ -51,10 +51,12 @@ object TextGroups {
 
   /** Session-lifetime cache of measured duplication factors: a WEAK
     * map per session (a static cache must not retain stopped
-    * sessions), keyed inside by the CANONICALIZED keyed input plan —
-    * full structural equality, not a 32-bit hash, so two different
-    * corpora can never collide into one cached factor. (The retained
-    * plans are one per distinct query shape per session — bounded.)
+    * sessions), keyed inside by a high-fidelity STRING of the
+    * canonicalized keyed input plan ([[planKey]]) — far beyond a
+    * 32-bit hash, so two different corpora cannot realistically
+    * collide into one cached factor, and a string key cannot reach
+    * back to the session the way a LogicalPlan key would. (Retained
+    * keys are one per distinct query shape per session — bounded.)
     *
     * Staleness is the accepted trade-off: data appended to the same
     * path mid-session keeps the first measured factor, exactly like a
@@ -65,20 +67,28 @@ object TextGroups {
   private val dupCache =
     new java.util.WeakHashMap[
       SparkSession,
-      java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        java.lang.Double]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]]()
 
   private def sessionCache(s: SparkSession) = dupCache.synchronized {
     var m = dupCache.get(s)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        java.lang.Double]()
+      m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
       dupCache.put(s, m)
     }
     m
   }
+
+  /** Cache key for a canonicalized plan that does NOT reference the
+    * plan object itself: a LogicalPlan leaf (LogicalRelation) strongly
+    * references its SparkSession, so keying the inner map by the plan
+    * would make the WeakHashMap VALUE reach its weak KEY — the
+    * documented WeakHashMap failure mode — and stopped sessions would
+    * never be collected. The string form (semanticHash + full schema +
+    * tree string) keeps structural-equality fidelity (treeString alone
+    * can truncate wide schemas) with zero object retention.
+    */
+  private def planKey(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    s"${plan.semanticHash()}|${plan.schema.catalogString}|${plan.treeString}"
 
   /** rows / approx-distinct(textKey) — ≥ 1.0 on any non-empty input;
     * 1.0 on an empty one. Measured once per (session, input plan).
@@ -92,7 +102,7 @@ object TextGroups {
   def duplicationFactor(df: DataFrame, textKey: Column): Double = {
     val keyed = df.select(textKey.as("t"))
     val cache = sessionCache(df.sparkSession)
-    val key = keyed.queryExecution.analyzed.canonicalized
+    val key = planKey(keyed.queryExecution.analyzed.canonicalized)
     val cached = cache.get(key)
     if (cached != null) cached.doubleValue()
     else {

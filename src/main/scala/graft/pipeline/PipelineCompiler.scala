@@ -120,10 +120,10 @@ object PipelineCompiler {
       registry: Seq[EventType],
       rules: Map[String, Rule],
       streaming: Boolean
-  ): Either[String, Compiled] =
+  ): Either[String, Compiled] = {
+    val spoolHandles =
+      scala.collection.mutable.Map.empty[String, graft.sources.WebSocketSpool.Handle]
     try {
-      val spoolHandles =
-        scala.collection.mutable.Map.empty[String, graft.sources.WebSocketSpool.Handle]
       // One decoded DataFrame per source, shared by every consumer.
       val sourceDfs: Map[String, DataFrame] = config.sources.map { case (name, sc) =>
         // Structured formats (csv/json/parquet) carry their own schema:
@@ -235,8 +235,13 @@ object PipelineCompiler {
       }
       Right(Compiled(sinkDfs, config, spoolHandles.toMap))
     } catch {
-      case e: Exception => Left(s"compile error: ${e.getMessage}")
+      case e: Exception =>
+        // a live bridge started before the failing step must not
+        // outlive the failed compile (it re-dials forever otherwise)
+        spoolHandles.values.foreach(h => try h.close() catch { case _: Throwable => () })
+        Left(s"compile error: ${e.getMessage}")
     }
+  }
 
   /** Run a batch-compiled pipeline to its sinks: File sinks write
     * JSON-lines (the output/file.go format, minus the per-record

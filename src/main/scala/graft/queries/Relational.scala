@@ -904,8 +904,8 @@ object Relational {
   // = top 4 bits (m=16), rho = leading zeros of the remaining 52 bits
   // + 1 via LENGTH(bin(rem)) — no ln/log2 anywhere (not bit-defined
   // across engines; see the q27 note). The register sum Σ2^-M_j is
-  // kept EXACT by multiplying through by 2^52: Z = Σ 2^(52-M_j) is an
-  // integer ≤ 16·2^52, so the raw estimate α·m²·2^52/Z divides two
+  // kept EXACT by multiplying through by 2^53: Z = Σ 2^(53-M_j) is an
+  // integer ≤ 16·2^53 (rho reaches 53), so the estimate α·m²·2^53/Z divides two
   // bit-identical operands. Empty buckets (register 0) enter via a
   // generated (flag × 16) bucket universe — dropping them is the
   // classic HLL implementation bug. Small-range LinearCounting is
@@ -939,14 +939,18 @@ object Relational {
       .join(regs, Seq("l_returnflag", "bucket"), "left")
       .select(
         col("l_returnflag"),
-        expr("shiftleft(cast(1 as bigint), cast(52 - coalesce(m_reg, 0L) as int))").as("zterm"),
+        // scale by 2^53, not 2^52: rho reaches 53 (all 52 remainder
+        // bits zero), and 2^(52-53) is shiftleft(1, -1) = 1<<63 in
+        // Java (shift counts wrap mod 64) — a sign-flipped Z. With
+        // 2^53 the exponent 53-M stays in [0, 53] for every register.
+        expr("shiftleft(cast(1 as bigint), cast(53 - coalesce(m_reg, 0L) as int))").as("zterm"),
         coalesce(col("n_in_bucket"), lit(0L)).as("n_in_bucket"))
       .groupBy(col("l_returnflag"))
       .agg(sum(col("zterm")).as("z"), sum(col("n_in_bucket")).as("n_exact"))
     z.select(
         col("l_returnflag"),
         col("n_exact"),
-        ((lit(0.673) * lit(256.0)) * lit(4503599627370496.0) / col("z").cast("double"))
+        ((lit(0.673) * lit(256.0)) * lit(9007199254740992.0) / col("z").cast("double"))
           .as("est_distinct"))
       .orderBy("l_returnflag")
   }
@@ -970,14 +974,14 @@ object Relational {
       |universe AS (SELECT l_returnflag, unnest(range(0, 16)) AS bucket
       |             FROM (SELECT DISTINCT l_returnflag FROM d)),
       |z AS (SELECT u.l_returnflag,
-      |        CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - COALESCE(m_reg, 0) AS INTEGER))
+      |        CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - COALESCE(m_reg, 0) AS INTEGER))
       |             AS BIGINT) AS z,
       |        CAST(SUM(COALESCE(n_in_bucket, 0)) AS BIGINT) AS n_exact
       |      FROM universe u LEFT JOIN regs r
       |        ON u.l_returnflag = r.l_returnflag AND u.bucket = r.bucket
       |      GROUP BY u.l_returnflag)
       |SELECT l_returnflag, n_exact,
-      |  (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)) * CAST(4503599627370496.0 AS DOUBLE)
+      |  (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)) * CAST(9007199254740992.0 AS DOUBLE)
       |    / CAST(z AS DOUBLE) AS est_distinct
       |FROM z
       |ORDER BY l_returnflag""".stripMargin

@@ -596,14 +596,19 @@ object Vectors {
       dedupVectors = adaptive)
     val cells = graft.operators.KMeans.assign(e, "e", coarse)
     val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-    // persist: the 4 residual codebook fits, the adaptive measure and
-    // the encoder all read this projection (the production form is a
-    // staged residual table written at index-build time)
+    // localCheckpoint, not persist: the 4 residual codebook fits, the
+    // adaptive measure and the encoder all read this projection (the
+    // production form is a staged residual table written at
+    // index-build time). A CacheManager persist would pin one cache
+    // entry per invocation forever (nothing here can know when the
+    // returned plan is done); checkpoint blocks are freed when the
+    // RDD is garbage-collected, so repeated calls (Bench's warm
+    // iterations, a long-lived server) don't accumulate storage.
     val res = cells.select(
       col("vec_id"),
       zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"),
       col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val dims = graft.operators.Similarity.embeddingDims(e, "e")
     val cbs = graft.operators.ProductQuant.fitCodebooks(
       res, idCol = "vec_id", embCol = "e", dims = dims, m = 4, k = 4, iters = 2,

@@ -55,6 +55,11 @@ object WebSocketSpool {
       stopped.set(true)
       try wsRef.get().sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
       catch { case _: Throwable => () }
+      // a redial may have swapped in a NEW socket between the read
+      // above and now; abort whatever is current as well (the redial
+      // thread does the same on its side after observing `stopped`)
+      try wsRef.get().abort()
+      catch { case _: Throwable => () }
       flushFn()
     }
   }
@@ -105,6 +110,15 @@ object WebSocketSpool {
               connect()
               reconnects.incrementAndGet()
               connected = true
+              // close() may have run while connect() was in flight (it
+              // only closed the OLD socket in wsRef): a socket observed
+              // after `stopped` is torn down here, so no connection can
+              // outlive the handle.
+              if (stopped.get()) {
+                try wsRef.get().abort()
+                catch { case _: Throwable => () }
+                flush()
+              }
             }
           } catch { case _: Throwable => () }
         }

@@ -62,6 +62,23 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("path-traversal ids never reach the filesystem store (404, no file read)") {
+    withServer { (_, base) =>
+      // URI.getPath decodes %2F, so these arrive as ../ segments; both
+      // the id-format guard and FsConfigStore.safePath must reject them
+      val probes = Seq(
+        "..%2F..%2F..%2F..%2Fetc%2Fpasswd",
+        "%2E%2E%2F%2E%2E%2Fetc%2Fpasswd",
+        "a%2Fb",
+        "..")
+      probes.foreach { p =>
+        val r = get(s"$base/pipelines/$p")
+        r.statusCode() shouldBe 404
+        r.body() should not include "root:"
+      }
+    }
+  }
+
   test("POST of an invalid config is 400 with the validation message") {
     withServer { (_, base) =>
       val resp = post(
