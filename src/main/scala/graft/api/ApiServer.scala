@@ -145,7 +145,20 @@ final class ApiServer(
                     }
                     else qs.foreach(started.add)
                   }
-                } catch { case e: Exception => System.err.println(s"[api] pipeline $id failed: ${e.getMessage}") }
+                } catch {
+                  case e: Exception =>
+                    System.err.println(s"[api] pipeline $id failed: ${e.getMessage}")
+                    // a failed start must not leave websocket bridges
+                    // re-dialing and spooling for the server's lifetime —
+                    // close this pipeline's handles now instead of at stop()
+                    compiled.spools.values.foreach { h =>
+                      try h.close()
+                      catch {
+                        case e2: Exception =>
+                          System.err.println(s"[api] closing spool after failed start: ${e2.getMessage}")
+                      } finally spools.remove(h)
+                    }
+                }
               ).start()
               respond(ex, 201, id)
           }

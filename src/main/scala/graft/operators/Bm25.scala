@@ -45,7 +45,12 @@ object Bm25 {
   /** Top-k documents per query, BM25-scored (rational-idf variant).
     *
     * @param queries (qid, terms) — terms in fixed slot order; a doc
-    *                matches if it contains ANY query term (disjunctive)
+    *                matches if it contains ANY query term (disjunctive).
+    *                Terms must be distinct within a query (each slot
+    *                contributes its term's score independently, so a
+    *                repeated term would double-count) and lowercase
+    *                (the corpus side lowers before tokenizing; a
+    *                mixed-case term silently matches nothing).
     */
   def topK(
       docs: DataFrame,
@@ -56,6 +61,16 @@ object Bm25 {
       b: Double = 0.75,
       k: Int = 10): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")
+    queries.foreach { case (qid, ts) =>
+      require(
+        ts.distinct == ts,
+        s"query $qid repeats a term (${ts.mkString(", ")}) — each slot scores " +
+          "independently, so duplicates would double-count; dedup the terms")
+      require(
+        ts.forall(t => t == t.toLowerCase),
+        s"query $qid has a non-lowercase term (${ts.mkString(", ")}) — the corpus is " +
+          "lowered before tokenizing, so mixed-case terms silently match nothing")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     val maxTerms = queries.map(_._2.size).max

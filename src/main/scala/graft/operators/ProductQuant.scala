@@ -33,7 +33,9 @@ object ProductQuant {
       m: Int,
       k: Int,
       iters: Int,
-      dedupVectors: Boolean = false
+      dedupVectors: Boolean = false,
+      fitTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.MINUTES)
   ): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
     val sub = dims / m
@@ -42,10 +44,12 @@ object ProductQuant {
     // groups instead of serially (each iteration is a small job whose
     // fixed scheduling cost would otherwise add up m-fold). Results
     // are deterministic per subspace, so concurrency cannot change
-    // the codebooks.
+    // the codebooks. The pool is capped (each thread drives
+    // cluster-wide jobs, so m=64 threads buys nothing past scheduler
+    // saturation) and the await is bounded: a hung job surfaces as a
+    // TimeoutException instead of blocking the caller forever.
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val fits = (0 until m).map { s =>
@@ -56,8 +60,8 @@ object ProductQuant {
           KMeans.fit(sl, "_pqid", "_pqes", k, iters, dedupVectors)
         }
       }
-      Await.result(Future.sequence(fits), Duration.Inf)
-    } finally pool.shutdown()
+      Await.result(Future.sequence(fits), fitTimeout)
+    } finally pool.shutdownNow()
   }
 
   /** Sequential squared-L2 fold between an array column and its
@@ -147,9 +151,70 @@ object ProductQuant {
       (cent, c) <- codebooks(s).zipWithIndex
     } yield (qid, s, c, sqd(qemb.slice(s * sub, (s + 1) * sub), cent))
     val tdf = broadcast(tdist.toDF("qid", "sub", "code", "_d"))
-    // one row per (qid, nid) with the m per-subspace terms as columns,
-    // then an explicitly-parenthesized left-to-right sum — NOT a SUM()
-    // aggregate, whose addition order is partition-dependent
+    scoreTables(tdf, enc, m, k)
+  }
+
+  /** ADC search with the distance tables built IN SPARK — the
+    * many-query form. [[adcTopK]]'s driver loop builds |Q|·m·k table
+    * entries on the driver, which is the right contract for a handful
+    * of oracle-gated queries but a driver bottleneck at a production
+    * batch of 10⁵–10⁶ queries. Here the queries stay a DataFrame: the
+    * m·k codebook entries (the MODEL — a few KB) broadcast as rows,
+    * each query row fans out against them map-side, and the
+    * per-(query, sub, code) distance folds run in executors with the
+    * exact arithmetic of the driver fold (sequential dimension-order
+    * `(a-b)²` accumulation from 0.0 — bit-identical IEEE ops on
+    * identical operands), so the two forms return byte-identical
+    * rankings (pinned by ProductQuantSpec).
+    *
+    * Scale shape: table build is an embarrassingly-parallel broadcast
+    * fan-out (no driver collect of the query set, no |Q|-sized
+    * literal); scoring joins codes⋈tables on (sub, code) and groups
+    * on (qid, nid) — inherently |Q|·N·m work, the exhaustive-ADC
+    * cost. For a bounded search at corpus scale, route queries
+    * through the IVFADC form (probed cells) instead; this operator is
+    * the exact-scan half it shares.
+    *
+    * @param queries (qidCol: long, qembCol: array<double>) — any size
+    * @param enc     [[encode]] output (id, sub, code)
+    * @return (qid, rank, nid, adc_dist), rank 1..k per query
+    */
+  def adcTopKDf(
+      queries: DataFrame,
+      qidCol: String,
+      qembCol: String,
+      enc: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int
+  ): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val m = codebooks.size
+    require(m > 0, "empty codebooks")
+    val sub = codebooks.head.head.size
+    val cb = codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (cent, c) => (s, c, cent) }
+    }.toDF("sub", "code", "_cent")
+    val tdf = queries
+      .select(col(qidCol).as("qid"), col(qembCol).as("_qemb"))
+      .crossJoin(broadcast(cb))
+      .select(
+        col("qid"),
+        col("sub"),
+        col("code"),
+        sqErr(slice(col("_qemb"), col("sub") * sub + 1, lit(sub)), col("_cent")).as("_d"))
+    scoreTables(tdf, enc, m, k)
+  }
+
+  /** Shared ADC scoring: join codes against per-(qid, sub, code)
+    * distance tables, pivot the m per-subspace terms into fixed
+    * slots, and add them in EXPLICIT left-to-right subspace order —
+    * never a SUM() aggregate, whose addition order is
+    * partition-dependent — then take the per-query top-k
+    * (rank filter directly on the window → WindowGroupLimit keeps the
+    * sort map-side).
+    */
+  private def scoreTables(tdf: DataFrame, enc: DataFrame, m: Int, k: Int): DataFrame = {
     val terms = (0 until m).map(s => max(when(col("sub") === s, col("_d"))).as(s"_d$s"))
     val summed = enc
       .join(tdf, Seq("sub", "code"))

@@ -83,12 +83,26 @@ object TextGroups {
     * references its SparkSession, so keying the inner map by the plan
     * would make the WeakHashMap VALUE reach its weak KEY — the
     * documented WeakHashMap failure mode — and stopped sessions would
-    * never be collected. The string form (semanticHash + full schema +
-    * tree string) keeps structural-equality fidelity (treeString alone
-    * can truncate wide schemas) with zero object retention.
+    * never be collected. The string renders with maxFields =
+    * Int.MaxValue (the default treeString truncates wide/deep plans
+    * at spark.sql.debug.maxToStringFields, which could collide two
+    * different inputs) and is SHA-256'd so a huge plan doesn't bloat
+    * the key.
     */
-  private def planKey(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
-    s"${plan.semanticHash()}|${plan.schema.catalogString}|${plan.treeString}"
+  private def planKey(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val full = plan.treeString(
+      /* verbose = */ true,
+      /* addSuffix = */ false,
+      /* maxFields = */ Int.MaxValue,
+      /* printOperatorId = */ false,
+      /* printOutputColumns = */ false)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    val h = digest
+      .digest(s"${plan.schema.catalogString}|$full".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
+    s"${plan.semanticHash()}|$h"
+  }
 
   /** rows / approx-distinct(textKey) — ≥ 1.0 on any non-empty input;
     * 1.0 on an empty one. Measured once per (session, input plan).

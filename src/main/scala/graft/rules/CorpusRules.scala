@@ -358,8 +358,11 @@ object CorpusRules {
     *     model fit on the full corpus observes every bucket the corpus
     *     produces, so this only fires on drift.
     *
-    * Adds `imp_units` (long) and `imp_grams` (long) to surviving rows
-    * for downstream logging/threshold audits.
+    * Adds `imp_units` (decimal(38,0) — matching the operator's
+    * overflow-free accumulator: unit×gram sums with a skewed model
+    * can exceed Long range, and a silent wrap would flip the keep
+    * decision) and `imp_grams` (long) to surviving rows for
+    * downstream logging/threshold audits.
     */
   object ImportanceFilterRule extends Rule {
     val name = "importanceFilter"
@@ -389,10 +392,15 @@ object CorpusRules {
           lit(dflt)))
       val out = df
         .withColumn("_toks", split(trim(lower(col("text"))), "\\s+"))
-        .withColumn("imp_units", aggregate(units, lit(0L), (acc, x) => acc + x))
+        // decimal(38,0) accumulator, like ImportanceWeights.score: a
+        // rare-domain model can hold units ~1e12, and 1e12 × a
+        // multi-million-gram doc overflows Long silently
+        .withColumn(
+          "imp_units",
+          aggregate(units, lit(0L).cast("decimal(38,0)"), (acc, x) => acc + x))
         .withColumn("imp_grams", size(g).cast("long"))
         .drop("_toks")
-      out.filter(col("imp_units") >= lit(minAvg) * col("imp_grams"))
+      out.filter(col("imp_units") >= lit(minAvg).cast("decimal(38,0)") * col("imp_grams"))
     }
   }
 

@@ -82,6 +82,54 @@ class ProductQuantSpec extends SparkSpec {
     out.toMap.apply(1) shouldBe 1L
   }
 
+  test("adcTopKDf is byte-identical to the driver-Seq adcTopK on the same query set") {
+    val df = vecs
+    val cbs = ProductQuant.fitCodebooks(df, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
+    val enc = ProductQuant.encode(df, "id", "emb", cbs).select("id", "sub", "code")
+    val qseq = Seq(
+      (0L, Seq(1.0, 0.0, 10.0, 0.0)),
+      (2L, Seq(-1.0, 0.0, -10.0, 0.0)),
+      (7L, Seq(0.3, -0.2, 4.5, 1.1)) // off-corpus query exercises non-centroid tables
+    )
+    val seqOut = ProductQuant
+      .adcTopK(qseq, enc, cbs, k = 10)
+      .orderBy("qid", "rank")
+      .as[(Long, Int, Long, Double)]
+      .collect()
+    val dfOut = ProductQuant
+      .adcTopKDf(qseq.toDF("qid", "qemb"), "qid", "qemb", enc, cbs, k = 10)
+      .orderBy("qid", "rank")
+      .as[(Long, Int, Long, Double)]
+      .collect()
+    // exact equality including the doubles: the executor-side table
+    // fold replays the driver fold bit-for-bit
+    dfOut shouldBe seqOut
+  }
+
+  test("adcTopKDf scales to a 10k-query batch with no driver-side table build") {
+    val df = vecs
+    val cbs = ProductQuant.fitCodebooks(df, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
+    val enc = ProductQuant.encode(df, "id", "emb", cbs).select("id", "sub", "code")
+    // 10k synthetic queries generated IN SPARK — the query embeddings
+    // never exist on the driver, which is the point of the Df form
+    val queries = spark
+      .range(100L, 10100L)
+      .select(
+        col("id").as("qid"),
+        transform(
+          sequence(lit(0), lit(3)),
+          d => ((col("id") % 13 + d * 7) % 9 - lit(4)).cast("double")).as("qemb"))
+    val out = ProductQuant.adcTopKDf(queries, "qid", "qemb", enc, cbs, k = 2)
+    out.count() shouldBe 10000L * 2 // every query ranks 2 of the 4 corpus vectors
+    // and the plan's only local-relation leaf is the m·k codebook, not
+    // a |Q|-sized literal
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    val localRows = leaves.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.size
+    }
+    assert(localRows.forall(_ <= 4), s"driver-built literal leaked into the plan: $localRows")
+  }
+
   test("subspaces quantize independently: clear 2-cluster structure recovers per subspace") {
     val cbs = ProductQuant.fitCodebooks(vecs, "id", "emb", dims = 4, m = 2, k = 2, iters = 2)
     cbs.size shouldBe 2

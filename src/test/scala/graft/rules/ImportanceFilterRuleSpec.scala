@@ -42,7 +42,7 @@ class ImportanceFilterRuleSpec extends SparkSpec {
       // threshold 0 keeps everything so we can compare the weights themselves
       spark.conf.set("spark.graft.importance.minAvgUnits", "-999999999")
       val ruleW = ImportanceFilterRule(docs)
-        .select(col("id"), col("imp_units"), col("imp_grams"))
+        .select(col("id"), col("imp_units").cast("long"), col("imp_grams"))
         .as[(Long, Long, Long)]
         .collect()
         .map(r => r._1 -> ((r._2, r._3)))
@@ -78,7 +78,7 @@ class ImportanceFilterRuleSpec extends SparkSpec {
       val docs = Seq((10L, "alpha beta alpha"), (11L, "gamma delta gamma")).toDF("id", "text")
       spark.conf.set("spark.graft.importance.minAvgUnits", "-999999999")
       val w = ImportanceFilterRule(docs)
-        .select(col("id"), col("imp_units"), col("imp_grams"))
+        .select(col("id"), col("imp_units").cast("long"), col("imp_grams"))
         .as[(Long, Long, Long)]
         .collect()
       // replay the filter at the default bar by hand
@@ -106,6 +106,30 @@ class ImportanceFilterRuleSpec extends SparkSpec {
         val kept = spark.table("imp_filter_out").select("id").as[Long].collect().toSet
         kept shouldBe Set(10L)
       } finally q.stop()
+    }
+  }
+
+  test("unit sums beyond Long range accumulate in decimal without wrapping") {
+    withModel() {
+      // every gram lands on the default (unseen buckets): with
+      // defaultUnits near Long.MaxValue/2, four grams overflow a Long
+      // accumulator — the decimal path must carry the true sum and
+      // the keep decision must not flip on a wrapped negative
+      spark.conf.set("spark.graft.importance.defaultUnits", "5000000000000000000")
+      spark.conf.set("spark.graft.importance.minAvgUnits", "1000000")
+      try {
+        val docs = Seq((20L, "zeta eta theta iota kappa")).toDF("id", "text")
+        val r = ImportanceFilterRule(docs)
+          .select(col("id"), col("imp_units"), col("imp_grams"))
+          .collect()
+        r.length shouldBe 1
+        val units = BigDecimal(r(0).getDecimal(1))
+        val grams = r(0).getLong(2)
+        units shouldBe BigDecimal("5000000000000000000") * grams
+        assert(units > BigDecimal(Long.MaxValue), "test must actually exceed Long range")
+      } finally {
+        spark.conf.unset("spark.graft.importance.defaultUnits")
+      }
     }
   }
 
