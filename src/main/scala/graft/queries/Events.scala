@@ -271,28 +271,55 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  // ---- q45: approximate aggregates (HLL, approx quantiles, CMS) ---------------
-  // Sketch results are engine-specific by design, so this query has NO
-  // DuckDB oracle (the driver records the weaker rows-present check);
-  // exact counterparts are oracle-checked in q15 and q26. Scalar columns
-  // only: the rows-only check still sorts the frame in pandas, and an
-  // array column is unhashable there (round-1 q45 failure).
+  // ---- q45: approximate aggregates (HLL, approx quantiles) --------------------
+  // Raw sketch estimates are engine-specific by design (Spark's HLL++
+  // and quantile summaries vs DuckDB's HLL and t-digest), so the raw
+  // values can never hash-match. Instead of skipping the gate, each
+  // engine band-checks ITS OWN sketches against ITS OWN exact
+  // aggregates and emits the verdict booleans plus the exact anchors —
+  // those hash bit-for-bit, so the engine-private sketch path is fully
+  // gated after all. Tolerances are deliberately wide multiples of the
+  // configured accuracy (HLL rsd=1% checked at ±10%; quantile rank
+  // error 1/10000 checked at ±5% of value + 0.001 absolute), so the
+  // gate is deterministic-per-engine, not flaky: both engines either
+  // always pass at a given scale or fail loudly in dev. Portable,
+  // value-hashed sketch twins live in q79 (KMV), q105 (HLL), q109
+  // (priority sampling); exact counterparts in q15 and q26.
   def q45ApproxStats(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("qs"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("_au"),
+        expr("approx_percentile(value, array(0.5D, 0.99D), 10000)").as("_qs"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("percentile(value, array(0.5D, 0.99D))").as("_xs"),
         count(lit(1)).as("n")
       )
       .select(
         col("event_type"),
-        col("approx_users"),
-        col("qs").getItem(0).as("approx_p50"),
-        col("qs").getItem(1).as("approx_p99"),
-        col("n")
+        col("n"),
+        col("n_users"),
+        (abs(col("_au") - col("n_users")) <= col("n_users") * lit(0.1)).as("hll_ok"),
+        (abs(col("_qs").getItem(0) - col("_xs").getItem(0)) <=
+          abs(col("_xs").getItem(0)) * lit(0.05) + lit(0.001)).as("p50_ok"),
+        (abs(col("_qs").getItem(1) - col("_xs").getItem(1)) <=
+          abs(col("_xs").getItem(1)) * lit(0.05) + lit(0.001)).as("p99_ok")
       )
       .orderBy("event_type")
+
+  val q45Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+      |    <= COUNT(DISTINCT user_id) * 0.1 AS hll_ok,
+      |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+      |    <= abs(quantile_cont(value, 0.5)) * 0.05 + 0.001 AS p50_ok,
+      |  abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
+      |    <= abs(quantile_cont(value, 0.99)) * 0.05 + 0.001 AS p99_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // ---- q57: cohort retention ---------------------------------------------------
   // Classic event-stream analytics: users grouped by first-seen day,
@@ -546,6 +573,7 @@ object Events {
     "q62_resample" -> q62Sql,
     "q57_retention" -> q57Sql,
     "q58_sliding" -> q58Sql,
+    "q45_approx_stats" -> q45Sql,
     "q20_event_type_stats" -> q20Sql,
     "q21_event_hourly" -> q21Sql,
     "q22_asof_enrich" -> q22Sql,
