@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVFADC (Jegou et al. 2011, §V): the production ANN index. A
+  * trained coarse quantizer routes each vector to a cell; the
+  * RESIDUAL to the cell centroid is product-quantized; a query
+  * searches only its `nprobe` nearest cells with per-cell ADC tables
+  * built from its own residual. Candidate work scales with
+  * nprobe·(N/cells)·m — never cross-cell, never the raw embeddings.
+  *
+  * Extracted from q102's inline pipeline (the query keeps its exact
+  * arithmetic — coarse fit with decimal sums, elementwise residual
+  * subtraction, fixed-subspace-order ADC sums — so the refactor is
+  * hash-invariant vs the DuckDB replay). Two search forms:
+  *
+  *  - [[search]]: the q40-style driver-Seq query contract — right for
+  *    a handful of oracle-gated queries; tables built on the driver.
+  *  - [[searchDf]]: the many-query form — queries stay a DataFrame,
+  *    probe selection and per-(query, cell) residual tables are
+  *    computed in executors against the broadcast model (coarse
+  *    centroids + codebooks, a few KB of literals), so a 10⁵–10⁶
+  *    query batch never funnels through the driver. Bit-equality
+  *    with [[search]] is spec-pinned (IvfadcSpec).
+  */
+object Ivfadc {
+
+  /** A fitted index. `cells` (id, cell) and `enc` (id, sub, code) are
+    * the persisted halves at production scale (the staged index
+    * tables); `coarse` and `codebooks` are the model — driver
+    * literals, like every quantizer here.
+    */
+  final case class Index(
+      coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      cells: DataFrame,
+      enc: DataFrame,
+      dims: Int)
+
+  /** Fit coarse + residual-PQ quantizers and encode the corpus.
+    *
+    * @param e (idCol: long, embCol: array<double>)
+    */
+  def fit(
+      e: DataFrame,
+      idCol: String,
+      embCol: String,
+      coarseK: Int,
+      coarseIters: Int,
+      m: Int,
+      pqK: Int,
+      pqIters: Int
+  ): Index = {
+    val base = e.select(col(idCol).as("id"), col(embCol).as("e"))
+    val adaptive = TextGroups.adaptiveStaging(base, xxhash64(col("e")))
+    val coarse = KMeans.fit(base, idCol = "id", embCol = "e", k = coarseK, iters = coarseIters,
+      dedupVectors = adaptive)
+    val cells = KMeans.assign(base, "e", coarse)
+    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    // localCheckpoint, not persist: the residual projection feeds the
+    // m codebook fits, the adaptive measure and the encoder; a
+    // CacheManager persist would pin an entry per fit forever, while
+    // checkpoint blocks free when the RDD is collected (q102's
+    // round-7 leak fix).
+    val res = cells
+      .select(
+        col("id"),
+        zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"),
+        col("cell"))
+      .localCheckpoint(false)
+    val dims = Similarity.embeddingDims(base, "e")
+    val cbs = ProductQuant.fitCodebooks(
+      res, idCol = "id", embCol = "e", dims = dims, m = m, k = pqK, iters = pqIters,
+      dedupVectors = TextGroups.adaptiveStaging(res, xxhash64(col("e"))))
+    val enc = ProductQuant
+      .encode(res, idCol = "id", embCol = "e", codebooks = cbs)
+      .select(col("id"), col("sub"), col("code"))
+    Index(coarse, cbs, cells.select(col("id"), col("cell")), enc, dims)
+  }
+
+  /** Probed ADC search with driver-built tables — the small-query-set
+    * contract (tables are |Q|·nprobe·m·k driver entries).
+    *
+    * @return (qid, rank, nid, cell, adc_dist), rank 1..k per query
+    */
+  def search(
+      index: Index,
+      queries: Seq[(Long, Seq[Double])],
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val spark = index.enc.sparkSession
+    import spark.implicits._
+    val m = index.codebooks.size
+    val sub = index.dims / m
+    def sqd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val tdist = for {
+      (qid, qemb) <- queries
+      // nprobe nearest coarse cells, ties to the lower cell — the
+      // assignProbes / ROW_NUMBER(dist, cell) order (parity spec-pinned)
+      cell <- KMeans.nearestCells(qemb, index.coarse, nprobe)
+      qres = qemb.zip(index.coarse(cell)).map { case (x, y) => x - y }
+      s <- 0 until m
+      (cent, c) <- index.codebooks(s).zipWithIndex
+    } yield (qid, cell, s, c, sqd(qres.slice(s * sub, (s + 1) * sub), cent))
+    val tdf = broadcast(tdist.toDF("qid", "cell", "sub", "code", "_d"))
+    score(index, tdf, m, k)
+  }
+
+  /** Probed ADC search with tables built IN SPARK — the many-query
+    * form. Probe selection replays [[KMeans.assignProbes]] (same
+    * (dist, cell) sort-struct order), residuals and per-(query, cell,
+    * sub, code) distances fold in executors with the driver fold's
+    * exact arithmetic, so results are byte-identical to [[search]].
+    *
+    * @param queries (qidCol: long, qembCol: array<double>) — any size
+    */
+  def searchDf(
+      index: Index,
+      queries: DataFrame,
+      qidCol: String,
+      qembCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val spark = index.enc.sparkSession
+    import spark.implicits._
+    val m = index.codebooks.size
+    val sub = index.dims / m
+    val probed = KMeans
+      .assignProbes(
+        queries.select(col(qidCol).as("qid"), col(qembCol).as("_qemb")),
+        "_qemb",
+        index.coarse,
+        nprobe)
+    val centLit = array(index.coarse.map(c => array(c.map(lit): _*)): _*)
+    val qres = probed.select(
+      col("qid"),
+      col("cell"),
+      zip_with(col("_qemb"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("_qres"))
+    val cb = index.codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (cent, c) => (s, c, cent) }
+    }.toDF("sub", "code", "_cent")
+    def sqErr(es: Column, centroid: Column): Column =
+      aggregate(
+        zip_with(es, centroid, (a, b) => (a - b) * (a - b)),
+        lit(0.0),
+        (acc, x) => acc + x)
+    val tdf = qres
+      .crossJoin(broadcast(cb))
+      .select(
+        col("qid"),
+        col("cell"),
+        col("sub"),
+        col("code"),
+        sqErr(slice(col("_qres"), col("sub") * sub + 1, lit(sub)), col("_cent")).as("_d"))
+    score(index, tdf, m, k)
+  }
+
+  /** Shared probed-ADC scoring: candidates are the encoded vectors of
+    * the probed cells only (the (cell, sub, code) join key restricts
+    * to them), per-subspace terms pivot into fixed slots and add in
+    * explicit subspace order, and the rank filter sits directly on
+    * the window (WindowGroupLimit keeps the top-k map-side).
+    */
+  private def score(index: Index, tdf: DataFrame, m: Int, k: Int): DataFrame = {
+    val encWithCell = index.enc.join(index.cells, "id")
+    val terms = (0 until m).map(x => max(when(col("sub") === x, col("_d"))).as(s"_d$x"))
+    val summed = encWithCell
+      .join(tdf, Seq("cell", "sub", "code"))
+      .groupBy(col("qid"), col("id").as("nid"), col("cell"))
+      .agg(terms.head, terms.tail: _*)
+    val dist = (0 until m).foldLeft(lit(0.0)) { (acc, x) => acc + col(s"_d$x") }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))
+    summed
+      .select(col("qid"), col("nid"), col("cell"), dist.as("adc_dist"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cell"), col("adc_dist"))
+  }
+}

@@ -591,69 +591,21 @@ object Vectors {
       col("vec_id"),
       graft.operators.Similarity.asDouble(col("embedding")).as("e")
     )
-    val adaptive = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e")))
-    val coarse = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3,
-      dedupVectors = adaptive)
-    val cells = graft.operators.KMeans.assign(e, "e", coarse)
-    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-    // localCheckpoint, not persist: the 4 residual codebook fits, the
-    // adaptive measure and the encoder all read this projection (the
-    // production form is a staged residual table written at
-    // index-build time). A CacheManager persist would pin one cache
-    // entry per invocation forever (nothing here can know when the
-    // returned plan is done); checkpoint blocks are freed when the
-    // RDD is garbage-collected, so repeated calls (Bench's warm
-    // iterations, a long-lived server) don't accumulate storage.
-    val res = cells.select(
-      col("vec_id"),
-      zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"),
-      col("cell"))
-      .localCheckpoint(false)
-    val dims = graft.operators.Similarity.embeddingDims(e, "e")
-    val cbs = graft.operators.ProductQuant.fitCodebooks(
-      res, idCol = "vec_id", embCol = "e", dims = dims, m = 4, k = 4, iters = 2,
-      dedupVectors = graft.operators.TextGroups.adaptiveStaging(res, xxhash64(col("e"))))
-    val enc = graft.operators.ProductQuant
-      .encode(res, idCol = "vec_id", embCol = "e", codebooks = cbs)
-      .select(col("id"), col("sub"), col("code"))
-    // driver-side query prep: probes + per-(query, cell) residual tables
-    def sqd(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
-    val m = 4
-    val sub = dims / m
-    val nprobe = 2
+    // the whole index + probed-search pipeline lives in operators.Ivfadc
+    // (fit: coarse cells -> localCheckpoint'd residuals -> per-subspace
+    // PQ; search: driver tables for this q40-style 8-query contract —
+    // searchDf is the many-query form). The refactor is hash-invariant:
+    // the operator keeps the exact arithmetic this query always had.
+    val idx = graft.operators.Ivfadc.fit(
+      e, idCol = "vec_id", embCol = "e",
+      coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
     val qs = e
       .filter(col("vec_id") < 8)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
       .toSeq
-    val tdist = for {
-      (qid, qemb) <- qs
-      // nprobe nearest coarse cells, ties to the lower cell — the
-      // assignProbes / ROW_NUMBER(dist, cell) order (parity spec-pinned)
-      cell <- graft.operators.KMeans.nearestCells(qemb, coarse, nprobe)
-      qres = qemb.zip(coarse(cell)).map { case (x, y) => x - y }
-      s <- 0 until m
-      (cent, c) <- cbs(s).zipWithIndex
-    } yield (qid, cell, s, c, sqd(qres.slice(s * sub, (s + 1) * sub), cent))
-    import s.implicits._
-    val tdf = broadcast(tdist.toDF("qid", "cell", "sub", "code", "_d"))
-    val encWithCell = enc.join(cells.select(col("vec_id").as("id"), col("cell")), "id")
-    val terms = (0 until m).map(x => max(when(col("sub") === x, col("_d"))).as(s"_d$x"))
-    val summed = encWithCell
-      .join(tdf, Seq("cell", "sub", "code"))
-      .groupBy(col("qid"), col("id").as("nid"), col("cell"))
-      .agg(terms.head, terms.tail: _*)
-    val dist = (0 until m).foldLeft(lit(0.0)) { (acc, x) => acc + col(s"_d$x") }
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))
-    summed
-      .select(col("qid"), col("nid"), col("cell"), dist.as("adc_dist"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("nid"), col("cell"), col("adc_dist"))
-      .orderBy("qid", "rank")
+    graft.operators.Ivfadc.search(idx, qs, nprobe = 2, k = 5).orderBy("qid", "rank")
   }
 
   val q102Sql: String = {
