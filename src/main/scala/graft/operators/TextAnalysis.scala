@@ -116,19 +116,35 @@ object TextAnalysis {
     */
   def gopherMetrics(toks: Column): Seq[Column] = {
     val n = size(toks)
-    val bigrams = transform(
-      sequence(lit(0), n - 2),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    def ngrams(j: Int) = transform(
+      sequence(lit(0), n - j),
+      i => concat_ws(" ", slice(toks, i + 1, lit(j))))
+    // token-fraction form of the paper's decreasing n-gram repetition
+    // caps (A1.1 states them as character fractions; the token form
+    // keeps every quotient an exact integer ratio, hash-replayable)
+    def topNgramFrac(j: Int) =
+      when(n >= j, (maxElementCount(ngrams(j)) * j.toLong).cast("double") / n)
+        .otherwise(lit(0.0))
+    // '#' occurrences plus '...' runs (leftmost non-overlapping, the
+    // same replace semantics in both engines; the length delta of a
+    // '...' removal is an exact multiple of 3)
+    val symCount = aggregate(
+      toks,
+      lit(0L),
+      (a, w) =>
+        a + (length(w) - length(replace(w, lit("#"), lit("")))).cast("long") +
+          ((length(w) - length(replace(w, lit("..."), lit("")))) / 3).cast("long"))
     Seq(
       n.as("n_words"),
       (aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / n)
         .as("mean_word_len"),
       (size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / n).as("alpha_ratio"),
+      (symCount.cast("double") / n).as("symbol_word_ratio"),
       size(filter(typedLit(gopherStopwords), sw => array_contains(toks, sw)))
         .as("n_stop_distinct"),
-      when(n >= 2, (maxElementCount(bigrams) * 2L).cast("double") / n)
-        .otherwise(lit(0.0))
-        .as("top_bigram_frac")
+      topNgramFrac(2).as("top_bigram_frac"),
+      topNgramFrac(3).as("top_3gram_frac"),
+      topNgramFrac(4).as("top_4gram_frac")
     )
   }
 
@@ -152,27 +168,61 @@ object TextAnalysis {
       when(n > 0,
         size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / n)
         .otherwise(lit(0.0))
-        .as("ellipsis_line_frac")
+        .as("ellipsis_line_frac"),
+      // A1.2's duplicate-line fraction: EVERY copy of a repeated line
+      // counts as a duplicate ("lines that are duplicates of other
+      // lines"), so the numerator is n minus the singleton count —
+      // not n minus distinct, which would charge k-1 of k copies
+      when(n > 0, (n.cast("long") - singletonCount(lines)).cast("double") / n)
+        .otherwise(lit(0.0))
+        .as("dup_line_frac")
     )
   }
 
-  /** Gopher's line-rule keep decision: ≤90% bullet lines and ≤30%
-    * ellipsis-terminated lines.
+  /** Count of elements that occur exactly once, as a sorted-run fold
+    * (O(n log n), same shape as [[maxElementCount]]). The empty-string
+    * `prev` sentinel is safe: callers pass arrays of non-empty
+    * strings.
+    */
+  def singletonCount(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("single")),
+      (acc, x) => {
+        val newGrp = x =!= acc.getField("prev")
+        struct(
+          x.as("prev"),
+          when(newGrp, lit(1L)).otherwise(acc.getField("run") + 1L).as("run"),
+          when(newGrp && acc.getField("run") === 1L, acc.getField("single") + 1L)
+            .otherwise(acc.getField("single"))
+            .as("single"))
+      },
+      acc =>
+        acc.getField("single") +
+          when(acc.getField("run") === 1L, lit(1L)).otherwise(lit(0L)))
+
+  /** Gopher's line-rule keep decision: ≤90% bullet lines, ≤30%
+    * ellipsis-terminated lines, ≤30% duplicate lines (A1.2).
     */
   def gopherLineKeep: Column =
-    col("bullet_line_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3
+    col("bullet_line_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3 &&
+      col("dup_line_frac") <= 0.3
 
   /** The Gopher keep decision over [[gopherMetrics]] columns: word
     * count in [minWords, 100k], mean word length in [3, 10], ≥80% of
-    * words alphabetic, ≥2 distinct stop words, and the most frequent
-    * bigram covering ≤18% of tokens (the paper's 2-gram repetition
-    * cap). The paper's word floor of 50 assumes web documents;
+    * words alphabetic, symbol-to-word ratio ≤10% (A1.1's '#'/'...'
+    * rule), ≥2 distinct stop words, and the paper's decreasing
+    * repetition caps on the most frequent 2/3/4-gram (≤18%/16%/14% of
+    * tokens). The paper's word floor of 50 assumes web documents;
     * short-doc corpora tune `minWords` down.
     */
   def gopherKeep(minWords: Int = 50): Column =
     col("n_words") >= minWords && col("n_words") <= 100000 &&
       col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
       col("alpha_ratio") >= 0.8 &&
+      col("symbol_word_ratio") <= 0.1 &&
       col("n_stop_distinct") >= 2 &&
-      col("top_bigram_frac") <= 0.18
+      col("top_bigram_frac") <= 0.18 &&
+      col("top_3gram_frac") <= 0.16 &&
+      col("top_4gram_frac") <= 0.14
 }

@@ -1387,25 +1387,53 @@ object Documents {
        |             (a, b) -> a + b) AS DOUBLE) / LEN(toks) AS mean_word_len,
        |        CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
        |          / LEN(toks) AS alpha_ratio,
+       |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(toks, w ->
+       |                 CAST(LENGTH(w) - LENGTH(REPLACE(w, '#', '')) AS BIGINT)
+       |                 + CAST((LENGTH(w) - LENGTH(REPLACE(w, '...', ''))) // 3 AS BIGINT))),
+       |             (a, b) -> a + b) AS DOUBLE) / LEN(toks) AS symbol_word_ratio,
        |        CAST(LEN(list_filter($stop, sw -> list_contains(toks, sw))) AS INTEGER)
        |          AS n_stop_distinct
        |      FROM t),
-       |bg AS (SELECT doc_id, unnest(list_transform(range(1, LEN(toks)),
-       |                i -> toks[i] || ' ' || toks[i + 1])) AS g
-       |       FROM t),
-       |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
-       |bb AS (SELECT doc_id, MAX(c) AS best FROM bc GROUP BY doc_id),
-       |j AS (SELECT m.doc_id, n_words, mean_word_len, alpha_ratio, n_stop_distinct,
+       |bg2 AS (SELECT doc_id, unnest(list_transform(range(1, LEN(toks)),
+       |                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |        FROM t),
+       |bb2 AS (SELECT doc_id, MAX(c) AS best FROM
+       |          (SELECT doc_id, g, COUNT(*) AS c FROM bg2 GROUP BY doc_id, g) GROUP BY doc_id),
+       |bg3 AS (SELECT doc_id, unnest(list_transform(range(1, LEN(toks) - 1),
+       |                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+       |        FROM t),
+       |bb3 AS (SELECT doc_id, MAX(c) AS best FROM
+       |          (SELECT doc_id, g, COUNT(*) AS c FROM bg3 GROUP BY doc_id, g) GROUP BY doc_id),
+       |bg4 AS (SELECT doc_id, unnest(list_transform(range(1, LEN(toks) - 2),
+       |                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS g
+       |        FROM t),
+       |bb4 AS (SELECT doc_id, MAX(c) AS best FROM
+       |          (SELECT doc_id, g, COUNT(*) AS c FROM bg4 GROUP BY doc_id, g) GROUP BY doc_id),
+       |j AS (SELECT m.doc_id, n_words, mean_word_len, alpha_ratio, symbol_word_ratio,
+       |        n_stop_distinct,
        |        CASE WHEN n_words >= 2
-       |             THEN CAST(COALESCE(bb.best, 0) * 2 AS DOUBLE) / n_words
-       |             ELSE 0.0 END AS top_bigram_frac
-       |      FROM m LEFT JOIN bb ON m.doc_id = bb.doc_id)
-       |SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_distinct, top_bigram_frac,
+       |             THEN CAST(COALESCE(bb2.best, 0) * 2 AS DOUBLE) / n_words
+       |             ELSE 0.0 END AS top_bigram_frac,
+       |        CASE WHEN n_words >= 3
+       |             THEN CAST(COALESCE(bb3.best, 0) * 3 AS DOUBLE) / n_words
+       |             ELSE 0.0 END AS top_3gram_frac,
+       |        CASE WHEN n_words >= 4
+       |             THEN CAST(COALESCE(bb4.best, 0) * 4 AS DOUBLE) / n_words
+       |             ELSE 0.0 END AS top_4gram_frac
+       |      FROM m LEFT JOIN bb2 ON m.doc_id = bb2.doc_id
+       |             LEFT JOIN bb3 ON m.doc_id = bb3.doc_id
+       |             LEFT JOIN bb4 ON m.doc_id = bb4.doc_id)
+       |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_word_ratio, n_stop_distinct,
+       |  top_bigram_frac, top_3gram_frac, top_4gram_frac,
        |  (n_words >= 50 AND n_words <= 100000
        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
        |   AND alpha_ratio >= 0.8
+       |   AND symbol_word_ratio <= 0.1
        |   AND n_stop_distinct >= 2
-       |   AND top_bigram_frac <= 0.18) AS keep
+       |   AND top_bigram_frac <= 0.18
+       |   AND top_3gram_frac <= 0.16
+       |   AND top_4gram_frac <= 0.14) AS keep
        |FROM j
        |ORDER BY doc_id""".stripMargin
   }

@@ -422,8 +422,9 @@ object CorpusRules {
         .map(_.toInt)
         .getOrElse(50)
       val reserved =
-        Seq("n_words", "mean_word_len", "alpha_ratio", "n_stop_distinct", "top_bigram_frac",
-          "n_lines", "bullet_line_frac", "ellipsis_line_frac", "_toks")
+        Seq("n_words", "mean_word_len", "alpha_ratio", "symbol_word_ratio", "n_stop_distinct",
+          "top_bigram_frac", "top_3gram_frac", "top_4gram_frac",
+          "n_lines", "bullet_line_frac", "ellipsis_line_frac", "dup_line_frac", "_toks")
       val clash = df.columns.toSet.intersect(reserved.toSet)
       require(
         clash.isEmpty,

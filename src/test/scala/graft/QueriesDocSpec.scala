@@ -22,14 +22,13 @@ class QueriesDocSpec extends AnyFunSuite with Matchers {
     SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
   }
 
-  test("exactly q45 is rows-only (the doc header's claim)") {
-    // q45's HLL/approx-quantile sketches are engine-private by design
-    // (the portable KMV form q79 IS hash-gated); everything else —
-    // including q52's trained k-means, replayed in DuckDB via unrolled
-    // Lloyd iterations — carries a full oracle.
+  test("no query is rows-only — every catalog entry carries an oracle") {
+    // Since q45 was rewritten to band-check each engine's own sketches
+    // against its own exact stats (emitting deterministic verdict
+    // booleans plus exact anchors), the whole catalog is hash-gated.
     val rowsOnly = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet)
       .map(_.split("_")(0))
-    rowsOnly shouldBe Set("q45")
+    rowsOnly shouldBe empty
   }
 }

@@ -85,6 +85,49 @@ class TextAnalysisSpec extends SparkSpec {
     out(3).getAs[Double]("top_bigram_frac") shouldBe (60.0 / 62) +- 1e-12
   }
 
+  test("gopher symbol ratio and 3/4-gram caps on hand-computed documents") {
+    val hashy = (Seq("the", "of") ++ (1 to 50).map(i => s"word$i") ++ (1 to 8).map(_ => "##")).mkString(" ")
+    val dots = (Seq("the", "of") ++ (1 to 50).map(i => s"word$i")).mkString(" ") + " done..."
+    val tripled = (Seq("the", "of") ++ Seq.fill(20)(Seq("a1", "b2", "c3")).flatten).mkString(" ")
+    val rows = Seq(hashy, dots, tripled).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id") +: TextAnalysis.gopherMetrics(split(trim(lower(col("text"))), "\\s+")): _*)
+      .withColumn("keep", TextAnalysis.gopherKeep())
+      .orderBy("doc_id")
+      .collect()
+    // 16 '#' chars over 60 words -> 0.2667 > 0.1 cap
+    out(0).getAs[Double]("symbol_word_ratio") shouldBe (16.0 / 60) +- 1e-12
+    out(0).getAs[Boolean]("keep") shouldBe false
+    // one '...' run over 53 words -> well under the cap
+    out(1).getAs[Double]("symbol_word_ratio") shouldBe (1.0 / 53) +- 1e-12
+    out(1).getAs[Boolean]("keep") shouldBe true
+    // "a1 b2 c3" repeats 20 times in 62 tokens: trigram count 20,
+    // frac 60/62 — caught by the 3-gram cap (bigram "a1 b2" also 20
+    // of 61 bigram positions but the trigram signal is the stronger)
+    out(2).getAs[Double]("top_3gram_frac") shouldBe (60.0 / 62) +- 1e-12
+    out(2).getAs[Boolean]("keep") shouldBe false
+  }
+
+  test("duplicate-line fraction counts every copy of a repeated line") {
+    val dupheavy = Seq("alpha", "beta", "alpha", "gamma", "alpha", "beta").mkString("\n")
+    val clean = Seq("one", "two", "three").mkString("\n")
+    val rows = Seq(dupheavy, clean).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id") +: TextAnalysis.gopherLineMetrics(col("text")): _*)
+      .withColumn("keep", TextAnalysis.gopherLineKeep)
+      .orderBy("doc_id")
+      .collect()
+    // alpha×3 + beta×2 = 5 duplicate lines of 6 (gamma is the singleton)
+    out(0).getAs[Double]("dup_line_frac") shouldBe (5.0 / 6) +- 1e-12
+    out(0).getAs[Boolean]("keep") shouldBe false
+    out(1).getAs[Double]("dup_line_frac") shouldBe 0.0
+    out(1).getAs[Boolean]("keep") shouldBe true
+  }
+
   test("gopher line metrics and keep on multi-line documents") {
     val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
     val prose = "a normal paragraph\nand another one\n- one bullet is fine"

@@ -11,9 +11,10 @@ class GopherFilterRuleSpec extends SparkSpec {
   import spark.implicits._
 
   private val good = (Seq("the", "of") ++ (1 to 60).map(i => s"word$i")).mkString(" ")
-  // 22 words: under the default 50-word floor, but passes every other
-  // rule (bigram frac = 2/22 ≈ 0.09 ≤ 0.18)
-  private val short = (Seq("the", "of") ++ (1 to 20).map(i => s"word$i")).mkString(" ")
+  // 40 words: under the default 50-word floor, but passes every other
+  // rule — including the n-gram repetition caps, which any very short
+  // doc fails intrinsically (top-4-gram frac = 4/n needs n ≥ 29)
+  private val short = (Seq("the", "of") ++ (1 to 38).map(i => s"word$i")).mkString(" ")
   private val nostop = (1 to 60).map(i => s"word$i").mkString(" ")
   private val repeated = (Seq("the", "of") ++ Seq.fill(30)(Seq("spam", "ham")).flatten).mkString(" ")
 
@@ -38,7 +39,7 @@ class GopherFilterRuleSpec extends SparkSpec {
     spark.conf.set("spark.graft.gopher.minWords", "3")
     try {
       val kept = GopherFilterRule(corpus).select("doc_id").as[Long].collect().toSet
-      kept should contain(1L) // the 4-word doc passes at floor 3
+      kept should contain(1L) // the 40-word doc passes at floor 3
       kept should not contain 2L // still fails the stopword rule
     } finally spark.conf.unset("spark.graft.gopher.minWords")
   }
