@@ -42,24 +42,7 @@ object Bm25 {
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
   }
 
-  /** Top-k documents per query, BM25-scored (rational-idf variant).
-    *
-    * @param queries (qid, terms) — terms in fixed slot order; a doc
-    *                matches if it contains ANY query term (disjunctive).
-    *                Terms must be distinct within a query (each slot
-    *                contributes its term's score independently, so a
-    *                repeated term would double-count) and lowercase
-    *                (the corpus side lowers before tokenizing; a
-    *                mixed-case term silently matches nothing).
-    */
-  def topK(
-      docs: DataFrame,
-      idCol: String,
-      textCol: Column,
-      queries: Seq[(Int, Seq[String])],
-      k1: Double = 1.2,
-      b: Double = 0.75,
-      k: Int = 10): DataFrame = {
+  private def validate(queries: Seq[(Int, Seq[String])]): Unit = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")
     queries.foreach { case (qid, ts) =>
       require(
@@ -71,9 +54,21 @@ object Bm25 {
         s"query $qid has a non-lowercase term (${ts.mkString(", ")}) — the corpus is " +
           "lowered before tokenizing, so mixed-case terms silently match nothing")
     }
+  }
+
+  /** Per-(qid, slot, doc) posting rows carrying the term's BM25
+    * contribution `s` and the term's document frequency `df` — the
+    * shared substrate of [[topK]] and [[topKPruned]].
+    */
+  private def queryPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double,
+      b: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val maxTerms = queries.map(_._2.size).max
     val corpus = base(docs, idCol, textCol)
     val allTerms = queries.flatMap(_._2).distinct
     // ONE aggregate for (N, Σdl); joined as a 1-row broadcast so avgdl
@@ -104,18 +99,155 @@ object Bm25 {
       ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
     }
     val qdf = broadcast(qterms.toDF("qid", "slot", "term"))
+    scored.join(qdf, "term")
+  }
+
+  /** Per-(qid, doc) score from posting rows: fixed query-term slots
+    * pivoted with MAX(CASE) and summed in literal slot order — never a
+    * partition-ordered double SUM (the hash-portability guard).
+    */
+  private def pivotScore(qpost: DataFrame, maxTerms: Int): DataFrame = {
     val slots = (0 until maxTerms).map(i => max(when(col("slot") === i, col("s"))).as(s"_s$i"))
     val score = (0 until maxTerms).foldLeft(lit(0.0)) { (acc, i) =>
       acc + coalesce(col(s"_s$i"), lit(0.0))
     }
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    scored
-      .join(qdf, "term")
+    qpost
       .groupBy(col("qid"), col("doc_id"))
       .agg(slots.head, slots.tail: _*)
       .withColumn("score", score)
+  }
+
+  /** Top-k documents per query, BM25-scored (rational-idf variant).
+    *
+    * @param queries (qid, terms) — terms in fixed slot order; a doc
+    *                matches if it contains ANY query term (disjunctive).
+    *                Terms must be distinct within a query (each slot
+    *                contributes its term's score independently, so a
+    *                repeated term would double-count) and lowercase
+    *                (the corpus side lowers before tokenizing; a
+    *                mixed-case term silently matches nothing).
+    */
+  def topK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    validate(queries)
+    val maxTerms = queries.map(_._2.size).max
+    val qpost = queryPostings(docs, idCol, textCol, queries, k1, b)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    pivotScore(qpost, maxTerms)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** [[topK]] with max-score (WAND-family) pruning — identical output,
+    * bounded candidate generation on hot terms.
+    *
+    * Each (query, term) posting list is impact-ordered and truncated to
+    * its top-`cap` contributions map-side (the rank filter sits
+    * directly on the window, so Spark inserts WindowGroupLimit — a hot
+    * term never materializes more than `cap` candidate rows per query
+    * past its executor). Candidates are then scored on their FULL
+    * posting sets, so a candidate's score is exact. Exactness of the
+    * top-k follows from the classic max-score bound: a document
+    * excluded from every truncated list can score at most
+    * Σ_t c_t, where c_t is the cap-th (weakest kept) impact of the
+    * lists that actually dropped documents (`df > cap`); if the k-th
+    * candidate score strictly dominates that bound, no excluded
+    * document can displace it (strictness also kills tie-break
+    * displacement). Queries whose bound check fails — cap too small
+    * for the score distribution — fall back to the unpruned scoring
+    * for just those qids, so the method NEVER returns an approximate
+    * ranking. The bound itself sums per-slot pivots in literal order
+    * (same portability guard as the score).
+    *
+    * At 100 TB this is the production form the [[topK]] scaladoc
+    * promises: candidate volume per query is ≤ cap·|terms| regardless
+    * of how hot a term is, the candidate set is broadcast back against
+    * the postings (no shuffle of the hot lists by doc), and the
+    * fallback path touches only the failing queries' postings.
+    */
+  def topKPruned(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10,
+      cap: Int = 100): DataFrame =
+    prunedInternal(docs, idCol, textCol, queries, k1, b, k, cap)._2
+
+  /** (candidate set, final result) — the tuple form exists so specs can
+    * assert the candidate volume stays bounded on a hot-term corpus.
+    */
+  private[graft] def prunedInternal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double,
+      b: Double,
+      k: Int,
+      cap: Int): (DataFrame, DataFrame) = {
+    validate(queries)
+    require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    val maxTerms = queries.map(_._2.size).max
+    val qpost = queryPostings(docs, idCol, textCol, queries, k1, b)
+      .select(col("qid"), col("slot"), col("doc_id"), col("s"), col("df"))
+    // Impact-ordered truncation: rank filter DIRECTLY above the window
+    // -> WindowGroupLimit keeps the top-cap selection map-side.
+    val wImp = Window.partitionBy(col("qid"), col("slot")).orderBy(col("s").desc, col("doc_id"))
+    val capped = qpost
+      .withColumn("ir", row_number().over(wImp))
+      .filter(col("ir") <= cap)
+    // Exclusion bound per query: lists that dropped documents
+    // (df > cap) contribute their weakest KEPT impact; untruncated
+    // lists contribute 0 (an excluded doc by definition matches none
+    // of them). Summed over fixed slots in literal order.
+    val slotBounds =
+      (0 until maxTerms).map(i => max(when(col("slot") === i, col("c_t"))).as(s"_c$i"))
+    val boundExpr = (0 until maxTerms).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + coalesce(col(s"_c$i"), lit(0.0))
+    }
+    val qbound = capped
+      .groupBy(col("qid"), col("slot"))
+      .agg(min(col("s")).as("smin"), max(col("df")).as("dfm"))
+      .withColumn("c_t", when(col("dfm") > cap, col("smin")).otherwise(lit(0.0)))
+      .groupBy(col("qid"))
+      .agg(slotBounds.head, slotBounds.tail: _*)
+      .withColumn("bound", boundExpr)
+      .select(col("qid"), col("bound"))
+    val cands = capped.select(col("qid"), col("doc_id")).distinct()
+    // Candidates scored on their FULL postings; the candidate set is
+    // <= |queries|·maxTerms·cap rows by construction, so broadcasting
+    // it keeps the hot posting lists from shuffling by doc.
+    val candScore = pivotScore(qpost.join(broadcast(cands), Seq("qid", "doc_id")), maxTerms)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val ranked = candScore
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val safety = ranked
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("ncand"), min(col("score")).as("kth"))
+      .join(qbound, Seq("qid"))
+      .withColumn(
+        "safe",
+        col("bound") === 0.0 || (col("ncand") === k && col("bound") < col("kth")))
+    val safeQ = safety.filter(col("safe")).select(col("qid"))
+    val unsafeQ = safety.filter(!col("safe")).select(col("qid"))
+    val prunedPart = ranked
+      .join(broadcast(safeQ), Seq("qid"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+    val fullPart = pivotScore(qpost.join(broadcast(unsafeQ), Seq("qid")), maxTerms)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+    (cands, prunedPart.unionByName(fullPart))
   }
 }

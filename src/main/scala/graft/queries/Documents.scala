@@ -1459,11 +1459,24 @@ object Documents {
       .topK(docs(s, dir), "doc_id", col("text"), bm25Queries, k1 = 1.2, b = 0.75, k = 10)
       .orderBy("qid", "rank")
 
-  val q104Sql: String = {
-    val allTerms = bm25Queries.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")
-    val qtRows = bm25Queries
+  /** DuckDB replay of the rational-idf BM25 ranking for a query set —
+    * shared by q104 (exact) and q110 (pruned: [[graft.operators.Bm25
+    * .topKPruned]] is exactness-preserving by its max-score bound +
+    * fallback, so the UNPRUNED relational form is the correct oracle
+    * for it too).
+    */
+  private def bm25Sql(queries: Seq[(Int, Seq[String])]): String = {
+    val maxTerms = queries.map(_._2.size).max
+    val allTerms = queries.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")
+    val qtRows = queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
       .mkString(",")
+    val slotCols = (0 until maxTerms)
+      .map(i => s"          MAX(CASE WHEN slot = $i THEN s END) AS s$i")
+      .mkString(",\n")
+    val scoreExpr = (0 until maxTerms).foldLeft("0.0") { (acc, i) =>
+      s"($acc + COALESCE(s$i, 0.0))"
+    }
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
        |           FROM documents),
        |base AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t),
@@ -1485,12 +1498,10 @@ object Documents {
        |       FROM wdf CROSS JOIN stats),
        |qt(qid, slot, term) AS (VALUES $qtRows),
        |per AS (SELECT qid, doc_id,
-       |          MAX(CASE WHEN slot = 0 THEN s END) AS s0,
-       |          MAX(CASE WHEN slot = 1 THEN s END) AS s1,
-       |          MAX(CASE WHEN slot = 2 THEN s END) AS s2
+       |$slotCols
        |        FROM sc JOIN qt USING (term) GROUP BY qid, doc_id),
        |r AS (SELECT qid, doc_id,
-       |        ((0.0 + COALESCE(s0, 0.0)) + COALESCE(s1, 0.0)) + COALESCE(s2, 0.0) AS score
+       |        $scoreExpr AS score
        |      FROM per),
        |rk AS (SELECT qid, doc_id, score,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
@@ -1500,6 +1511,38 @@ object Documents {
        |FROM rk WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
   }
+
+  val q104Sql: String = bm25Sql(bm25Queries)
+
+  // ---- q110: BM25 with WAND/max-score pruning --------------------------------
+  // Same ranking as q104 but through Bm25.topKPruned: every (query,
+  // term) posting list is impact-truncated to its top-`cap` entries
+  // map-side (WindowGroupLimit), candidates are re-scored on full
+  // postings, and the classic max-score bound certifies exactness (or
+  // the query falls back to unpruned scoring). On this corpus the
+  // query terms have df≈400 > cap=100, so the pruning path genuinely
+  // executes; because the operator is exactness-preserving, the oracle
+  // is the ordinary unpruned relational form.
+  private val wandQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("batch", "scan"),
+    2 -> Seq("data", "slow", "filter"),
+    3 -> Seq("join")
+  )
+
+  def q110Bm25Wand(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25
+      .topKPruned(
+        docs(s, dir),
+        "doc_id",
+        col("text"),
+        wandQueries,
+        k1 = 1.2,
+        b = 0.75,
+        k = 10,
+        cap = 100)
+      .orderBy("qid", "rank")
+
+  val q110Sql: String = bm25Sql(wandQueries)
 
   // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
   // The published fair-sampling allocator for multi-source training
@@ -1681,6 +1724,7 @@ object Documents {
     "q108_cdc_chunks" -> (q108CdcChunks _),
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q104_bm25" -> (q104Bm25 _),
+    "q110_bm25_wand" -> (q110Bm25Wand _),
     "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
@@ -1714,6 +1758,7 @@ object Documents {
     "q108_cdc_chunks" -> q108Sql,
     "q106_unimax_alloc" -> q106Sql,
     "q104_bm25" -> q104Sql,
+    "q110_bm25_wand" -> q110Sql,
     "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,

@@ -83,4 +83,61 @@ class Bm25Spec extends SparkSpec {
     val cherry = ref(Seq("cherry"))
     out.filter(_._1 == 2).foreach { case (_, _, id, s) => s shouldBe cherry(id) +- 1e-12 }
   }
+
+  // ---- WAND / max-score pruning -------------------------------------------
+
+  /** 2000 docs all containing the hot term; rare terms in a sliver.
+    * Impacts differ per doc through length normalization (dl varies by
+    * padding), so impact ordering is non-trivial.
+    */
+  private def hotCorpus = {
+    val rows = (0 until 2000).map { i =>
+      val pad = Seq.fill(i % 17)("filler" + (i % 5)).mkString(" ")
+      val rare = if (i % 97 == 0) " needle" else ""
+      (i.toLong, s"hotword common$pad$rare stuff$i")
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("qid", "rank").as[(Int, Int, Long, Double)].collect().toSeq
+
+  test("pruned top-k is byte-identical to the exact form on the hand corpus") {
+    for (cap <- Seq(1, 2, 100)) {
+      val qs = Seq(1 -> Seq("apple", "kiwi"), 2 -> Seq("banana"))
+      val exact = collectTopK(Bm25.topK(corpus, "doc_id", col("text"), qs, k = 3))
+      val pruned =
+        collectTopK(Bm25.topKPruned(corpus, "doc_id", col("text"), qs, k = 3, cap = cap))
+      pruned shouldBe exact
+    }
+  }
+
+  test("hot-term soak: candidates stay bounded by cap·terms and output stays exact") {
+    val qs = Seq(1 -> Seq("hotword", "needle"), 2 -> Seq("hotword"))
+    val (cands, result) =
+      Bm25.prunedInternal(hotCorpus, "doc_id", col("text"), qs, 1.2, 0.75, 10, 50)
+    // hot term has df=2000 but each (query, term) list is truncated to
+    // 50: ≤ 2 queries × 2 terms × 50
+    cands.count() should be <= 200L
+    val exact = collectTopK(Bm25.topK(hotCorpus, "doc_id", col("text"), qs, k = 10))
+    collectTopK(result) shouldBe exact
+  }
+
+  test("unsafe bound falls back to exact scoring (cap smaller than k)") {
+    // cap=3 < k=8 on a hot list: the k-th candidate can't dominate the
+    // exclusion bound, so the fallback path must fire — and the output
+    // must STILL equal the unpruned ranking.
+    val qs = Seq(1 -> Seq("hotword"))
+    val exact = collectTopK(Bm25.topK(hotCorpus, "doc_id", col("text"), qs, k = 8))
+    val pruned =
+      collectTopK(Bm25.topKPruned(hotCorpus, "doc_id", col("text"), qs, k = 8, cap = 3))
+    pruned shouldBe exact
+  }
+
+  test("impact truncation runs as WindowGroupLimit, not a full per-term sort") {
+    val qs = Seq(1 -> Seq("hotword", "needle"))
+    val (cands, _) = Bm25.prunedInternal(hotCorpus, "doc_id", col("text"), qs, 1.2, 0.75, 10, 50)
+    val plan = cands.queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
 }
