@@ -50,9 +50,20 @@ object StreamingDedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.0,
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      compactEvery: Int = 0
   ): Unit = {
     val spark = batch.sparkSession
+    val tables = Seq(s"$stagingDir/bands", s"$stagingDir/shingles", pairsDir)
+    // A compaction interrupted between its partition deletes and the
+    // tmp rename would leave the staged table incomplete for THIS
+    // batch's read — finish any such swap before touching state. (The
+    // tmp dir is underscore-hidden, so an incomplete one is inert.)
+    tables.foreach { dir =>
+      val p = new HPath(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) recoverSwaps(fs, p)
+    }
     // Exactly-once holds only for same-checkpoint replay: a restart
     // with a fresh/deleted checkpoint resets batchId to 0, and the
     // overwrite-mode writes below would then silently clobber prior
@@ -62,7 +73,7 @@ object StreamingDedup {
     // batchId (batch N+1 starts only after N's checkpoint commit), so
     // any partition id ABOVE the current batch is proof of checkpoint
     // loss — fail fast before touching state.
-    Seq(s"$stagingDir/bands", s"$stagingDir/shingles", pairsDir).foreach { dir =>
+    tables.foreach { dir =>
       maxBatchId(spark, dir).filter(_ > batchId).foreach { seen =>
         throw new IllegalStateException(
           s"$dir already holds batch_id=$seen > current batch $batchId: the stream " +
@@ -83,6 +94,14 @@ object StreamingDedup {
     pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     batchBands.write.mode("overwrite").parquet(s"$stagingDir/bands/batch_id=$batchId")
     batchSh.write.mode("overwrite").parquet(s"$stagingDir/shingles/batch_id=$batchId")
+    // Auto-compaction cadence: fold final partitions every
+    // `compactEvery` batches so a long-lived stream holds O(1)
+    // partition dirs instead of one per micro-batch forever. Running
+    // here — after this batch's writes, before the checkpoint commit —
+    // is the "between micro-batches" window compactStaged requires,
+    // and a crash mid-compaction is healed by the recovery pass above.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      tables.foreach(dir => compactStaged(spark, dir))
   }
 
   /** The staged relation accumulated by batches STRICTLY BEFORE
@@ -146,15 +165,7 @@ object StreamingDedup {
     val p = new HPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    // Complete an interrupted swap before planning a new one.
-    fs.listStatus(p)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("_compact_tmp_"))
-      .foreach { tmp =>
-        val target = tmp.getName.stripPrefix("_compact_tmp_").toLong
-        if (fs.exists(new HPath(tmp, "_SUCCESS"))) finishSwap(fs, p, tmp, target)
-        else fs.delete(tmp, true) // incomplete write: plain debris
-      }
+    recoverSwaps(fs, p)
     val ids = fs
       .listStatus(p)
       .iterator
@@ -175,6 +186,19 @@ object StreamingDedup {
       .parquet(tmp.toString)
     finishSwap(fs, p, tmp, target)
   }
+
+  /** Complete an interrupted compaction swap (tmp fully written →
+    * finish it; partial tmp → plain debris, delete it).
+    */
+  private def recoverSwaps(fs: org.apache.hadoop.fs.FileSystem, p: HPath): Unit =
+    fs.listStatus(p)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_compact_tmp_"))
+      .foreach { tmp =>
+        val target = tmp.getName.stripPrefix("_compact_tmp_").toLong
+        if (fs.exists(new HPath(tmp, "_SUCCESS"))) finishSwap(fs, p, tmp, target)
+        else fs.delete(tmp, true) // incomplete write: plain debris
+      }
 
   private def finishSwap(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -201,6 +225,12 @@ object StreamingDedup {
     *   .option("checkpointLocation", ckpt)
     *   .start()
     * }}}
+    *
+    * `compactEvery = N` folds the staging/pairs tables' final batch
+    * partitions into one every N micro-batches (default 16), keeping a
+    * long-running stream at O(1) partition directories instead of one
+    * per batch forever; 0 disables (caller runs [[compactStaged]]
+    * itself).
     */
   def nearDupIngest(
       stream: DataFrame,
@@ -212,12 +242,13 @@ object StreamingDedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.0,
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      compactEvery: Int = 16
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       nearDupIngestBatch(
         batch, batchId, idCol, textCol, stagingDir, pairsDir,
-        k, numHashes, bands, threshold, maxBucketSize)
+        k, numHashes, bands, threshold, maxBucketSize, compactEvery)
       ()
     }
 }

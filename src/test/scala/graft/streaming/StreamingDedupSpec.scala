@@ -146,6 +146,55 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("compactEvery keeps partition counts bounded across 3N batches, output unchanged") {
+    val rootA = java.nio.file.Files.createTempDirectory("graft_sdedup_cadA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_sdedup_cadB").toString
+    def ids(root: String, sub: String): Set[Long] = {
+      val f = new java.io.File(s"$root/$sub")
+      if (!f.exists()) Set.empty
+      else
+        f.listFiles()
+          .map(_.getName)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .toSet
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "the quick brown fox jumps over the lazy cat",
+      "sphinx of black quartz judge my vow tonight",
+      "the quick brown fox leaps over the lazy dog",
+      "entirely novel words matching nothing else at all",
+      "the quick brown fox jumps over the lazy dog again",
+      "jackdaws love my big sphinx of quartz daily",
+      "pack my box with five dozen liquor jugs tomorrow"
+    )
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val df = Seq((i.toLong, t)).toDF("doc_id", "text")
+      // cadence run: compact every 3 batches
+      StreamingDedup.nearDupIngestBatch(df, i.toLong, "doc_id", "text",
+        s"$rootA/staging", s"$rootA/pairs", k = 3, numHashes = 8, bands = 4, compactEvery = 3)
+      // control run: never compacted
+      StreamingDedup.nearDupIngestBatch(df, i.toLong, "doc_id", "text",
+        s"$rootB/staging", s"$rootB/pairs", k = 3, numHashes = 8, bands = 4)
+      // bounded at every step: never more than compactEvery + 2 dirs
+      Seq("staging/bands", "staging/shingles", "pairs").foreach { sub =>
+        assert(ids(rootA, sub).size <= 5, s"$sub has ${ids(rootA, sub)} after batch $i")
+      }
+    }
+    // after the batch-8 compaction: two dirs (final fold + latest) vs 9 uncompacted
+    ids(rootA, "staging/bands").size shouldBe 2
+    ids(rootB, "staging/bands").size shouldBe 9
+    // identical pair output (batch_id attribution aside)
+    pairSet(s"$rootA/pairs") shouldBe pairSet(s"$rootB/pairs")
+    // identical staged content for any future batch
+    spark.read.option("basePath", s"$rootA/staging/shingles").parquet(s"$rootA/staging/shingles")
+      .drop("batch_id").collect().toSet shouldBe
+      spark.read.option("basePath", s"$rootB/staging/shingles").parquet(s"$rootB/staging/shingles")
+        .drop("batch_id").collect().toSet
+  }
+
   test("an interrupted compaction swap completes on the next call") {
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_swapfix").toString
     val dir = s"$root/staging/bands"
