@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * [[Media.FakeCodec]]/[[Media.FakeResizer]] (deterministic synthetic
   * fixtures for payloads that are not real containers — and the codec
   * q50's cross-engine oracle replays, since DuckDB cannot decode
-  * PNGs). A JNI/ffmpeg-backed codec for audio/video drops into the
-  * same trait with nothing else changing.
+  * PNGs), plus [[Media.WavCodec]] (real PCM WAV/AIFF/AU decode via the
+  * JDK's `javax.sound.sampled`: frames, sample rate, channels, RMS)
+  * and [[Media.JdkCodec]] dispatching image/audio to the real codecs.
+  * A JNI/ffmpeg-backed video codec drops into the same trait with
+  * nothing else changing.
   *
   * Scale design: decode runs as `mapPartitions` over the binary column
   * — one codec instance per partition (amortized init, the same shape
@@ -103,6 +106,93 @@ object Media {
         val mean = if (w == 0 || h == 0) 0.0 else sum.toDouble / (w.toLong * h * 3L)
         (w, h, channels, mean)
       }
+  }
+
+  /** Real JDK-backed audio codec — `javax.sound.sampled` ships with the
+    * JVM, so WAV/AIFF/AU PCM decode needs no external libraries. For
+    * `kind == "audio"` the [[Codec]] tuple is mapped as:
+    *
+    *   - width    → frame count (so width / height = duration in s)
+    *   - height   → sample rate in Hz
+    *   - channels → channel count
+    *   - meanIntensity → RMS amplitude normalized to [0, 1]
+    *
+    * Decode failures are LOUD, same policy as [[ImageIoCodec]]: a
+    * corrupt corpus should fail the task, not silently emit fake
+    * features. Non-audio kinds fall back to [[FakeCodec]].
+    */
+  object WavCodec extends Codec {
+    def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double) =
+      if (kind != "audio") FakeCodec.decode(payload, kind)
+      else {
+        val in =
+          try
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"undecodable audio payload (${payload.length} bytes)", e)
+          }
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          require(
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            s"unsupported audio encoding $enc (PCM only)")
+          val bits = fmt.getSampleSizeInBits
+          require(bits == 8 || bits == 16, s"unsupported sample size $bits (8/16-bit PCM only)")
+          val frames = in.getFrameLength
+          require(frames >= 0 && frames <= Int.MaxValue, s"frame count $frames out of range")
+          val bytes = in.readAllBytes()
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          var sumSq = 0.0
+          var n = 0
+          if (bits == 8) {
+            var i = 0
+            while (i < bytes.length) {
+              // 8-bit WAV convention is unsigned; normalize to [-1, 1)
+              val v =
+                if (signed) bytes(i).toDouble / 128.0
+                else ((bytes(i) & 0xff) - 128).toDouble / 128.0
+              sumSq += v * v
+              n += 1
+              i += 1
+            }
+          } else {
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val lo = bytes(if (big) i + 1 else i) & 0xff
+              val hi = bytes(if (big) i else i + 1)
+              val raw = (hi << 8) | lo
+              val v =
+                if (signed) raw.toDouble / 32768.0
+                else (((raw & 0xffff) - 32768)).toDouble / 32768.0
+              sumSq += v * v
+              n += 1
+              i += 2
+            }
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          (frames.toInt, fmt.getSampleRate.toInt, fmt.getChannels, rms)
+        } finally in.close()
+      }
+  }
+
+  /** The all-real JDK dispatcher: image → [[ImageIoCodec]], audio →
+    * [[WavCodec]], anything else (video chunks, unknown kinds) →
+    * [[FakeCodec]]'s deterministic shape, so mixed media tables flow
+    * through one stage. [[FakeCodec]] remains q50's oracle codec —
+    * DuckDB can replay neither a PNG nor a WAV decode.
+    */
+  object JdkCodec extends Codec {
+    def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double) = kind match {
+      case "image" => ImageIoCodec.decode(payload, kind)
+      case "audio" => WavCodec.decode(payload, kind)
+      case _ => FakeCodec.decode(payload, kind)
+    }
   }
 
   /** Decode stage: binary payloads → typed features, batched per

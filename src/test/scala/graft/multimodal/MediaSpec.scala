@@ -90,6 +90,53 @@ class MediaSpec extends SparkSpec {
     feats.head.meanIntensity shouldBe 42.5 +- 3.0
   }
 
+  /** Real 16-bit PCM mono WAV: a square wave of constant absolute
+    * amplitude A, so the RMS has the exact closed form A/32768.
+    */
+  private def wavBytes(frames: Int, sampleRate: Int, amplitude: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val v: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec decodes a real WAV: frames, rate, channels, exact RMS") {
+    val ds = Seq(
+      Media.MediaRecord(20L, "audio", "synthetic://20", wavBytes(4000, 8000, 16384)),
+      Media.MediaRecord(21L, "image", "synthetic://21", pngBytes(8, 8))
+    ).toDS()
+    val f = Media
+      .decodeFeatures(ds, () => Media.JdkCodec)
+      .collect()
+      .map(x => x.mediaId -> x)
+      .toMap
+    f(20L).width shouldBe 4000 // frames: width/height = 0.5 s duration
+    f(20L).height shouldBe 8000 // sample rate
+    f(20L).channels shouldBe 1
+    // |sample| is constant 16384 -> RMS = 16384/32768 = 0.5 exactly
+    f(20L).meanIntensity shouldBe 0.5 +- 1e-12
+    // the dispatcher still routes images to the real image codec
+    f(21L).width shouldBe 8
+    f(21L).meanIntensity shouldBe 42.5
+  }
+
+  test("WavCodec fails loudly on bytes that are not an audio container") {
+    val ds = Seq(Media.MediaRecord(22L, "audio", "synthetic://22", Array[Byte](9, 9, 9))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(ds, () => Media.WavCodec).collect()
+    }
+    e.getMessage should include("undecodable audio payload")
+  }
+
   test("ImageIoCodec fails loudly on bytes that are not an image container") {
     val ds = Seq(Media.MediaRecord(13L, "image", "synthetic://13", Array[Byte](1, 2, 3))).toDS()
     val e = intercept[org.apache.spark.SparkException] {
