@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) — the
+  * canonical LLM-preprocessing step the rest of the token-level
+  * operators (q31 counts, q74 chunking, q95 length batching) assume
+  * already happened.
+  *
+  * Scale shape: training runs on the WORD-FREQUENCY table, not the
+  * corpus — one corpus-sized aggregation up front, then every merge
+  * round touches only (distinct word, count) rows, which is vocabulary-
+  * sized (Heaps' law: sublinear in corpus size). Each round is one
+  * distributed pair-count aggregation; the only driver traffic is the
+  * round's argmax — a single row, same bounded-collect contract as the
+  * trained k-means centroids (q52). Applying merges is a pure
+  * per-word column expression (a left fold over the symbol array), so
+  * encoding is map-side, embarrassingly parallel, and usable inside
+  * any query without a UDF.
+  *
+  * Determinism: pair counts are exact longs; the per-round argmax
+  * tie-breaks on (count DESC, left ASC, right ASC); the greedy
+  * left-to-right merge application is order-defined. No floating
+  * point anywhere, so the whole train + encode pipeline is
+  * bit-replayable in another engine (the q111/q112 oracles unroll the
+  * rounds as DuckDB CTEs with a RELATIONAL re-implementation of the
+  * greedy merge — window functions + run parity — making the two
+  * sides genuinely independent implementations).
+  *
+  * Simplifications vs production BPE (documented contract): no
+  * end-of-word marker and no byte-level fallback — symbols are the
+  * word's Unicode characters. Both are representation choices that
+  * change neither the algorithm nor the plan shape.
+  */
+object Bpe {
+
+  /** Characters of a string as an array column — expressed as
+    * substring probes (not `split("")`) so the oracle can mirror the
+    * exact construction.
+    */
+  def chars(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i => s.substr(i, lit(1)))
+
+  /** One greedy left-to-right merge pass of (l, r) -> l+r over a
+    * symbol array: a fold that appends each symbol unless the
+    * accumulator's last element is `l` and the incoming symbol is `r`,
+    * in which case the pair collapses. A freshly merged symbol is
+    * strictly longer than `l`, so it can never immediately re-merge —
+    * exactly the non-overlapping semantics ("a a a" with merge (a,a)
+    * becomes ["aa", "a"], not ["aa","aa"]).
+    */
+  def applyMerge(arr: Column, l: String, r: String): Column =
+    aggregate(
+      arr,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** All `merges` applied in rank order to a word's characters. */
+  def encodeWord(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(chars(word)) { case (arr, (l, r)) => applyMerge(arr, l, r) }
+
+  /** The (distinct word, count) table BPE trains on. */
+  def wordFreq(docs: DataFrame, textCol: Column): DataFrame =
+    docs
+      .select(explode(split(trim(lower(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("wc"))
+
+  /** Train `numMerges` BPE merges. Returns (left, right, pairCount) in
+    * rank order. Each round recomputes symbols from the word-frequency
+    * table by folding the merges learned so far — stateless across
+    * rounds (no persisted mutable table), at the cost of O(rounds²)
+    * fold depth, which is fine for the tokenizer-prefix sizes this
+    * catalogs (production vocab training would checkpoint the
+    * symbolized table every ~hundred rounds).
+    */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: Column,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges >= 1 && numMerges <= 64, s"numMerges must be in [1, 64], got $numMerges")
+    // Lazy local checkpoint: the corpus-sized aggregation runs once
+    // and every round reuses the materialized blocks (freed with the
+    // RDD — no CacheManager entry to leak, see the q102 note).
+    val wf = wordFreq(docs, textCol).localCheckpoint(false)
+    var learned = List.empty[(String, String, Long)]
+    var round = 0
+    while (round < numMerges) {
+      val syms = learned.reverse.foldLeft(chars(col("word"))) { case (arr, (l, r, _)) =>
+        applyMerge(arr, l, r)
+      }
+      val best = wf
+        .select(col("wc"), syms.as("syms"))
+        .select(
+          col("wc"),
+          explode(
+            zip_with(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) round = numMerges // corpus fully merged: stop early
+      else {
+        val row = best.head
+        learned = (row.getString(0), row.getString(1), row.getLong(2)) :: learned
+        round += 1
+      }
+    }
+    learned.reverse
+  }
+}

@@ -1544,6 +1544,130 @@ object Documents {
 
   val q110Sql: String = bm25Sql(wandQueries)
 
+  // ---- q111/q112: BPE tokenizer training + encoding (Sennrich 2016) ----------
+  // Training runs on the word-frequency table (corpus-sized work once,
+  // vocabulary-sized work per merge round); the only driver traffic is
+  // each round's 1-row argmax — the q52 bounded-collect contract. The
+  // oracle unrolls the rounds as CTEs (the q52/q100 unrolled-Lloyd
+  // pattern) with a RELATIONAL re-implementation of the greedy
+  // left-to-right merge: match flags via LEAD, overlap chains resolved
+  // by gaps-and-islands run parity (chains only arise for equal-symbol
+  // pairs), consumed positions dropped via LAG — genuinely independent
+  // of the Spark side's fold-based application. All arithmetic is
+  // exact integer counting; ties break on (count DESC, l, r).
+
+  private val bpeRounds = 8
+
+  /** CTE chain `wfreq .. sym{rounds}`: word-freq table, symbolized as
+    * chars, then `rounds` unrolled merge rounds, each exposing
+    * `best$r` (the round's learned merge) and `sym$r` (symbols after
+    * applying it). The multiply-referenced CTEs are MATERIALIZED:
+    * DuckDB otherwise inlines each reference, and with sym{r}
+    * referenced 3× per round the expansion is exponential in rounds
+    * (the un-hinted 8-round chain never finishes; hinted it runs in
+    * well under a second).
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val base =
+      s"""wfreq AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+         |          FROM (SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS word
+         |                FROM documents)
+         |          WHERE LEN(word) > 0 GROUP BY word),
+         |wtab AS MATERIALIZED (SELECT word, wc, ROW_NUMBER() OVER (ORDER BY word) AS wid FROM wfreq),
+         |wpos AS (SELECT wid, wc, word, unnest(range(1, LEN(word) + 1)) AS pos FROM wtab),
+         |sym0 AS MATERIALIZED (SELECT wid, wc, CAST(pos AS BIGINT) AS pos, substr(word, CAST(pos AS INTEGER), 1) AS sym
+         |         FROM wpos)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      val n = r + 1
+      s"""pairs$n AS (SELECT a.sym AS l, b.sym AS r, SUM(a.wc) AS c
+         |            FROM sym$r a JOIN sym$r b ON a.wid = b.wid AND b.pos = a.pos + 1
+         |            GROUP BY a.sym, b.sym),
+         |best$n AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pairs$n ORDER BY c DESC, l, r LIMIT 1),
+         |mt$n AS (SELECT s.wid, s.wc, s.pos, s.sym,
+         |           CASE WHEN s.sym = b.l
+         |                 AND LEAD(s.sym) OVER (PARTITION BY s.wid ORDER BY s.pos) = b.r
+         |                THEN 1 ELSE 0 END AS mt,
+         |           LEAD(s.sym) OVER (PARTITION BY s.wid ORDER BY s.pos) AS nx
+         |         FROM sym$r s CROSS JOIN best$n b),
+         |isl$n AS (SELECT *, CASE WHEN mt = 1
+         |                 THEN pos - ROW_NUMBER() OVER (PARTITION BY wid, mt ORDER BY pos) END AS grp
+         |          FROM mt$n),
+         |tk$n AS (SELECT *, CASE WHEN mt = 1
+         |                AND (ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY pos) - 1) % 2 = 0
+         |               THEN 1 ELSE 0 END AS taken
+         |         FROM isl$n),
+         |sym$n AS MATERIALIZED (SELECT wid, wc, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         |            CASE WHEN taken = 1 THEN sym || nx ELSE sym END AS sym
+         |          FROM (SELECT *, LAG(taken) OVER (PARTITION BY wid ORDER BY pos) AS consumed
+         |                FROM tk$n)
+         |          WHERE COALESCE(consumed, 0) = 0)""".stripMargin
+    }
+    (base +: roundCtes).mkString(",\n")
+  }
+
+  def q111BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.operators.Bpe.trainMerges(docs(s, dir), col("text"), bpeRounds)
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("rank", "l", "r", "pair_count")
+      .orderBy("rank")
+  }
+
+  val q111Sql: String = {
+    val rows = (1 to bpeRounds)
+      .map(n => s"SELECT $n AS rank, l, r, c AS pair_count FROM best$n")
+      .mkString("\n      UNION ALL ")
+    s"""WITH ${bpeTrainCtes(bpeRounds)}
+       |SELECT CAST(rank AS INTEGER) AS rank, l, r, pair_count
+       |FROM ($rows)
+       |ORDER BY rank""".stripMargin
+  }
+
+  def q112BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.operators.Bpe.trainMerges(d, col("text"), bpeRounds).map(m => (m._1, m._2))
+    // Encode each DISTINCT word once (vocabulary-sized work), then
+    // broadcast the tiny word -> token-count table back onto the doc
+    // word stream — at 100 TB the fold never runs twice for one word
+    // and the join is map-side.
+    val wtok = broadcast(
+      graft.operators.Bpe
+        .wordFreq(d, col("text"))
+        .select(
+          col("word"),
+          size(graft.operators.Bpe.encodeWord(col("word"), merges)).as("nt"),
+          length(col("word")).cast("long").as("nc")))
+    d.select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wtok, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nt")).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression", col("n_chars").cast("double") / col("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String = {
+    s"""WITH ${bpeTrainCtes(bpeRounds)},
+       |wtok AS (SELECT wid, CAST(COUNT(*) AS BIGINT) AS nt FROM sym$bpeRounds GROUP BY wid),
+       |dwords AS (SELECT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS word
+       |           FROM documents),
+       |joined AS (SELECT d.doc_id, w.wc, t.nt, LEN(d.word) AS nc
+       |           FROM (SELECT * FROM dwords WHERE LEN(word) > 0) d
+       |           JOIN wtab w ON d.word = w.word
+       |           JOIN wtok t ON w.wid = t.wid)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nt) AS BIGINT) AS compression
+       |FROM joined GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
   // The published fair-sampling allocator for multi-source training
   // mixes: every (source, lang) stratum gets a uniform share of the
@@ -1725,6 +1849,8 @@ object Documents {
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q104_bm25" -> (q104Bm25 _),
     "q110_bm25_wand" -> (q110Bm25Wand _),
+    "q111_bpe_train" -> (q111BpeTrain _),
+    "q112_bpe_encode" -> (q112BpeEncode _),
     "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
@@ -1759,6 +1885,8 @@ object Documents {
     "q106_unimax_alloc" -> q106Sql,
     "q104_bm25" -> q104Sql,
     "q110_bm25_wand" -> q110Sql,
+    "q111_bpe_train" -> q111Sql,
+    "q112_bpe_encode" -> q112Sql,
     "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,

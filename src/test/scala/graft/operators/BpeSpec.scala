@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- plain-Scala reference BPE (independent of the Spark code) ----
+
+  private def refApply(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refTrain(
+      words: Map[String, Long],
+      m: Int): List[(String, String, Long)] = {
+    var tab = words.map { case (w, c) => w.toList.map(_.toString) -> c }.toList
+    var learned = List.empty[(String, String, Long)]
+    var done = false
+    while (learned.size < m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      tab.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        learned = learned :+ (l, r, c)
+        tab = tab.map { case (syms, wc) => refApply(syms, l, r) -> wc }
+      }
+    }
+    learned
+  }
+
+  private val corpus = Seq(
+    "low low low low low lower lower newest newest",
+    "newest newest newest newest widest widest widest"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private val corpusWords = Map(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("trainMerges matches the reference implementation, ranks and counts included") {
+    val got = Bpe.trainMerges(corpus, col("text"), 8)
+    got shouldBe refTrain(corpusWords, 8)
+    // the classic first merges on this corpus: "es" (9), then "est" (9)
+    got.head._1 + got.head._2 shouldBe "es"
+    (got(1)._1 + got(1)._2) shouldBe "est"
+  }
+
+  test("encodeWord applies learned merges exactly as the reference does") {
+    val merges = Bpe.trainMerges(corpus, col("text"), 6)
+    val words = Seq("lowest", "newest", "wider", "low").toDF("w")
+    val got = words
+      .select(col("w"), Bpe.encodeWord(col("w"), merges.map(m => (m._1, m._2))).as("toks"))
+      .as[(String, Seq[String])]
+      .collect()
+      .toMap
+    words.as[String].collect().foreach { w =>
+      val want = merges.foldLeft(w.toList.map(_.toString)) { case (s, (l, r, _)) =>
+        refApply(s, l, r)
+      }
+      got(w) shouldBe want
+    }
+  }
+
+  test("equal-symbol merges are greedy non-overlapping (run parity)") {
+    val out = Seq("aaa", "aaaa", "aaaaa")
+      .toDF("w")
+      .select(col("w"), Bpe.applyMerge(Bpe.chars(col("w")), "a", "a").as("t"))
+      .as[(String, Seq[String])]
+      .collect()
+      .toMap
+    out("aaa") shouldBe Seq("aa", "a")
+    out("aaaa") shouldBe Seq("aa", "aa")
+    out("aaaaa") shouldBe Seq("aa", "aa", "a")
+  }
+
+  test("training stops early when the corpus is fully merged") {
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(tiny, col("text"), 5)
+    merges shouldBe Seq(("a", "b", 2L))
+  }
+}
