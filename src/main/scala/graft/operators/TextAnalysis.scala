@@ -225,4 +225,56 @@ object TextAnalysis {
       col("top_bigram_frac") <= 0.18 &&
       col("top_3gram_frac") <= 0.16 &&
       col("top_4gram_frac") <= 0.14
+
+  // ---- C4 filters (Raffel et al. 2020, §2.2) --------------------------------
+
+  /** Placeholder blocklist — C4 uses the published "bad words" list;
+    * the mechanism (page dropped if ANY token matches) is what the
+    * operator implements, the word list is a deployment choice.
+    */
+  val c4Blocklist: Seq[String] = Seq("casino", "viagra", "lottery")
+
+  /** C4's line-level retention over a `\n`-separated page: keep a line
+    * iff it ends in terminal punctuation (`.` `!` `?` or a closing
+    * quote), has at least `minLineWords` words, and does not mention
+    * "javascript".
+    */
+  def c4KeptLines(page: Column, minLineWords: Int = 3): Column =
+    filter(
+      split(page, "\n"),
+      l =>
+        trim(l).rlike("[.!?\"]$") &&
+          size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minLineWords &&
+          !lower(l).contains("javascript"))
+
+  /** C4's page-level metric columns, computed over the RETAINED lines
+    * (sentence count) and the raw page (content checks): sentence
+    * count = terminal-punctuation count of the cleaned text; flags for
+    * "lorem ipsum", `{` (code), and blocklist tokens.
+    */
+  def c4PageMetrics(
+      page: Column,
+      minLineWords: Int = 3,
+      blocklist: Seq[String] = c4Blocklist): Seq[Column] = {
+    val kept = c4KeptLines(page, minLineWords)
+    val cleaned = array_join(kept, "\n")
+    val toksAll = split(trim(lower(page)), "\\s+")
+    Seq(
+      size(split(page, "\n")).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      length(regexp_replace(cleaned, "[^.!?]", "")).as("n_sentences"),
+      lower(page).contains("lorem ipsum").as("has_lorem"),
+      page.contains("{").as("has_brace"),
+      (size(filter(toksAll, t => t.isInCollection(blocklist))) > 0).as("has_blockword"),
+      length(cleaned).as("cleaned_len")
+    )
+  }
+
+  /** The C4 keep decision over [[c4PageMetrics]] columns: at least
+    * `minSentences` sentences survive line cleaning and none of the
+    * page-level content flags fire.
+    */
+  def c4Keep(minSentences: Int = 5): Column =
+    col("n_sentences") >= minSentences &&
+      !col("has_lorem") && !col("has_brace") && !col("has_blockword")
 }

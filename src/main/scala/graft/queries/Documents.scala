@@ -1668,6 +1668,94 @@ object Documents {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q113: C4 quality filters (Raffel et al. 2020 §2.2) --------------------
+  // The corpus text is a flat token stream (no newlines, no
+  // punctuation), so the query first synthesizes a deterministic
+  // multi-line "page" per document — 8-token lines, md5-derived
+  // terminal punctuation (25% of lines get none), md5-selected
+  // javascript/lorem-ipsum/brace/blocklist injections — and then runs
+  // the REAL C4 filter set (operators.TextAnalysis.c4*) on it. The
+  // synthesis is replayed in the oracle with the standard 7-hex
+  // md5→long pattern, so every keep verdict is hash-gated. Line
+  // synthesis binds toks/nl as columns first (the q99/q103
+  // unmaterialized-array lesson).
+
+  def q113C4Filters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val h = (key: org.apache.spark.sql.Column) =>
+      conv(md5(key).substr(1, 7), 16, 10).cast("long")
+    val toksed = docs(s, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .withColumn("nl", floor((size(col("toks")) + lit(7)) / lit(8.0)).cast("int"))
+    val lines = transform(
+      sequence(lit(0), col("nl") - 1),
+      li => {
+        val hv = h(concat(col("doc_id").cast("string"), lit("#"), li.cast("string")))
+        concat(
+          array_join(slice(col("toks"), li * 8 + 1, lit(8)), " "),
+          when(hv % 23 === 0, lit(" javascript")).otherwise(lit("")),
+          element_at(array(lit("."), lit("!"), lit("?"), lit("")), (hv % 4).cast("int") + 1))
+      })
+    val docH = h(concat(col("doc_id").cast("string"), lit("#page")))
+    val page = concat(
+      array_join(lines, "\n"),
+      when(docH % 17 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(docH % 19 === 0, lit("\nvar x = { a: 1 };")).otherwise(lit("")),
+      when(docH % 13 === 0, lit("\nbig casino win now!")).otherwise(lit("")))
+    toksed
+      .select(col("doc_id"), page.as("page"))
+      .select(col("doc_id") +: TextAnalysis.c4PageMetrics(col("page")): _*)
+      .withColumn("keep", TextAnalysis.c4Keep())
+      .orderBy("doc_id")
+  }
+
+  val q113Sql: String = {
+    // 7-hex md5 → long, the q39 replay pattern
+    def h7(key: String) =
+      s"""list_reduce(list_transform(range(1, 8),
+         |              ii -> CAST(strpos('0123456789abcdef', substr(md5($key), ii, 1)) - 1 AS BIGINT)),
+         |              (a, x) -> a * 16 + x)""".stripMargin
+    val hLine = h7("CAST(doc_id AS VARCHAR) || '#' || CAST(li AS VARCHAR)")
+    val hPage = h7("CAST(doc_id AS VARCHAR) || '#page'")
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |           FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(FLOOR((LEN(toks) + 7) / 8.0) AS INTEGER) AS nl FROM d),
+       |ls AS (SELECT doc_id,
+       |         list_transform(range(0, nl), li ->
+       |           array_to_string(list_slice(toks, li * 8 + 1, li * 8 + 8), ' ')
+       |           || CASE WHEN $hLine % 23 = 0 THEN ' javascript' ELSE '' END
+       |           || (['.', '!', '?', ''])[CAST($hLine % 4 AS INTEGER) + 1]) AS lines
+       |       FROM n),
+       |pg AS (SELECT doc_id,
+       |         array_to_string(lines, chr(10))
+       |         || CASE WHEN $hPage % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+       |         || CASE WHEN $hPage % 19 = 0 THEN chr(10) || 'var x = { a: 1 };' ELSE '' END
+       |         || CASE WHEN $hPage % 13 = 0 THEN chr(10) || 'big casino win now!' ELSE '' END AS page
+       |       FROM ls),
+       |k AS (SELECT doc_id, page,
+       |        list_filter(string_split(page, chr(10)), l ->
+       |          regexp_matches(TRIM(l), '[.!?"]$$')
+       |          AND LEN(list_filter(regexp_split_to_array(TRIM(l), '\\s+'), w -> LEN(w) > 0)) >= 3
+       |          AND NOT contains(LOWER(l), 'javascript')) AS kl
+       |      FROM pg),
+       |m AS (SELECT doc_id,
+       |        CAST(LEN(string_split(page, chr(10))) AS INTEGER) AS n_lines,
+       |        CAST(LEN(kl) AS INTEGER) AS n_kept_lines,
+       |        CAST(LEN(regexp_replace(COALESCE(array_to_string(kl, chr(10)), ''), '[^.!?]', '', 'g'))
+       |             AS INTEGER) AS n_sentences,
+       |        contains(LOWER(page), 'lorem ipsum') AS has_lorem,
+       |        contains(page, '{') AS has_brace,
+       |        LEN(list_filter(regexp_split_to_array(TRIM(LOWER(page)), '\\s+'),
+       |              t -> t IN ('casino', 'viagra', 'lottery'))) > 0 AS has_blockword,
+       |        CAST(LEN(COALESCE(array_to_string(kl, chr(10)), '')) AS INTEGER) AS cleaned_len
+       |      FROM k)
+       |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace, has_blockword,
+       |  cleaned_len,
+       |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace AND NOT has_blockword) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
   // The published fair-sampling allocator for multi-source training
   // mixes: every (source, lang) stratum gets a uniform share of the
@@ -1851,6 +1939,7 @@ object Documents {
     "q110_bm25_wand" -> (q110Bm25Wand _),
     "q111_bpe_train" -> (q111BpeTrain _),
     "q112_bpe_encode" -> (q112BpeEncode _),
+    "q113_c4_filters" -> (q113C4Filters _),
     "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
@@ -1887,6 +1976,7 @@ object Documents {
     "q110_bm25_wand" -> q110Sql,
     "q111_bpe_train" -> q111Sql,
     "q112_bpe_encode" -> q112Sql,
+    "q113_c4_filters" -> q113Sql,
     "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,

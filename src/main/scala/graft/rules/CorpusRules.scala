@@ -441,7 +441,39 @@ object CorpusRules {
     }
   }
 
+  /** The C4 filter set (Raffel et al. 2020, §2.2) as an ingest-time
+    * rule over multi-line pages in `text`: line-level retention
+    * (terminal punctuation, ≥3 words, no "javascript"), page-level
+    * rejection (lorem ipsum, `{`, blocklist tokens, <5 surviving
+    * sentences). Survivors get their `text` REPLACED by the cleaned
+    * retained lines — C4 is a transform, not just a filter — with the
+    * metric columns kept for audits. q113 is the batch/oracle twin of
+    * the metric half. `spark.graft.c4.minSentences` overrides the
+    * sentence floor.
+    */
+  object C4FilterRule extends Rule {
+    val name = "c4Filter"
+    def apply(df: DataFrame): DataFrame = {
+      val minSentences = df.sparkSession.conf
+        .getOption("spark.graft.c4.minSentences")
+        .map(_.toInt)
+        .getOrElse(5)
+      val reserved =
+        Seq("n_lines", "n_kept_lines", "n_sentences", "has_lorem", "has_brace",
+          "has_blockword", "cleaned_len", "_kept")
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(
+        clash.isEmpty,
+        s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
+      df.withColumn("_kept", TextAnalysis.c4KeptLines(col("text")))
+        .select(col("*") +: TextAnalysis.c4PageMetrics(col("text")): _*)
+        .filter(TextAnalysis.c4Keep(minSentences))
+        .withColumn("text", array_join(col("_kept"), "\n"))
+        .drop("_kept")
+    }
+  }
+
   val all: Seq[Rule] =
     Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule, CorpusMatchRule,
-      ImportanceFilterRule, GopherFilterRule)
+      ImportanceFilterRule, GopherFilterRule, C4FilterRule)
 }

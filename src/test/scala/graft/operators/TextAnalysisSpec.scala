@@ -128,6 +128,37 @@ class TextAnalysisSpec extends SparkSpec {
     out(1).getAs[Boolean]("keep") shouldBe true
   }
 
+  test("c4 metrics and keep on a hand-computed page") {
+    val good = (1 to 6).map(i => s"this is sentence number $i.").mkString("\n")
+    val noPunct = "a line with no terminal punctuation\nanother one here"
+    val shortLines = "ok.\nno.\nyes."
+    val jsPage = (1 to 6).map(i => s"sentence $i has javascript inside.").mkString("\n")
+    val lorem = good + "\nlorem ipsum dolor sit amet."
+    val brace = good + "\nif (x) { return; }"
+    val blocked = good + "\nwin the casino jackpot now!"
+    val rows = Seq(good, noPunct, shortLines, jsPage, lorem, brace, blocked).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id") +: TextAnalysis.c4PageMetrics(col("text")): _*)
+      .withColumn("keep", TextAnalysis.c4Keep())
+      .orderBy("doc_id")
+      .collect()
+    out(0).getAs[Int]("n_kept_lines") shouldBe 6
+    out(0).getAs[Int]("n_sentences") shouldBe 6
+    out(0).getAs[Boolean]("keep") shouldBe true
+    out(1).getAs[Int]("n_kept_lines") shouldBe 0 // no terminal punctuation
+    out(1).getAs[Boolean]("keep") shouldBe false
+    out(2).getAs[Int]("n_kept_lines") shouldBe 0 // all lines under 3 words
+    out(3).getAs[Int]("n_kept_lines") shouldBe 0 // javascript lines dropped
+    out(4).getAs[Boolean]("has_lorem") shouldBe true
+    out(4).getAs[Boolean]("keep") shouldBe false
+    out(5).getAs[Boolean]("has_brace") shouldBe true
+    out(5).getAs[Boolean]("keep") shouldBe false
+    out(6).getAs[Boolean]("has_blockword") shouldBe true
+    out(6).getAs[Boolean]("keep") shouldBe false
+  }
+
   test("gopher line metrics and keep on multi-line documents") {
     val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
     val prose = "a normal paragraph\nand another one\n- one bullet is fine"
