@@ -185,6 +185,17 @@ object Bm25 {
 
   /** (candidate set, final result) — the tuple form exists so specs can
     * assert the candidate volume stays bounded on a hot-term corpus.
+    *
+    * `reuse = true` (production) pins the three multiply-referenced
+    * frames — the posting build, the truncated lists, the ranked
+    * candidates — with lazy local checkpoints: the pruned/bound/
+    * fallback branches otherwise each re-derive the whole corpus
+    * pipeline in the plan (the r8 audit showed 9 replicated 1-row
+    * stats broadcasts and 69 shuffles), which at 100 TB means scanning
+    * the corpus once per branch. `reuse = false` keeps the raw
+    * composed plan so specs can assert plan properties (the
+    * WindowGroupLimit truncation) that a checkpoint boundary would
+    * hide; both settings produce identical rows.
     */
   private[graft] def prunedInternal(
       docs: DataFrame,
@@ -194,18 +205,22 @@ object Bm25 {
       k1: Double,
       b: Double,
       k: Int,
-      cap: Int): (DataFrame, DataFrame) = {
+      cap: Int,
+      reuse: Boolean = true): (DataFrame, DataFrame) = {
     validate(queries)
     require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    def pin(df: DataFrame): DataFrame = if (reuse) df.localCheckpoint(false) else df
     val maxTerms = queries.map(_._2.size).max
-    val qpost = queryPostings(docs, idCol, textCol, queries, k1, b)
-      .select(col("qid"), col("slot"), col("doc_id"), col("s"), col("df"))
+    val qpost = pin(
+      queryPostings(docs, idCol, textCol, queries, k1, b)
+        .select(col("qid"), col("slot"), col("doc_id"), col("s"), col("df")))
     // Impact-ordered truncation: rank filter DIRECTLY above the window
     // -> WindowGroupLimit keeps the top-cap selection map-side.
     val wImp = Window.partitionBy(col("qid"), col("slot")).orderBy(col("s").desc, col("doc_id"))
-    val capped = qpost
-      .withColumn("ir", row_number().over(wImp))
-      .filter(col("ir") <= cap)
+    val capped = pin(
+      qpost
+        .withColumn("ir", row_number().over(wImp))
+        .filter(col("ir") <= cap))
     // Exclusion bound per query: lists that dropped documents
     // (df > cap) contribute their weakest KEPT impact; untruncated
     // lists contribute 0 (an excluded doc by definition matches none
@@ -229,13 +244,14 @@ object Bm25 {
     // it keeps the hot posting lists from shuffling by doc.
     val candScore = pivotScore(qpost.join(broadcast(cands), Seq("qid", "doc_id")), maxTerms)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    val ranked = candScore
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val ranked = pin(
+      candScore
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k))
     val safety = ranked
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("ncand"), min(col("score")).as("kth"))
-      .join(qbound, Seq("qid"))
+      .join(broadcast(qbound), Seq("qid"))
       .withColumn(
         "safe",
         col("bound") === 0.0 || (col("ncand") === k && col("bound") < col("kth")))

@@ -135,8 +135,11 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("impact truncation runs as WindowGroupLimit, not a full per-term sort") {
+    // reuse=false keeps the raw composed plan (a checkpoint boundary
+    // would hide the window operator from the downstream plan)
     val qs = Seq(1 -> Seq("hotword", "needle"))
-    val (cands, _) = Bm25.prunedInternal(hotCorpus, "doc_id", col("text"), qs, 1.2, 0.75, 10, 50)
+    val (cands, _) =
+      Bm25.prunedInternal(hotCorpus, "doc_id", col("text"), qs, 1.2, 0.75, 10, 50, reuse = false)
     val plan = cands.queryExecution.executedPlan.toString
     plan should include("WindowGroupLimit")
   }
