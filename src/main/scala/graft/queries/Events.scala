@@ -285,16 +285,26 @@ object Events {
   // always pass at a given scale or fail loudly in dev. Portable,
   // value-hashed sketch twins live in q79 (KMV), q105 (HLL), q109
   // (priority sampling); exact counterparts in q15 and q26.
-  def q45ApproxStats(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
+  def q45ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    // countDistinct must NOT share the aggregate with the percentile
+    // functions: Spark's distinct rewrite pre-groups by (event_type,
+    // user_id), and the TypedImperative percentile buffers then
+    // materialize PER USER GROUP (~100k OpenHashMaps at sf0.1 — 6.7 s
+    // where the two separate aggregations cost 1.5 + 0.9 s). Two scans
+    // of the fact table joined on the 5-row group key beat one
+    // combined plan by 4×.
+    val dist = e
       .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    e.groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.01).as("_au"),
-        expr("approx_percentile(value, array(0.5D, 0.99D), 10000)").as("_qs"),
-        countDistinct(col("user_id")).as("n_users"),
+        expr("approx_percentile(value, array(0.5D, 0.99D), 2000)").as("_qs"),
         expr("percentile(value, array(0.5D, 0.99D))").as("_xs"),
         count(lit(1)).as("n")
       )
+      .join(broadcast(dist), "event_type")
       .select(
         col("event_type"),
         col("n"),
@@ -306,6 +316,7 @@ object Events {
           abs(col("_xs").getItem(1)) * lit(0.05) + lit(0.001)).as("p99_ok")
       )
       .orderBy("event_type")
+  }
 
   val q45Sql: String =
     """SELECT event_type,
