@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable Count-Min Sketch (Cormode & Muthukrishnan 2005) —
+  * the frequency-estimation member of the portable-sketch family (KMV
+  * q79, HLL q105, priority sampling q109). Spark ships a CountMinSketch
+  * but its hashes are engine-private (the q45 story); this one derives
+  * every bucket from md5, so another engine building the same sketch
+  * over the same stream produces IDENTICAL counters and estimates —
+  * the q114 oracle hash-gates the estimates directly, no tolerance
+  * band needed.
+  *
+  * Scale shape: the counter build is one explode (d rows per item) and
+  * one groupBy over a key space bounded by d·w — the partial
+  * aggregation collapses each partition to ≤ d·w cells before any
+  * shuffle, so counter traffic is independent of stream size (the
+  * sketch property that makes CMS THE distributed frequency sketch).
+  * Estimation broadcast-joins the tiny counter table.
+  *
+  * CMS guarantees estimates NEVER underestimate (every occurrence
+  * increments all d of its buckets) and overestimate by at most
+  * εN = (e/w)·N with probability 1−(1/e)^d — the spec pins the hard
+  * lower-bound invariant and the parameterized accuracy.
+  */
+object CountMin {
+
+  /** Bucket of `item` in hash row `row` (a column of ints): first 7
+    * md5 hex digits → 28-bit int, mod w. Non-negative by construction,
+    * so `%` and `pmod` agree across engines.
+    */
+  def bucket(item: Column, row: Column, w: Int): Column =
+    pmod(
+      conv(md5(concat(row.cast("string"), lit("#"), item)).substr(1, 7), 16, 10).cast("long"),
+      lit(w.toLong))
+
+  /** The (row, bucket) -> count table, ≤ d·w rows. */
+  def counters(items: DataFrame, itemCol: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2 (got d=$d, w=$w)")
+    items
+      .select(itemCol.as("item"))
+      .select(
+        explode(
+          transform(
+            sequence(lit(0), lit(d - 1)),
+            i => struct(i.cast("int").as("r"), bucket(col("item"), i, w).as("b")))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for `probes`: min over the d rows of the probed
+    * counters (0 for a never-touched bucket). Output (item, cms_est).
+    */
+  def estimate(
+      counters: DataFrame,
+      probes: DataFrame,
+      probeCol: Column,
+      d: Int,
+      w: Int): DataFrame =
+    probes
+      .select(probeCol.as("item"))
+      .select(
+        col("item"),
+        explode(
+          transform(
+            sequence(lit(0), lit(d - 1)),
+            i => struct(i.cast("int").as("r"), bucket(col("item"), i, w).as("b")))).as("rb"))
+      .select(col("item"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(counters), Seq("r", "b"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+}

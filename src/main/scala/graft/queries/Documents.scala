@@ -1756,6 +1756,74 @@ object Documents {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q114: portable Count-Min Sketch (Cormode & Muthukrishnan 2005) --------
+  // The frequency member of the portable-sketch family (q79 KMV, q105
+  // HLL, q109 priority sampling): every bucket derives from md5, so
+  // DuckDB builds the IDENTICAL d=4 × w=256 sketch over the same token
+  // stream and the estimates hash-gate directly — no tolerance band,
+  // unlike q45's engine-private sketches. The never_under column pins
+  // the CMS hard invariant (estimates cannot undercount) as data.
+  private val cmsProbes: Seq[String] =
+    Seq("batch", "scan", "data", "join", "filter", "vector", "window",
+      "customer", "zz-absent-token")
+
+  def q114PortableCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.CountMin
+    val toks = docs(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      .filter(length(col("item")) > 0)
+    val counters = CountMin.counters(toks, col("item"), d = 4, w = 256)
+    val probes = cmsProbes.toDF("item")
+    val exactCounts = toks
+      .filter(col("item").isInCollection(cmsProbes))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("exact_count"))
+    CountMin
+      .estimate(counters, probes, col("item"), d = 4, w = 256)
+      .join(exactCounts, Seq("item"), "left")
+      .select(
+        col("item").as("token"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_est"),
+        (col("cms_est") >= coalesce(col("exact_count"), lit(0L))).as("never_under"))
+      .orderBy("token")
+  }
+
+  val q114Sql: String = {
+    def h7(key: String) =
+      s"""list_reduce(list_transform(range(1, 8),
+         |              ii -> CAST(strpos('0123456789abcdef', substr(md5($key), ii, 1)) - 1 AS BIGINT)),
+         |              (a, x) -> a * 16 + x)""".stripMargin
+    val probeRows = cmsProbes.map(p => s"('$p')").mkString(",")
+    s"""WITH toks AS (SELECT t AS item
+       |              FROM (SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS t
+       |                    FROM documents)
+       |              WHERE LEN(t) > 0),
+       |rows4 AS (SELECT unnest(range(0, 4)) AS i),
+       |cnt AS (SELECT CAST(i AS INTEGER) AS r,
+       |          ${h7("CAST(i AS VARCHAR) || '#' || item")} % 256 AS b,
+       |          CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM toks CROSS JOIN rows4
+       |        GROUP BY 1, 2),
+       |pr(item) AS (VALUES $probeRows),
+       |pb AS (SELECT item, CAST(i AS INTEGER) AS r,
+       |         ${h7("CAST(i AS VARCHAR) || '#' || item")} % 256 AS b
+       |       FROM pr CROSS JOIN rows4),
+       |est AS (SELECT item, MIN(COALESCE(c, 0)) AS cms_est
+       |        FROM pb LEFT JOIN cnt USING (r, b) GROUP BY item),
+       |ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks
+       |       WHERE item IN (SELECT item FROM pr) GROUP BY item)
+       |SELECT pr.item AS token,
+       |  COALESCE(ex.exact_count, 0) AS exact_count,
+       |  est.cms_est,
+       |  est.cms_est >= COALESCE(ex.exact_count, 0) AS never_under
+       |FROM pr
+       |JOIN est ON pr.item = est.item
+       |LEFT JOIN ex ON pr.item = ex.item
+       |ORDER BY token""".stripMargin
+  }
+
   // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
   // The published fair-sampling allocator for multi-source training
   // mixes: every (source, lang) stratum gets a uniform share of the
@@ -1940,6 +2008,7 @@ object Documents {
     "q111_bpe_train" -> (q111BpeTrain _),
     "q112_bpe_encode" -> (q112BpeEncode _),
     "q113_c4_filters" -> (q113C4Filters _),
+    "q114_portable_cms" -> (q114PortableCms _),
     "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
@@ -1977,6 +2046,7 @@ object Documents {
     "q111_bpe_train" -> q111Sql,
     "q112_bpe_encode" -> q112Sql,
     "q113_c4_filters" -> q113Sql,
+    "q114_portable_cms" -> q114Sql,
     "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,

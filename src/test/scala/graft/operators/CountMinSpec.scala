@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a stream with known exact frequencies
+  private val stream = (Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++
+    Seq.fill(5)("gamma") ++ (1 to 50).map(i => s"tail$i")).toDF("w")
+
+  private val exact: Map[String, Long] =
+    Map("alpha" -> 100L, "beta" -> 37L, "gamma" -> 5L) ++
+      (1 to 50).map(i => s"tail$i" -> 1L)
+
+  test("counters are bounded by d·w and total d·N") {
+    val c = CountMin.counters(stream, col("w"), d = 4, w = 64)
+    c.count() should be <= (4L * 64)
+    c.agg(sum("c")).as[Long].head() shouldBe 4L * 192 // every item increments d buckets
+    c.select("r").distinct().as[Int].collect().toSet shouldBe Set(0, 1, 2, 3)
+  }
+
+  test("estimates never underestimate and bound the overestimate") {
+    val c = CountMin.counters(stream, col("w"), d = 4, w = 64)
+    val probes = (exact.keys.toSeq :+ "never-seen").toDF("w")
+    val est = CountMin
+      .estimate(c, probes, col("w"), d = 4, w = 64)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    exact.foreach { case (k, v) =>
+      withClue(k) {
+        est(k) should be >= v // the CMS hard invariant
+        est(k) should be <= v + 20L // ~e/w * N = (2.72/64)*192 ≈ 8, slack for collisions
+      }
+    }
+    est("never-seen") should be <= 20L // absent items only see collision mass
+  }
+
+  test("a wide sketch is exact when buckets do not collide") {
+    val tiny = Seq("x", "x", "y").toDF("w")
+    val c = CountMin.counters(tiny, col("w"), d = 4, w = 4096)
+    val est = CountMin
+      .estimate(c, Seq("x", "y", "z").toDF("w"), col("w"), d = 4, w = 4096)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    est("x") shouldBe 2L
+    est("y") shouldBe 1L
+    est("z") shouldBe 0L
+  }
+}
