@@ -1166,8 +1166,104 @@ object Relational {
       |SELECT 'except_all', pk FROM (SELECT pk FROM a EXCEPT ALL SELECT pk FROM b) y
       |ORDER BY op, pk""".stripMargin
 
+  // ---- q115: z-order layout pruning (Morton clustering) ----------------------
+  // Measures what z-order clustering buys a 100 TB table: the same 2-D
+  // box predicate (defined in scale-free BUCKET space) counts the
+  // chunks — stand-ins for file ranges under repartitionByRange — it
+  // touches under arrival order, a single-column sort, and Morton
+  // order. Key domains differ per scale factor, so bucket bounds come
+  // from a 1-row broadcast stats aggregate (the q104 broadcast-scalar
+  // pattern), and every layout's chunk id is pure integer math —
+  // bit-replayed by the oracle. Arrival touches one chunk per crossed
+  // "row" of the box; z-order keeps the box inside a few Morton cells.
+  def q115ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val stats = li.agg(
+      min(col("l_partkey")).as("pk_lo"),
+      max(col("l_partkey")).as("pk_hi"),
+      min(col("l_suppkey")).as("sk_lo"),
+      max(col("l_suppkey")).as("sk_hi"),
+      min(col("l_orderkey")).as("ok_lo"),
+      max(col("l_orderkey")).as("ok_hi"))
+    val b = li
+      .crossJoin(broadcast(stats))
+      .withColumn("pkb", ZOrder.rangeBucket(col("l_partkey"), col("pk_lo"), col("pk_hi"), 11))
+      .withColumn("skb", ZOrder.rangeBucket(col("l_suppkey"), col("sk_lo"), col("sk_hi"), 11))
+      .withColumn(
+        "chunk_arrival",
+        ZOrder.rangeBucket(col("l_orderkey"), col("ok_lo"), col("ok_hi"), 6))
+      .withColumn("chunk_single", shiftright(col("pkb"), 5))
+      .withColumn("chunk_z", shiftright(ZOrder.zValue(Seq(col("pkb"), col("skb")), 11), 16))
+    // box_2d: ~10% of the partkey space × ~20% of the suppkey space —
+    // the single-column sort happens to help (partkey leads it).
+    // box_sk: suppkey-only — the single-column layout collapses to a
+    // full scan while Morton order still bounds the touched cells;
+    // that asymmetry is the whole argument for z-order.
+    val boxes = Seq(
+      "box_2d" -> (col("pkb") >= 204 && col("pkb") <= 408 &&
+        col("skb") >= 409 && col("skb") <= 817),
+      "box_sk" -> (col("skb") >= 409 && col("skb") <= 817))
+    val layouts = Seq(
+      ("arrival", "chunk_arrival"),
+      ("single_dim", "chunk_single"),
+      ("zorder", "chunk_z"))
+    boxes
+      .flatMap { case (bn, pred) =>
+        val m = b.filter(pred)
+        layouts.map { case (layout, c) =>
+          m.agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("n_chunks_touched"))
+            .withColumn("box", lit(bn))
+            .withColumn("layout", lit(layout))
+        }
+      }
+      .reduce(_.unionByName(_))
+      .select(col("box"), col("layout"), col("n_rows"), col("n_chunks_touched"))
+      .orderBy("box", "layout")
+  }
+
+  val q115Sql: String = {
+    val zbits = (0 until 11)
+      .map(bb => s"(((pkb >> $bb) & 1) << ${2 * bb}) | (((skb >> $bb) & 1) << ${2 * bb + 1})")
+      .mkString(" | ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+       |st AS (SELECT MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+       |         MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi,
+       |         MIN(l_orderkey) AS ok_lo, MAX(l_orderkey) AS ok_hi
+       |       FROM li),
+       |b AS (SELECT
+       |        (CAST(l_partkey AS BIGINT) - pk_lo) * 2048 // (pk_hi - pk_lo + 1) AS pkb,
+       |        (CAST(l_suppkey AS BIGINT) - sk_lo) * 2048 // (sk_hi - sk_lo + 1) AS skb,
+       |        (CAST(l_orderkey AS BIGINT) - ok_lo) * 64 // (ok_hi - ok_lo + 1) AS chunk_arrival
+       |      FROM li CROSS JOIN st),
+       |z AS (SELECT pkb, skb, chunk_arrival,
+       |        pkb >> 5 AS chunk_single,
+       |        ($zbits) >> 16 AS chunk_z
+       |      FROM b),
+       |m2 AS (SELECT * FROM z WHERE pkb BETWEEN 204 AND 408 AND skb BETWEEN 409 AND 817),
+       |ms AS (SELECT * FROM z WHERE skb BETWEEN 409 AND 817)
+       |SELECT box, layout, n_rows, n_chunks_touched FROM (
+       |  SELECT 'box_2d' AS box, 'arrival' AS layout, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT chunk_arrival) AS BIGINT) AS n_chunks_touched FROM m2
+       |  UNION ALL SELECT 'box_2d', 'single_dim', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT chunk_single) AS BIGINT) FROM m2
+       |  UNION ALL SELECT 'box_2d', 'zorder', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT chunk_z) AS BIGINT) FROM m2
+       |  UNION ALL SELECT 'box_sk', 'arrival', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT chunk_arrival) AS BIGINT) FROM ms
+       |  UNION ALL SELECT 'box_sk', 'single_dim', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT chunk_single) AS BIGINT) FROM ms
+       |  UNION ALL SELECT 'box_sk', 'zorder', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT chunk_z) AS BIGINT) FROM ms)
+       |ORDER BY box, layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_set_ops_all" -> (q87SetOpsAll _),
+    "q115_zorder_layout" -> (q115ZorderLayout _),
     "q85_regex_funcs" -> (q85RegexFuncs _),
     "q86_date_arithmetic" -> (q86DateArithmetic _),
     "q79_kmv_distinct" -> (q79KmvDistinct _),
@@ -1209,6 +1305,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q87_set_ops_all" -> q87Sql,
+    "q115_zorder_layout" -> q115Sql,
     "q85_regex_funcs" -> q85Sql,
     "q86_date_arithmetic" -> q86Sql,
     "q79_kmv_distinct" -> q79Sql,
