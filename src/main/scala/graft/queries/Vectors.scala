@@ -744,7 +744,89 @@ object Vectors {
        |ORDER BY qid, kind, rank""".stripMargin
   }
 
+  // ---- q116: Johnson-Lindenstrauss random projection -------------------------
+  // Project the 64-dim embeddings to k=8 with the deterministic ±1
+  // matrix (operators.RandomProjection), then measure the distance
+  // distortion on sampled pairs (vec v paired with v+50 by an
+  // EQUI-join on a computed key — no cartesian). Everything is fixed-
+  // slot-order IEEE arithmetic on identical operands, so the
+  // projected values, both squared distances, and the ratio hash-gate
+  // exactly; the oracle embeds the same sign literals.
+  private val jlD = 64
+  private val jlK = 8
+
+  def q116RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RandomProjection
+    val projected = emb(s, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        RandomProjection.project(col("embedding"), jlD, jlK).as("proj"))
+    val a = projected.select(
+      col("vec_id").as("id1"),
+      col("embedding").as("e1"),
+      col("proj").as("p1"))
+    val b = projected.select(
+      (col("vec_id") - 50).as("id1"),
+      col("vec_id").as("id2"),
+      col("embedding").as("e2"),
+      col("proj").as("p2"))
+    val dOrig = (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
+      val d = element_at(col("e1"), i + 1).cast("double") -
+        element_at(col("e2"), i + 1).cast("double")
+      acc + d * d
+    }
+    val dProj = (0 until jlK).foldLeft(lit(0.0)) { (acc, j) =>
+      val d = element_at(col("p1"), j + 1) - element_at(col("p2"), j + 1)
+      acc + d * d
+    }
+    a.join(b, "id1")
+      .withColumn("d_orig_sq", dOrig)
+      .withColumn("d_proj_sq", dProj)
+      .select(
+        col("id1"),
+        col("id2"),
+        col("d_orig_sq"),
+        col("d_proj_sq"),
+        (col("d_proj_sq") / col("d_orig_sq")).as("ratio"),
+        (col("d_proj_sq") / col("d_orig_sq") >= 0.2 &&
+          col("d_proj_sq") / col("d_orig_sq") <= 5.0).as("coarse_ok"))
+      .orderBy("id1")
+  }
+
+  val q116Sql: String = {
+    import graft.operators.RandomProjection
+    def projExpr(e: String, j: Int) = {
+      val fold = (0 until jlD).foldLeft("0.0") { (acc, i) =>
+        s"($acc + CAST($e[${i + 1}] AS DOUBLE) * ${RandomProjection.sign(i, j).toDouble})"
+      }
+      s"($fold / sqrt(${jlK.toDouble}))"
+    }
+    val projList = (j: String) => (0 until jlK).map(jj => projExpr(j, jj)).mkString(", ")
+    val dOrig = (0 until jlD).foldLeft("0.0") { (acc, i) =>
+      s"($acc + (CAST(e1[${i + 1}] AS DOUBLE) - CAST(e2[${i + 1}] AS DOUBLE)) * " +
+        s"(CAST(e1[${i + 1}] AS DOUBLE) - CAST(e2[${i + 1}] AS DOUBLE)))"
+    }
+    val dProj = (0 until jlK).foldLeft("0.0") { (acc, j) =>
+      s"($acc + (p1[${j + 1}] - p2[${j + 1}]) * (p1[${j + 1}] - p2[${j + 1}]))"
+    }
+    s"""WITH sampled AS (SELECT vec_id, embedding,
+       |         [${projList("embedding")}] AS proj
+       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |a AS (SELECT vec_id AS id1, embedding AS e1, proj AS p1 FROM sampled),
+       |b AS (SELECT vec_id - 50 AS id1, vec_id AS id2, embedding AS e2, proj AS p2 FROM sampled),
+       |j AS (SELECT id1, id2, e1, e2, p1, p2 FROM a JOIN b USING (id1)),
+       |m AS (SELECT id1, id2, $dOrig AS d_orig_sq, $dProj AS d_proj_sq FROM j)
+       |SELECT id1, id2, d_orig_sq, d_proj_sq,
+       |  d_proj_sq / d_orig_sq AS ratio,
+       |  (d_proj_sq / d_orig_sq >= 0.2 AND d_proj_sq / d_orig_sq <= 5.0) AS coarse_ok
+       |FROM m
+       |ORDER BY id1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_random_projection" -> (q116RandomProjection _),
     "q107_hard_mining" -> (q107HardMining _),
     "q102_ivfadc" -> (q102Ivfadc _),
     "q101_pq_adc" -> (q101PqAdc _),
@@ -761,6 +843,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_random_projection" -> q116Sql,
     "q107_hard_mining" -> q107Sql,
     "q102_ivfadc" -> q102Sql,
     "q101_pq_adc" -> q101Sql,
