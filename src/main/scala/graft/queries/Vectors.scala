@@ -825,8 +825,137 @@ object Vectors {
        |ORDER BY id1""".stripMargin
   }
 
+  // ---- q117: hybrid retrieval — BM25 ⊕ dense cosine via RRF ------------------
+  // The modern retrieval stack: each query has a sparse side (BM25
+  // terms over documents, the q104 operator at k=20) and a dense side
+  // (cosine of a query embedding against the corpus, the q40 shape),
+  // fused by reciprocal-rank fusion rrf = Σ 1/(60 + rank) — the
+  // published parameter-free fusion (Cormack et al. 2009). Ranks are
+  // integers, each RRF term is one IEEE division, and the two-term sum
+  // is in literal order, so the fused scores hash-gate exactly. The
+  // dense side's 3-row query broadcast is the documented q40
+  // brute-force baseline; its scale path is q102's IVFADC.
+  private val hybridQueries: Seq[(Int, Seq[String], Long)] = Seq(
+    (1, Seq("batch", "scan"), 100L),
+    (2, Seq("customer", "stream"), 200L),
+    (3, Seq("vector", "join"), 300L))
+
+  def q117HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val sparse = graft.operators.Bm25
+      .topK(
+        Tables.documents(s, dir),
+        "doc_id",
+        col("text"),
+        hybridQueries.map(q => (q._1, q._2)),
+        k = k)
+      .select(col("qid"), col("doc_id"), col("rank").as("rank_sparse"))
+    val qv = broadcast(
+      hybridQueries
+        .map(q => (q._1, q._3))
+        .toDF("qid", "qvid")
+        .join(emb(s, dir).select(col("vec_id").as("qvid"), col("embedding").as("qe")), "qvid")
+        .select(col("qid"), col("qe")))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
+    }
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = emb(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("e"))
+      .crossJoin(qv)
+      .withColumn("sim", dot(col("qe"), col("e")) / (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e")))))
+      .withColumn("rank_dense", row_number().over(wD))
+      .filter(col("rank_dense") <= k)
+      .select(col("qid"), col("doc_id"), col("rank_dense"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse
+      .join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
+
+  val q117Sql: String = {
+    val qtRows = hybridQueries
+      .flatMap { case (qid, ts, _) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
+      .mkString(",")
+    val allTerms = hybridQueries.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")
+    val qvRows = hybridQueries.map(q => s"(${q._1},${q._3})").mkString(",")
+    val maxTerms = hybridQueries.map(_._2.size).max
+    val slotCols = (0 until maxTerms)
+      .map(i => s"MAX(CASE WHEN slot = $i THEN s END) AS s$i")
+      .mkString(", ")
+    val scoreExpr = (0 until maxTerms).foldLeft("0.0") { (acc, i) =>
+      s"($acc + COALESCE(s$i, 0.0))"
+    }
+    def dotSql(a: String, b: String) = (0 until jlD).foldLeft("0.0") { (acc, i) =>
+      s"($acc + CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE))"
+    }
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |           FROM documents),
+       |base AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |          FROM base),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(list_filter(toks, w -> w IN ($allTerms))) AS term
+       |             FROM base)
+       |       GROUP BY doc_id, dl, term),
+       |wdf AS (SELECT doc_id, dl, term, tf,
+       |          CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |        FROM tf),
+       |sc AS (SELECT doc_id, term,
+       |         ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |         ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |          (CAST(tf AS DOUBLE) +
+       |           1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE))
+       |                  / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS s
+       |       FROM wdf CROSS JOIN stats),
+       |qt(qid, slot, term) AS (VALUES $qtRows),
+       |per AS (SELECT qid, doc_id, $slotCols
+       |        FROM sc JOIN qt USING (term) GROUP BY qid, doc_id),
+       |sparse AS (SELECT qid, doc_id,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY $scoreExpr DESC, doc_id) AS INTEGER) AS rank_sparse
+       |           FROM per QUALIFY rank_sparse <= 20),
+       |qv AS (SELECT qid, embedding AS qe
+       |       FROM (VALUES $qvRows) q(qid, qvid)
+       |       JOIN embeddings ON vec_id = qvid),
+       |dense0 AS (SELECT qid, vec_id AS doc_id,
+       |             ${dotSql("qe", "embedding")} /
+       |             (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("embedding", "embedding")})) AS sim
+       |           FROM embeddings CROSS JOIN qv),
+       |dense AS (SELECT qid, doc_id,
+       |            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |              ORDER BY sim DESC, doc_id) AS INTEGER) AS rank_dense
+       |          FROM dense0 QUALIFY rank_dense <= 20),
+       |fused AS (SELECT COALESCE(s.qid, d.qid) AS qid,
+       |            COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       |            (COALESCE(1.0 / (60.0 + rank_sparse), 0.0) +
+       |             COALESCE(1.0 / (60.0 + rank_dense), 0.0)) AS rrf
+       |          FROM sparse s FULL OUTER JOIN dense d
+       |            ON s.qid = d.qid AND s.doc_id = d.doc_id)
+       |SELECT CAST(qid AS INTEGER) AS qid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, rrf
+       |FROM fused
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_random_projection" -> (q116RandomProjection _),
+    "q117_hybrid_rrf" -> (q117HybridRrf _),
     "q107_hard_mining" -> (q107HardMining _),
     "q102_ivfadc" -> (q102Ivfadc _),
     "q101_pq_adc" -> (q101PqAdc _),
@@ -844,6 +973,7 @@ object Vectors {
 
   val oracles: Map[String, String] = Map(
     "q116_random_projection" -> q116Sql,
+    "q117_hybrid_rrf" -> q117Sql,
     "q107_hard_mining" -> q107Sql,
     "q102_ivfadc" -> q102Sql,
     "q101_pq_adc" -> q101Sql,
