@@ -1201,27 +1201,41 @@ object Relational {
     // box_sk: suppkey-only — the single-column layout collapses to a
     // full scan while Morton order still bounds the touched cells;
     // that asymmetry is the whole argument for z-order.
-    val boxes = Seq(
-      "box_2d" -> (col("pkb") >= 204 && col("pkb") <= 408 &&
-        col("skb") >= 409 && col("skb") <= 817),
-      "box_sk" -> (col("skb") >= 409 && col("skb") <= 817))
+    //
+    // All 8 measurements come out of ONE conditional aggregate over
+    // one scan (countDistinct over when(box, chunk) counts exactly the
+    // chunks the box touches) — six per-box-per-layout aggregate
+    // branches would re-derive the bucketed base six times in the
+    // plan (the q110 replication lesson). The 1-row result then
+    // explodes to the 6 output rows.
+    val box2d = col("pkb") >= 204 && col("pkb") <= 408 &&
+      col("skb") >= 409 && col("skb") <= 817
+    val boxSk = col("skb") >= 409 && col("skb") <= 817
     val layouts = Seq(
       ("arrival", "chunk_arrival"),
       ("single_dim", "chunk_single"),
       ("zorder", "chunk_z"))
-    boxes
-      .flatMap { case (bn, pred) =>
-        val m = b.filter(pred)
-        layouts.map { case (layout, c) =>
-          m.agg(
-            count(lit(1)).as("n_rows"),
-            countDistinct(col(c)).as("n_chunks_touched"))
-            .withColumn("box", lit(bn))
-            .withColumn("layout", lit(layout))
+    val aggs =
+      Seq(
+        count(when(box2d, 1)).as("n_2d"),
+        count(when(boxSk, 1)).as("n_sk")) ++
+        layouts.flatMap { case (layout, c) =>
+          Seq(
+            countDistinct(when(box2d, col(c))).as(s"c_2d_$layout"),
+            countDistinct(when(boxSk, col(c))).as(s"c_sk_$layout"))
         }
-      }
-      .reduce(_.unionByName(_))
-      .select(col("box"), col("layout"), col("n_rows"), col("n_chunks_touched"))
+    b.filter(box2d || boxSk)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        (for {
+          (bn, nCol) <- Seq(("box_2d", "n_2d"), ("box_sk", "n_sk"))
+          (layout, _) <- layouts
+        } yield struct(
+          lit(bn).as("box"),
+          lit(layout).as("layout"),
+          col(nCol).as("n_rows"),
+          col(s"c_${bn.stripPrefix("box_")}_$layout").as("n_chunks_touched"))): _*)).as("r"))
+      .select(col("r.box"), col("r.layout"), col("r.n_rows"), col("r.n_chunks_touched"))
       .orderBy("box", "layout")
   }
 
