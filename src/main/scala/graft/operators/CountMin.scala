@@ -35,18 +35,26 @@ object CountMin {
       conv(md5(concat(row.cast("string"), lit("#"), item)).substr(1, 7), 16, 10).cast("long"),
       lit(w.toLong))
 
-  /** The (row, bucket) -> count table, ≤ d·w rows. */
+  /** The (row, bucket) -> count table, ≤ d·w rows. Occurrences are
+    * pre-aggregated per DISTINCT item first, so the d md5 bucket
+    * computations run once per vocabulary entry, not once per stream
+    * element — identical counter values (summing pre-counts ≡
+    * counting rows), 4·V hash work instead of 4·N.
+    */
   def counters(items: DataFrame, itemCol: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2 (got d=$d, w=$w)")
     items
       .select(itemCol.as("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("_n"))
       .select(
+        col("_n"),
         explode(
           transform(
             sequence(lit(0), lit(d - 1)),
             i => struct(i.cast("int").as("r"), bucket(col("item"), i, w).as("b")))).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("_n")).as("c"))
   }
 
   /** Point estimates for `probes`: min over the d rows of the probed
