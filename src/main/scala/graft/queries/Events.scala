@@ -286,7 +286,11 @@ object Events {
   // value-hashed sketch twins live in q79 (KMV), q105 (HLL), q109
   // (priority sampling); exact counterparts in q15 and q26.
   def q45ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    // the distinct aggregate and the stats aggregate both scan the
+    // fact table — pin the 3-column projection so it reads once
     val e = ev(s, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .localCheckpoint(false)
     // countDistinct must NOT share the aggregate with the percentile
     // functions: Spark's distinct rewrite pre-groups by (event_type,
     // user_id), and the TypedImperative percentile buffers then
