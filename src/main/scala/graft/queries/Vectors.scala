@@ -953,9 +953,104 @@ object Vectors {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- q118: top principal component via power iteration ---------------------
+  // Distributed PCA the deterministic way: the covariance matrix is
+  // computed EXACTLY over micro-unit-quantized vectors (x̂ = ⌊v·1e6⌋,
+  // the q66 fixed-point pattern) — C′_ij = n·Σx̂ᵢx̂ⱼ − Σx̂ᵢ·Σx̂ⱼ in
+  // unbounded integer arithmetic (Spark: decimal sums + driver
+  // BigDecimal; DuckDB: HUGEINT), so the matrix is bit-identical in
+  // both engines before a single float op. Power iteration (6 steps,
+  // all-ones init) then runs on the d×d matrix — 4096 doubles, the
+  // q52 bounded-collect contract — with every dot product and norm
+  // folded in ascending-index order, mirrored exactly by the oracle's
+  // list_reduce chains, so loadings and the Rayleigh eigenvalue
+  // hash-gate bit-for-bit. The heavy half (the d² covariance sums) is
+  // one explode + one 4096-group aggregation — fully distributed; the
+  // d×d iteration is driver-side by design, like k-means centroids.
+  private val piIters = 6
+
+  def q118PowerIteration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = jlD
+    val q = emb(s, dir)
+      .select(
+        transform(col("embedding"), v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
+          .as("xq"))
+      .localCheckpoint(false)
+    val pairs = q
+      .select(col("xq"), posexplode(col("xq")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2))
+      .toMap
+    val sumRows = q
+      .select(posexplode(col("xq")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(sum(col("xi").cast("decimal(38,0)")).as("si"), count(lit(1)).as("n"))
+      .collect()
+    val si = sumRows.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val n = java.math.BigDecimal.valueOf(sumRows.head.getLong(2))
+    val m = Array.tabulate(d, d) { (i, j) =>
+      n.multiply(pairs((i, j))).subtract(si(i).multiply(si(j))).doubleValue()
+    }
+    val (v, eig) = graft.operators.PowerIteration.topComponent(m, piIters)
+    (0 until d)
+      .map(dim => (dim, v(dim), eig))
+      .toDF("dim", "loading", "eigenvalue")
+      .orderBy("dim")
+  }
+
+  val q118Sql: String = {
+    val d = jlD
+    val mv = (mm: String, vv: String) =>
+      s"list_transform($mm, r -> list_reduce(list_prepend(0.0, " +
+        s"list_transform(range(1, ${d + 1}), k -> r[k] * $vv[k])), (a, b) -> a + b))"
+    val norm = (ww: String) =>
+      s"list_transform($ww, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+        s"list_transform($ww, y -> y * y)), (a, b) -> a + b)))"
+    val iterCtes = (1 to piIters)
+      .map { t =>
+        val prev = if (t == 1) "it0" else s"it${t - 1}"
+        s"""it$t AS MATERIALIZED (SELECT m, ${norm("w")} AS v
+           |  FROM (SELECT m, ${mv("m", "v")} AS w FROM $prev))"""
+          .stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |             v -> CAST(FLOOR(v * 1000000.0) AS BIGINT)) AS xq
+       |           FROM embeddings),
+       |px AS MATERIALIZED (SELECT xq, unnest(range(1, ${d + 1})) AS ip FROM e),
+       |sxx AS MATERIALIZED (SELECT ip - 1 AS i, jp - 1 AS j, SUM(xi * xj) AS sxx
+       |        FROM (SELECT ip, xq[ip] AS xi, xq[jp] AS xj, jp
+       |              FROM (SELECT xq, ip, unnest(range(1, ${d + 1})) AS jp FROM px))
+       |        GROUP BY 1, 2),
+       |sv AS MATERIALIZED (SELECT ip - 1 AS i, SUM(xq[ip]) AS si, COUNT(*) AS n
+       |      FROM px GROUP BY 1),
+       |cm AS (SELECT s.i, s.j, CAST(a.n * s.sxx - a.si * b.si AS DOUBLE) AS c
+       |       FROM sxx s JOIN sv a ON s.i = a.i JOIN sv b ON s.j = b.i),
+       |cr AS (SELECT i, list(c ORDER BY j) AS r FROM cm GROUP BY i),
+       |it0 AS MATERIALIZED (SELECT (SELECT list(r ORDER BY i) FROM cr) AS m,
+       |        list_transform(range(0, $d), x -> 1.0) AS v),
+       |$iterCtes,
+       |fin AS (SELECT v, ${mv("m", "v")} AS w FROM it$piIters),
+       |ray AS (SELECT v,
+       |          list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+       |            k -> v[k] * w[k])), (a, b) -> a + b) /
+       |          list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+       |            k -> v[k] * v[k])), (a, b) -> a + b) AS eig
+       |        FROM fin)
+       |SELECT CAST(dim AS INTEGER) AS dim, v[CAST(dim AS INTEGER) + 1] AS loading,
+       |  eig AS eigenvalue
+       |FROM ray, (SELECT unnest(range(0, $d)) AS dim)
+       |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_random_projection" -> (q116RandomProjection _),
     "q117_hybrid_rrf" -> (q117HybridRrf _),
+    "q118_power_iteration" -> (q118PowerIteration _),
     "q107_hard_mining" -> (q107HardMining _),
     "q102_ivfadc" -> (q102Ivfadc _),
     "q101_pq_adc" -> (q101PqAdc _),
@@ -974,6 +1069,7 @@ object Vectors {
   val oracles: Map[String, String] = Map(
     "q116_random_projection" -> q116Sql,
     "q117_hybrid_rrf" -> q117Sql,
+    "q118_power_iteration" -> q118Sql,
     "q107_hard_mining" -> q107Sql,
     "q102_ivfadc" -> q102Sql,
     "q101_pq_adc" -> q101Sql,
