@@ -955,11 +955,18 @@ object Vectors {
 
   // ---- q118: top principal component via power iteration ---------------------
   // Distributed PCA the deterministic way: the covariance matrix is
-  // computed EXACTLY over micro-unit-quantized vectors (x̂ = ⌊v·1e6⌋,
+  // computed EXACTLY over milli-unit-quantized vectors (x̂ = ⌊v·1e3⌋,
   // the q66 fixed-point pattern) — C′_ij = n·Σx̂ᵢx̂ⱼ − Σx̂ᵢ·Σx̂ⱼ in
   // unbounded integer arithmetic (Spark: decimal sums + driver
   // BigDecimal; DuckDB: HUGEINT), so the matrix is bit-identical in
-  // both engines before a single float op. Power iteration (6 steps,
+  // both engines before a single float op. The unit is MILLI (not
+  // micro) deliberately: with |v| < 1 and n ≤ ~10⁵ every C′ entry
+  // stays below 2^53, so the integer→double cast is EXACT everywhere —
+  // at micro-units the sf1 entries passed 2^53 and DuckDB's
+  // HUGEINT→DOUBLE double-rounds the last ULP where BigDecimal
+  // rounds correctly, a real cross-engine divergence the soak caught.
+  // (Larger corpora shrink the unit or pre-divide n out — the
+  // quantization is part of the operator contract either way.) Power iteration (6 steps,
   // all-ones init) then runs on the d×d matrix — 4096 doubles, the
   // q52 bounded-collect contract — with every dot product and norm
   // folded in ascending-index order, mirrored exactly by the oracle's
@@ -974,7 +981,7 @@ object Vectors {
     val d = jlD
     val q = emb(s, dir)
       .select(
-        transform(col("embedding"), v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
+        transform(col("embedding"), v => floor(v.cast("double") * lit(1000.0)).cast("long"))
           .as("xq"))
       .localCheckpoint(false)
     val pairs = q
@@ -1019,7 +1026,7 @@ object Vectors {
       }
       .mkString(",\n")
     s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-       |             v -> CAST(FLOOR(v * 1000000.0) AS BIGINT)) AS xq
+       |             v -> CAST(FLOOR(v * 1000.0) AS BIGINT)) AS xq
        |           FROM embeddings),
        |px AS MATERIALIZED (SELECT xq, unnest(range(1, ${d + 1})) AS ip FROM e),
        |sxx AS MATERIALIZED (SELECT ip - 1 AS i, jp - 1 AS j, SUM(xi * xj) AS sxx
