@@ -1824,6 +1824,79 @@ object Documents {
        |ORDER BY token""".stripMargin
   }
 
+  // ---- q119: deterministic split assignment + leakage audit ------------------
+  // The bread-and-butter eval-hygiene op: every document lands in
+  // train/val/test by a pure hash of its id (90/5/5 — reproducible,
+  // no state, stable under corpus growth), and the audit counts docs
+  // whose NEAR-DUPLICATE group straddles splits — the leakage a
+  // random split silently allows. The group key is a 1-hash MinHash
+  // (the minimum md5-hash over the doc's 3-shingles): near-duplicate
+  // docs share their min shingle with probability ≈ their Jaccard
+  // similarity, while unrelated docs don't — so the corpus's real
+  // near-dup clusters (the q35 pairs) exercise the audit, where an
+  // exact-text fingerprint would report all zeros here. Docs too
+  // short to shingle fall back to a per-doc unique key (no grouping).
+  // One hash + a window over the group key + one aggregation.
+  def q119SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(md5(concat(lit("split#"), col("doc_id").cast("string"))).substr(1, 7), 16, 10)
+      .cast("long") % 100
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val assigned = docs(s, dir)
+      .select(col("doc_id"), toks.as("_toks"), when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+      .select(
+        col("doc_id"),
+        col("split"),
+        coalesce(
+          // guard: Spark's sequence(0, n) DESCENDS for n < 0 (DuckDB's
+          // range is empty) — gate the shingle build on >= 3 tokens
+          when(
+            size(col("_toks")) >= 3,
+            array_min(transform(
+              transform(
+                sequence(lit(0), size(col("_toks")) - 3),
+                i => concat_ws(" ", slice(col("_toks"), i + 1, lit(3)))),
+              g => conv(md5(g).substr(1, 7), 16, 10).cast("long")))),
+          -col("doc_id") - 1).as("fp"))
+    val spread = assigned
+      .withColumn(
+        "n_splits_of_group",
+        size(collect_set(col("split")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))))
+    spread
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_splits_of_group") > 1, 1)).as("n_leaked_docs"))
+      .orderBy("split")
+  }
+
+  val q119Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks,
+      |    list_reduce(list_transform(range(1, 8),
+      |      ii -> CAST(strpos('0123456789abcdef',
+      |              substr(md5('split#' || CAST(doc_id AS VARCHAR)), ii, 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) % 100 AS h
+      |  FROM documents),
+      |a AS (SELECT doc_id,
+      |    COALESCE(list_min(list_transform(
+      |        list_transform(range(0, LEN(toks) - 2),
+      |          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')),
+      |        g -> list_reduce(list_transform(range(1, 8),
+      |               ii -> CAST(strpos('0123456789abcdef', substr(md5(g), ii, 1)) - 1 AS BIGINT)),
+      |               (a, x) -> a * 16 + x))),
+      |      -doc_id - 1) AS fp,
+      |    CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM t),
+      |sp AS (SELECT doc_id, split,
+      |         COUNT(DISTINCT split) OVER (PARTITION BY fp) AS n_splits_of_group
+      |       FROM a)
+      |SELECT split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(CASE WHEN n_splits_of_group > 1 THEN 1 END) AS BIGINT) AS n_leaked_docs
+      |FROM sp
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+
   // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
   // The published fair-sampling allocator for multi-source training
   // mixes: every (source, lang) stratum gets a uniform share of the
@@ -2009,6 +2082,7 @@ object Documents {
     "q112_bpe_encode" -> (q112BpeEncode _),
     "q113_c4_filters" -> (q113C4Filters _),
     "q114_portable_cms" -> (q114PortableCms _),
+    "q119_split_leakage" -> (q119SplitLeakage _),
     "q103_gopher_rules" -> (q103GopherRules _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
@@ -2047,6 +2121,7 @@ object Documents {
     "q112_bpe_encode" -> q112Sql,
     "q113_c4_filters" -> q113Sql,
     "q114_portable_cms" -> q114Sql,
+    "q119_split_leakage" -> q119Sql,
     "q103_gopher_rules" -> q103Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,
