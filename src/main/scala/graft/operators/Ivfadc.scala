@@ -83,13 +83,21 @@ object Ivfadc {
   /** Probed ADC search with driver-built tables — the small-query-set
     * contract (tables are |Q|·nprobe·m·k driver entries).
     *
+    * @param excludeSelf drop candidates whose corpus id equals the
+    *                    query id — the self-query contract (q102's
+    *                    queries ARE corpus vectors, so the trivial
+    *                    distance-0 self-match is noise). Pass `false`
+    *                    when qids live in a namespace independent of
+    *                    corpus ids, or an unlucky collision silently
+    *                    loses that (often nearest) neighbor.
     * @return (qid, rank, nid, cell, adc_dist), rank 1..k per query
     */
   def search(
       index: Index,
       queries: Seq[(Long, Seq[Double])],
       nprobe: Int,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val spark = index.enc.sparkSession
     import spark.implicits._
@@ -107,7 +115,7 @@ object Ivfadc {
       (cent, c) <- index.codebooks(s).zipWithIndex
     } yield (qid, cell, s, c, sqd(qres.slice(s * sub, (s + 1) * sub), cent))
     val tdf = broadcast(tdist.toDF("qid", "cell", "sub", "code", "_d"))
-    score(index, tdf, m, k)
+    score(index, tdf, m, k, excludeSelf)
   }
 
   /** Probed ADC search with tables built IN SPARK — the many-query
@@ -117,6 +125,8 @@ object Ivfadc {
     * exact arithmetic, so results are byte-identical to [[search]].
     *
     * @param queries (qidCol: long, qembCol: array<double>) — any size
+    * @param excludeSelf see [[search]]: defaults to the self-query
+    *                    contract; pass `false` for external query ids
     */
   def searchDf(
       index: Index,
@@ -124,7 +134,8 @@ object Ivfadc {
       qidCol: String,
       qembCol: String,
       nprobe: Int,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val spark = index.enc.sparkSession
     import spark.implicits._
@@ -157,7 +168,7 @@ object Ivfadc {
         col("sub"),
         col("code"),
         sqErr(slice(col("_qres"), col("sub") * sub + 1, lit(sub)), col("_cent")).as("_d"))
-    score(index, tdf, m, k)
+    score(index, tdf, m, k, excludeSelf)
   }
 
   /** Shared probed-ADC scoring: candidates are the encoded vectors of
@@ -166,7 +177,8 @@ object Ivfadc {
     * explicit subspace order, and the rank filter sits directly on
     * the window (WindowGroupLimit keeps the top-k map-side).
     */
-  private def score(index: Index, tdf: DataFrame, m: Int, k: Int): DataFrame = {
+  private def score(
+      index: Index, tdf: DataFrame, m: Int, k: Int, excludeSelf: Boolean): DataFrame = {
     val encWithCell = index.enc.join(index.cells, "id")
     val terms = (0 until m).map(x => max(when(col("sub") === x, col("_d"))).as(s"_d$x"))
     val summed = encWithCell
@@ -177,7 +189,7 @@ object Ivfadc {
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("nid"))
     summed
       .select(col("qid"), col("nid"), col("cell"), dist.as("adc_dist"))
-      .filter(col("qid") =!= col("nid"))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cell"), col("adc_dist"))

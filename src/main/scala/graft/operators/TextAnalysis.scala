@@ -119,9 +119,12 @@ object TextAnalysis {
     def ngrams(j: Int) = transform(
       sequence(lit(0), n - j),
       i => concat_ws(" ", slice(toks, i + 1, lit(j))))
-    // token-fraction form of the paper's decreasing n-gram repetition
-    // caps (A1.1 states them as character fractions; the token form
-    // keeps every quotient an exact integer ratio, hash-replayable)
+    // DELIBERATE DEVIATION from A1.1: the paper measures the top
+    // n-gram's share as a CHARACTER fraction; this metric is the
+    // TOKEN fraction (occurrences·n / word count), because the token
+    // form keeps every quotient an exact integer ratio that
+    // hash-replays across engines. gopherKeep applies the paper's
+    // threshold VALUES (0.20/0.18/0.16) to this token-fraction metric.
     def topNgramFrac(j: Int) =
       when(n >= j, (maxElementCount(ngrams(j)) * j.toLong).cast("double") / n)
         .otherwise(lit(0.0))
@@ -211,10 +214,12 @@ object TextAnalysis {
   /** The Gopher keep decision over [[gopherMetrics]] columns: word
     * count in [minWords, 100k], mean word length in [3, 10], ≥80% of
     * words alphabetic, symbol-to-word ratio ≤10% (A1.1's '#'/'...'
-    * rule), ≥2 distinct stop words, and the paper's decreasing
-    * repetition caps on the most frequent 2/3/4-gram (≤18%/16%/14% of
-    * tokens). The paper's word floor of 50 assumes web documents;
-    * short-doc corpora tune `minWords` down.
+    * rule), ≥2 distinct stop words, and A1.1's decreasing repetition
+    * caps on the most frequent 2/3/4-gram — the paper's thresholds
+    * (≤20%/18%/16%), applied to the token-fraction metrics (the paper
+    * states them as character fractions; see [[gopherMetrics]] for why
+    * the token form is used). The paper's word floor of 50 assumes web
+    * documents; short-doc corpora tune `minWords` down.
     */
   def gopherKeep(minWords: Int = 50): Column =
     col("n_words") >= minWords && col("n_words") <= 100000 &&
@@ -222,24 +227,29 @@ object TextAnalysis {
       col("alpha_ratio") >= 0.8 &&
       col("symbol_word_ratio") <= 0.1 &&
       col("n_stop_distinct") >= 2 &&
-      col("top_bigram_frac") <= 0.18 &&
-      col("top_3gram_frac") <= 0.16 &&
-      col("top_4gram_frac") <= 0.14
+      col("top_bigram_frac") <= 0.20 &&
+      col("top_3gram_frac") <= 0.18 &&
+      col("top_4gram_frac") <= 0.16
 
   // ---- C4 filters (Raffel et al. 2020, §2.2) --------------------------------
 
-  /** Placeholder blocklist — C4 uses the published "bad words" list;
-    * the mechanism (page dropped if ANY token matches) is what the
-    * operator implements, the word list is a deployment choice.
+  /** Default blocklist — a deliberately tiny stand-in for C4's
+    * published "List of Dirty, Naughty, Obscene or Otherwise Bad
+    * Words"; the mechanism (page dropped if ANY token matches) is what
+    * the operator implements, and the list is an injectable parameter
+    * of [[c4PageMetrics]] / `C4FilterRule` (a realistic list ships as
+    * the `c4_blocklist.txt` test fixture). The word list itself is a
+    * deployment choice.
     */
   val c4Blocklist: Seq[String] = Seq("casino", "viagra", "lottery")
 
   /** C4's line-level retention over a `\n`-separated page: keep a line
     * iff it ends in terminal punctuation (`.` `!` `?` or a closing
-    * quote), has at least `minLineWords` words, and does not mention
-    * "javascript".
+    * quote), has at least `minLineWords` words (Raffel et al. 2020
+    * §2.2 retains "lines that contained at least 5 words"), and does
+    * not mention "javascript".
     */
-  def c4KeptLines(page: Column, minLineWords: Int = 3): Column =
+  def c4KeptLines(page: Column, minLineWords: Int = 5): Column =
     filter(
       split(page, "\n"),
       l =>
@@ -254,7 +264,7 @@ object TextAnalysis {
     */
   def c4PageMetrics(
       page: Column,
-      minLineWords: Int = 3,
+      minLineWords: Int = 5,
       blocklist: Seq[String] = c4Blocklist): Seq[Column] = {
     val kept = c4KeptLines(page, minLineWords)
     val cleaned = array_join(kept, "\n")
@@ -271,10 +281,11 @@ object TextAnalysis {
   }
 
   /** The C4 keep decision over [[c4PageMetrics]] columns: at least
-    * `minSentences` sentences survive line cleaning and none of the
-    * page-level content flags fire.
+    * `minSentences` sentences survive line cleaning (Raffel et al.
+    * 2020 §2.2 discards "any page with fewer than 3 sentences") and
+    * none of the page-level content flags fire.
     */
-  def c4Keep(minSentences: Int = 5): Column =
+  def c4Keep(minSentences: Int = 3): Column =
     col("n_sentences") >= minSentences &&
       !col("has_lorem") && !col("has_brace") && !col("has_blockword")
 }

@@ -269,9 +269,35 @@ object PipelineCompiler {
   /** Start a streaming-compiled pipeline: one StreamingQuery per sink.
     * `checkpointRoot` gets one key-space per sink — the state
     * exclusivity the reference enforces per rule (pipeline.go:79-84).
+    *
+    * All-or-nothing: if a later sink's `start()` throws, the queries
+    * that DID start are stopped before the failure propagates —
+    * otherwise the caller (who never received them, so can never stop
+    * them) would leak running queries against resources it is about
+    * to tear down (e.g. the ApiServer closes the pipeline's spool
+    * handles on a failed start).
     */
-  def startStreaming(c: Compiled, checkpointRoot: String, availableNow: Boolean = true): Seq[StreamingQuery] =
-    c.sinks.toSeq.map { case (name, df) =>
+  def startStreaming(c: Compiled, checkpointRoot: String, availableNow: Boolean = true): Seq[StreamingQuery] = {
+    val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    try {
+      c.sinks.toSeq.foreach { case (name, df) => started += startSink(c, name, df, checkpointRoot, availableNow) }
+      started.toSeq
+    } catch {
+      case e: Throwable =>
+        started.foreach { q =>
+          try q.stop()
+          catch { case e2: Exception => e.addSuppressed(e2) }
+        }
+        throw e
+    }
+  }
+
+  private def startSink(
+      c: Compiled,
+      name: String,
+      df: DataFrame,
+      checkpointRoot: String,
+      availableNow: Boolean): StreamingQuery = {
       val writer = df.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/$name")
@@ -294,7 +320,7 @@ object PipelineCompiler {
             .start()
         case other => sys.error(s"sink $name: unsupported $other")
       }
-    }
+  }
 }
 
 /** Message-queue sink seam: the reference posts each record's JSON to

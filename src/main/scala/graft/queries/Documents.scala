@@ -1431,9 +1431,9 @@ object Documents {
        |   AND alpha_ratio >= 0.8
        |   AND symbol_word_ratio <= 0.1
        |   AND n_stop_distinct >= 2
-       |   AND top_bigram_frac <= 0.18
-       |   AND top_3gram_frac <= 0.16
-       |   AND top_4gram_frac <= 0.14) AS keep
+       |   AND top_bigram_frac <= 0.20
+       |   AND top_3gram_frac <= 0.18
+       |   AND top_4gram_frac <= 0.16) AS keep
        |FROM j
        |ORDER BY doc_id""".stripMargin
   }
@@ -1735,7 +1735,7 @@ object Documents {
        |k AS (SELECT doc_id, page,
        |        list_filter(string_split(page, chr(10)), l ->
        |          regexp_matches(TRIM(l), '[.!?"]$$')
-       |          AND LEN(list_filter(regexp_split_to_array(TRIM(l), '\\s+'), w -> LEN(w) > 0)) >= 3
+       |          AND LEN(list_filter(regexp_split_to_array(TRIM(l), '\\s+'), w -> LEN(w) > 0)) >= 5
        |          AND NOT contains(LOWER(l), 'javascript')) AS kl
        |      FROM pg),
        |m AS (SELECT doc_id,
@@ -1751,7 +1751,7 @@ object Documents {
        |      FROM k)
        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace, has_blockword,
        |  cleaned_len,
-       |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace AND NOT has_blockword) AS keep
+       |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_blockword) AS keep
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }

@@ -443,21 +443,40 @@ object CorpusRules {
 
   /** The C4 filter set (Raffel et al. 2020, §2.2) as an ingest-time
     * rule over multi-line pages in `text`: line-level retention
-    * (terminal punctuation, ≥3 words, no "javascript"), page-level
-    * rejection (lorem ipsum, `{`, blocklist tokens, <5 surviving
-    * sentences). Survivors get their `text` REPLACED by the cleaned
-    * retained lines — C4 is a transform, not just a filter — with the
-    * metric columns kept for audits. q113 is the batch/oracle twin of
-    * the metric half. `spark.graft.c4.minSentences` overrides the
-    * sentence floor.
+    * (terminal punctuation, ≥5 words, no "javascript"), page-level
+    * rejection (lorem ipsum, `{`, blocklist tokens, <3 surviving
+    * sentences) — the paper's published defaults. Survivors get their
+    * `text` REPLACED by the cleaned retained lines — C4 is a
+    * transform, not just a filter — with the metric columns kept for
+    * audits. q113 is the batch/oracle twin of the metric half.
+    * `spark.graft.c4.minSentences` overrides the sentence floor;
+    * `spark.graft.c4.blocklist` (a comma-separated token list, or
+    * `file:<path>` naming a newline-separated list file) replaces the
+    * placeholder [[TextAnalysis.c4Blocklist]] with a deployment's real
+    * "bad words" list.
     */
   object C4FilterRule extends Rule {
     val name = "c4Filter"
+
+    /** Resolve the session-configured blocklist: inline CSV, a
+      * `file:` path to a newline-separated list (blank lines and
+      * `#`-comments skipped), or the placeholder default.
+      */
+    private[rules] def blocklist(df: DataFrame): Seq[String] =
+      df.sparkSession.conf.getOption("spark.graft.c4.blocklist") match {
+        case Some(v) if v.startsWith("file:") =>
+          val src = scala.io.Source.fromFile(v.stripPrefix("file:"), "UTF-8")
+          try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+          finally src.close()
+        case Some(v) => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case None => TextAnalysis.c4Blocklist
+      }
+
     def apply(df: DataFrame): DataFrame = {
       val minSentences = df.sparkSession.conf
         .getOption("spark.graft.c4.minSentences")
         .map(_.toInt)
-        .getOrElse(5)
+        .getOrElse(3)
       val reserved =
         Seq("n_lines", "n_kept_lines", "n_sentences", "has_lorem", "has_brace",
           "has_blockword", "cleaned_len", "_kept")
@@ -466,7 +485,7 @@ object CorpusRules {
         clash.isEmpty,
         s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
       df.withColumn("_kept", TextAnalysis.c4KeptLines(col("text")))
-        .select(col("*") +: TextAnalysis.c4PageMetrics(col("text")): _*)
+        .select(col("*") +: TextAnalysis.c4PageMetrics(col("text"), blocklist = blocklist(df)): _*)
         .filter(TextAnalysis.c4Keep(minSentences))
         .withColumn("text", array_join(col("_kept"), "\n"))
         .drop("_kept")

@@ -94,14 +94,21 @@ object StreamingDedup {
     pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     batchBands.write.mode("overwrite").parquet(s"$stagingDir/bands/batch_id=$batchId")
     batchSh.write.mode("overwrite").parquet(s"$stagingDir/shingles/batch_id=$batchId")
-    // Auto-compaction cadence: fold final partitions every
-    // `compactEvery` batches so a long-lived stream holds O(1)
-    // partition dirs instead of one per micro-batch forever. Running
-    // here — after this batch's writes, before the checkpoint commit —
-    // is the "between micro-batches" window compactStaged requires,
-    // and a crash mid-compaction is healed by the recovery pass above.
+    // Auto-compaction cadence: fold the STAGING tables' final
+    // partitions every `compactEvery` batches so a long-lived stream
+    // holds O(1) staging partition dirs instead of one per micro-batch
+    // forever. Running here — after this batch's writes, before the
+    // checkpoint commit — is the "between micro-batches" window
+    // compactStaged requires, and a crash mid-compaction is healed by
+    // the recovery pass above. pairsDir is deliberately NOT
+    // auto-compacted: its batch_id partition IS the documented
+    // "arrived in that batch" attribution, which downstream consumers
+    // read incrementally by partition — folding it would silently
+    // rewrite history under one batch_id. Callers that don't need the
+    // attribution can run compactStaged(pairsDir) themselves.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      tables.foreach(dir => compactStaged(spark, dir))
+      Seq(s"$stagingDir/bands", s"$stagingDir/shingles")
+        .foreach(dir => compactStaged(spark, dir))
   }
 
   /** The staged relation accumulated by batches STRICTLY BEFORE
@@ -226,11 +233,14 @@ object StreamingDedup {
     *   .start()
     * }}}
     *
-    * `compactEvery = N` folds the staging/pairs tables' final batch
+    * `compactEvery = N` folds the STAGING tables' final batch
     * partitions into one every N micro-batches (default 16), keeping a
-    * long-running stream at O(1) partition directories instead of one
-    * per batch forever; 0 disables (caller runs [[compactStaged]]
-    * itself).
+    * long-running stream at O(1) staging partition directories instead
+    * of one per batch forever; 0 disables (caller runs
+    * [[compactStaged]] itself). The pairs table is never
+    * auto-compacted: its `batch_id` partitioning is the "arrived in
+    * that batch" attribution consumers rely on for incremental
+    * partition reads.
     */
   def nearDupIngest(
       stream: DataFrame,

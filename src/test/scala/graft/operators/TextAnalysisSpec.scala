@@ -149,7 +149,7 @@ class TextAnalysisSpec extends SparkSpec {
     out(0).getAs[Boolean]("keep") shouldBe true
     out(1).getAs[Int]("n_kept_lines") shouldBe 0 // no terminal punctuation
     out(1).getAs[Boolean]("keep") shouldBe false
-    out(2).getAs[Int]("n_kept_lines") shouldBe 0 // all lines under 3 words
+    out(2).getAs[Int]("n_kept_lines") shouldBe 0 // all lines under 5 words
     out(3).getAs[Int]("n_kept_lines") shouldBe 0 // javascript lines dropped
     out(4).getAs[Boolean]("has_lorem") shouldBe true
     out(4).getAs[Boolean]("keep") shouldBe false

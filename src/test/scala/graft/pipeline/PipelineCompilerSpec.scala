@@ -61,6 +61,30 @@ class PipelineCompilerSpec extends SparkSpec {
     out.length shouldBe 4
   }
 
+  test("streaming: a failed later sink start stops the queries that DID start") {
+    val dir = tmpDir("graft_partial_start")
+    writeLines(s"$dir/input", Seq("a", "ab"))
+    val compiled = PipelineCompiler
+      .compile(spark, basicConfig(s"$dir/input").replace("memOut", "aaGood"), streaming = true)
+      .toOption
+      .get
+    val goodDf = compiled.sinks("aaGood")
+    // hand-build a two-sink Compiled whose SECOND sink cannot start:
+    // insertion order makes aaGood start first, then zzBad throws
+    val cfg = compiled.config.copy(sinks =
+      compiled.config.sinks + ("zzBad" -> SinkConfig("Bogus", None)))
+    val twoSink = compiled.copy(
+      sinks = scala.collection.immutable.ListMap("aaGood" -> goodDf, "zzBad" -> goodDf),
+      config = cfg)
+    val before = spark.streams.active.map(_.id).toSet
+    val e = intercept[RuntimeException] {
+      PipelineCompiler.startStreaming(twoSink, s"$dir/ckpt", availableNow = false)
+    }
+    e.getMessage should include("zzBad")
+    // the aaGood query that started before the failure is stopped, not leaked
+    spark.streams.active.map(_.id).toSet shouldBe before
+  }
+
   test("batch: structured CSV source bypasses decode (source format field)") {
     import spark.implicits._
     val dir = tmpDir("graft_csv")

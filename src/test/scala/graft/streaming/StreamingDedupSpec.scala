@@ -178,15 +178,18 @@ class StreamingDedupSpec extends SparkSpec {
       // control run: never compacted
       StreamingDedup.nearDupIngestBatch(df, i.toLong, "doc_id", "text",
         s"$rootB/staging", s"$rootB/pairs", k = 3, numHashes = 8, bands = 4)
-      // bounded at every step: never more than compactEvery + 2 dirs
-      Seq("staging/bands", "staging/shingles", "pairs").foreach { sub =>
+      // staging bounded at every step: never more than compactEvery + 2 dirs
+      Seq("staging/bands", "staging/shingles").foreach { sub =>
         assert(ids(rootA, sub).size <= 5, s"$sub has ${ids(rootA, sub)} after batch $i")
       }
     }
     // after the batch-8 compaction: two dirs (final fold + latest) vs 9 uncompacted
     ids(rootA, "staging/bands").size shouldBe 2
     ids(rootB, "staging/bands").size shouldBe 9
-    // identical pair output (batch_id attribution aside)
+    // pairs is NEVER auto-compacted: batch_id = "arrived in that batch"
+    // attribution survives the cadence, one partition per batch
+    ids(rootA, "pairs") shouldBe (0L to 8L).toSet
+    // identical pair output
     pairSet(s"$rootA/pairs") shouldBe pairSet(s"$rootB/pairs")
     // identical staged content for any future batch
     spark.read.option("basePath", s"$rootA/staging/shingles").parquet(s"$rootA/staging/shingles")
