@@ -1054,9 +1054,143 @@ object Vectors {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---- q120: hybrid retrieval at SCALE — WAND BM25 ⊕ IVFADC via RRF ----------
+  // The scale form of q117: same queries, same RRF fusion, but each
+  // leg is its production operator — Bm25.topKPruned (candidate volume
+  // ≤ cap·|terms| per query, exactness certified by the max-score
+  // bound) for the sparse side and Ivfadc.searchDf (nprobe·(N/cells)·m
+  // candidate work, queries never leave the DataFrame) for the dense
+  // side. The dense leg ranks by ADC-approximated squared L2 over the
+  // q102 index (coarse 8 cells ×3 Lloyd iters, 4×4 residual PQ), so
+  // the oracle replays the ENTIRE index build + probed search in
+  // DuckDB (the q102 replay, self-matches kept: query ids 1-3 are a
+  // namespace independent of corpus vec_ids) and fuses with the
+  // relational BM25 form (topKPruned is exactness-preserving). Leg
+  // ranks ride along as audit columns, so the hash gate pins the
+  // fusion inputs, not just the fused order.
+  def q120HybridScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e"))
+    val idx = graft.operators.Ivfadc.fit(
+      e, idCol = "vec_id", embCol = "e",
+      coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
+    val qe = broadcast(
+      hybridQueries
+        .map(q => (q._1, q._3))
+        .toDF("qid", "qvid")
+        .join(e.select(col("vec_id").as("qvid"), col("e")), "qvid")
+        .select(col("qid"), col("e")))
+    graft.operators.HybridRetrieval
+      .topK(
+        Tables.documents(s, dir), "doc_id", col("text"),
+        hybridQueries.map(q => (q._1, q._2)),
+        idx, qe, "qid", "e",
+        k = 10, legK = 20, cap = 100, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  val q120Sql: String = {
+    val resChains = (0 until 4)
+      .map(x => pqChainSql(x, subDims = 16, k = 4, iters = 2, src = "res", prefix = "r"))
+      .mkString(",\n")
+    val sliceDist =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(emb[(sub*16+1):(sub*16+16)], cent), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    val qmapRows = hybridQueries.map(q => s"(${q._1},${q._3})").mkString(",")
+    val qtRows = hybridQueries
+      .flatMap { case (qid, ts, _) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
+      .mkString(",")
+    val allTerms = hybridQueries.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")
+    val maxTerms = hybridQueries.map(_._2.size).max
+    val slotCols = (0 until maxTerms)
+      .map(i => s"MAX(CASE WHEN slot = $i THEN s END) AS s$i")
+      .mkString(", ")
+    val scoreExpr = (0 until maxTerms).foldLeft("0.0") { (acc, i) =>
+      s"($acc + COALESCE(s$i, 0.0))"
+    }
+    s"""$lloydCellsSql,
+       |res AS (SELECT c.vec_id, list_transform(list_zip(c.emb, f.cent), p -> p[1] - p[2]) AS emb, c.cell
+       |        FROM cells c JOIN clF f ON c.cell = f.cell),
+       |$resChains,
+       |qmap(qid, qvid) AS (VALUES $qmapRows),
+       |qv AS (SELECT qid, emb FROM qmap JOIN e ON e.vec_id = qmap.qvid),
+       |probes AS (
+       |  SELECT qid, cell, cent FROM (
+       |    SELECT q.qid, c.cell, c.cent,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM (SELECT qid, emb FROM qv) q CROSS JOIN clF c)
+       |  WHERE rn <= 2),
+       |qres AS (SELECT p.qid, p.cell, list_transform(list_zip(q.emb, p.cent), x -> x[1] - x[2]) AS emb
+       |         FROM probes p JOIN qv q ON q.qid = p.qid),
+       |rcb AS (SELECT 0 AS sub, cell AS code, cent FROM r0clF
+       |        UNION ALL SELECT 1, cell, cent FROM r1clF
+       |        UNION ALL SELECT 2, cell, cent FROM r2clF
+       |        UNION ALL SELECT 3, cell, cent FROM r3clF),
+       |td AS (SELECT qid, qres.cell AS cell, sub, code, $sliceDist AS d FROM qres CROSS JOIN rcb),
+       |rcodes AS (SELECT vec_id AS nid, sub, code FROM
+       |  (SELECT vec_id, sub, code FROM r0out UNION ALL SELECT vec_id, sub, code FROM r1out
+       |   UNION ALL SELECT vec_id, sub, code FROM r2out UNION ALL SELECT vec_id, sub, code FROM r3out)),
+       |withcell AS (SELECT rcodes.nid, cells.cell, sub, code
+       |             FROM rcodes JOIN cells ON rcodes.nid = cells.vec_id),
+       |adcpairs AS (SELECT qid, nid,
+       |    MAX(CASE WHEN sub = 0 THEN d END) AS d0,
+       |    MAX(CASE WHEN sub = 1 THEN d END) AS d1,
+       |    MAX(CASE WHEN sub = 2 THEN d END) AS d2,
+       |    MAX(CASE WHEN sub = 3 THEN d END) AS d3
+       |  FROM withcell JOIN td USING (cell, sub, code)
+       |  GROUP BY qid, nid),
+       |adist AS (SELECT qid, nid, ((((0.0 + d0) + d1) + d2) + d3) AS adc_dist FROM adcpairs),
+       |dense AS (
+       |  SELECT qid, nid AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS INTEGER) AS rank_dense
+       |  FROM adist QUALIFY rank_dense <= 20),
+       |t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |      FROM documents),
+       |tbase AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t),
+       |tstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |           FROM tbase),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(list_filter(toks, w -> w IN ($allTerms))) AS term
+       |             FROM tbase)
+       |       GROUP BY doc_id, dl, term),
+       |wdf AS (SELECT doc_id, dl, term, tf,
+       |          CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |        FROM tf),
+       |sc AS (SELECT doc_id, term,
+       |         ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |         ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |          (CAST(tf AS DOUBLE) +
+       |           1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE))
+       |                  / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS s
+       |       FROM wdf CROSS JOIN tstats),
+       |qt(qid, slot, term) AS (VALUES $qtRows),
+       |per AS (SELECT qid, doc_id, $slotCols
+       |        FROM sc JOIN qt USING (term) GROUP BY qid, doc_id),
+       |sparse AS (SELECT qid, doc_id,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY $scoreExpr DESC, doc_id) AS INTEGER) AS rank_sparse
+       |           FROM per QUALIFY rank_sparse <= 20),
+       |fused AS (SELECT COALESCE(s.qid, d.qid) AS qid,
+       |            COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       |            s.rank_sparse, d.rank_dense,
+       |            (COALESCE(1.0 / (60.0 + rank_sparse), 0.0) +
+       |             COALESCE(1.0 / (60.0 + rank_dense), 0.0)) AS rrf
+       |          FROM sparse s FULL OUTER JOIN dense d
+       |            ON s.qid = d.qid AND s.doc_id = d.doc_id)
+       |SELECT CAST(qid AS INTEGER) AS qid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, rank_sparse, rank_dense, rrf
+       |FROM fused
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_random_projection" -> (q116RandomProjection _),
     "q117_hybrid_rrf" -> (q117HybridRrf _),
+    "q120_hybrid_scale" -> (q120HybridScale _),
     "q118_power_iteration" -> (q118PowerIteration _),
     "q107_hard_mining" -> (q107HardMining _),
     "q102_ivfadc" -> (q102Ivfadc _),
@@ -1076,6 +1210,7 @@ object Vectors {
   val oracles: Map[String, String] = Map(
     "q116_random_projection" -> q116Sql,
     "q117_hybrid_rrf" -> q117Sql,
+    "q120_hybrid_scale" -> q120Sql,
     "q118_power_iteration" -> q118Sql,
     "q107_hard_mining" -> q107Sql,
     "q102_ivfadc" -> q102Sql,
