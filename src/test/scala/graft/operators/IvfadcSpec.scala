@@ -91,6 +91,53 @@ class IvfadcSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("many-query smoke: 10k queries stay in the DataFrame (no driver-side table build)") {
+    val nQ = 10000
+    // queries generated IN SPARK from a range — the driver never holds
+    // them. emb[d] = md5-unit("Q:qid:d") * 4 - 2, an expression with an
+    // exact Scala twin below (same IEEE op order).
+    val qdf = spark
+      .range(nQ)
+      .select(
+        col("id").as("qid"),
+        transform(
+          sequence(lit(0), lit(15)),
+          d =>
+            conv(
+              md5(concat(lit("Q:"), col("id").cast("string"), lit(":"), d.cast("string")))
+                .substr(1, 8), 16, 10).cast("double") / lit(4294967295.0) * lit(4.0) - lit(2.0))
+          .as("qemb"))
+    val res = Ivfadc.searchDf(index, qdf, "qid", "qemb", nprobe = 2, k = 5)
+    // (b) plan shape: query rows flow from the Range source; the only
+    // local relations are the broadcast model tables (codebook entries,
+    // coarse centroids — model-sized, never |Q|-sized)
+    val plan = res.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    plan should include("Range (0, 10000")
+    "LocalTableScan".r.findAllMatchIn(plan).size should be <= 2
+    // every query returns a full top-5 (the index covers the space)
+    val counts = res.groupBy("qid").count().select("count").distinct().as[Long].collect()
+    res.count() shouldBe nQ * 5L
+    counts.toSeq shouldBe Seq(5L)
+    // (a) sampled byte-equality vs the driver-Seq search: rebuild the
+    // same md5-unit embeddings in Scala for 9 sampled qids
+    val sample = (0 until 9).map(i => (i * 1111 + 7).toLong)
+    val qseq2 = sample.map { qid =>
+      (qid, (0 until 16).map(d => u(s"Q:$qid:$d") * 4.0 - 2.0): Seq[Double])
+    }
+    val a = Ivfadc
+      .search(index, qseq2, nprobe = 2, k = 5)
+      .orderBy("qid", "rank")
+      .as[(Long, Int, Long, Int, Double)]
+      .collect()
+    val b = res
+      .filter(col("qid").isInCollection(sample))
+      .orderBy("qid", "rank")
+      .as[(Long, Int, Long, Int, Double)]
+      .collect()
+    a.length shouldBe 45
+    b shouldBe a
+  }
+
   test("recall gate: nprobe=2 probed ADC recovers the L2 truth; recall is monotone in nprobe") {
     val k = 5
     val truth = l2Truth(k)
