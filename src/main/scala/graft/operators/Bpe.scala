@@ -73,29 +73,60 @@ object Bpe {
       .agg(count(lit(1)).as("wc"))
 
   /** Train `numMerges` BPE merges. Returns (left, right, pairCount) in
-    * rank order. Each round recomputes symbols from the word-frequency
-    * table by folding the merges learned so far — stateless across
-    * rounds (no persisted mutable table), at the cost of O(rounds²)
-    * fold depth, which is fine for the tokenizer-prefix sizes this
-    * catalogs (production vocab training would checkpoint the
-    * symbolized table every ~hundred rounds).
+    * rank order.
+    *
+    * `checkpointEvery = 0` (default): each round recomputes symbols
+    * from the word-frequency table by folding ALL merges learned so
+    * far — stateless across rounds (no persisted mutable table), at
+    * the cost of O(rounds²) total fold depth, fine for tokenizer-
+    * prefix sizes (capped at 64 rounds on this path).
+    *
+    * `checkpointEvery = N > 0`: the PRODUCTION-VOCAB path — every N
+    * rounds the symbolized word table is re-materialized with a lazy
+    * local checkpoint, so each round folds at most N pending merges
+    * over the last materialization instead of the whole history. Per-
+    * round plan depth is O(N) and total work O(rounds·N), which is
+    * what lets a 30k-merge vocabulary train as 30k bounded Spark jobs
+    * rather than an ever-deepening expression chain. Merges are pure
+    * integer/string arithmetic, so both paths produce IDENTICAL merge
+    * lists (spec-pinned); only the plan shape differs.
     */
   def trainMerges(
       docs: DataFrame,
       textCol: Column,
-      numMerges: Int): Seq[(String, String, Long)] = {
-    require(numMerges >= 1 && numMerges <= 64, s"numMerges must be in [1, 64], got $numMerges")
+      numMerges: Int,
+      checkpointEvery: Int = 0): Seq[(String, String, Long)] =
+    trainMergesProbed(docs, textCol, numMerges, checkpointEvery)
+
+  /** [[trainMerges]] with a per-round hook on the pair-count frame —
+    * exists so the spec can pin that checkpointing actually bounds the
+    * analyzed-plan depth (a claim a result-only test can't see).
+    */
+  private[graft] def trainMergesProbed(
+      docs: DataFrame,
+      textCol: Column,
+      numMerges: Int,
+      checkpointEvery: Int = 0,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
+    require(checkpointEvery >= 0, s"checkpointEvery must be >= 0, got $checkpointEvery")
+    require(
+      numMerges >= 1 && (numMerges <= 64 || checkpointEvery > 0),
+      s"numMerges $numMerges needs checkpointEvery > 0 past 64 rounds — the unchunked " +
+        "path re-folds every merge from chars each round (O(rounds²) fold depth)")
     // Lazy local checkpoint: the corpus-sized aggregation runs once
     // and every round reuses the materialized blocks (freed with the
     // RDD — no CacheManager entry to leak, see the q102 note).
     val wf = wordFreq(docs, textCol).localCheckpoint(false)
+    // cur holds (syms, wc) with every merge up to the last checkpoint
+    // already applied; pending holds merges learned since (oldest
+    // first). On the default path pending is simply the full history.
+    var cur = wf.select(chars(col("word")).as("syms"), col("wc"))
+    var pending = Vector.empty[(String, String)]
     var learned = List.empty[(String, String, Long)]
     var round = 0
     while (round < numMerges) {
-      val syms = learned.reverse.foldLeft(chars(col("word"))) { case (arr, (l, r, _)) =>
-        applyMerge(arr, l, r)
-      }
-      val best = wf
+      val syms = pending.foldLeft(col("syms")) { case (arr, (l, r)) => applyMerge(arr, l, r) }
+      val scored = cur
         .select(col("wc"), syms.as("syms"))
         .select(
           col("wc"),
@@ -108,12 +139,21 @@ object Bpe {
         .agg(sum(col("wc")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1)
-        .collect()
+      probe(round, scored)
+      val best = scored.collect()
       if (best.isEmpty) round = numMerges // corpus fully merged: stop early
       else {
         val row = best.head
         learned = (row.getString(0), row.getString(1), row.getLong(2)) :: learned
+        pending :+= ((row.getString(0), row.getString(1)))
         round += 1
+        if (checkpointEvery > 0 && pending.size >= checkpointEvery && round < numMerges) {
+          val folded = pending.foldLeft(col("syms")) { case (arr, (l, r)) =>
+            applyMerge(arr, l, r)
+          }
+          cur = cur.select(folded.as("syms"), col("wc")).localCheckpoint(false)
+          pending = Vector.empty
+        }
       }
     }
     learned.reverse

@@ -90,4 +90,57 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.trainMerges(tiny, col("text"), 5)
     merges shouldBe Seq(("a", "b", 2L))
   }
+
+  // ---- checkpointEvery: the production-vocab path ----------------------------
+
+  /** 150 deterministic 10-char pseudo-words over a 16-letter alphabet
+    * with varied counts — 90 learnable merges (enough distinct pair
+    * structure for the 70-round production-path test).
+    */
+  private lazy val bigWords: Map[String, Long] =
+    (0 until 150).map { i =>
+      val w = (0 until 10).map(j => ('a' + ((i * (j + 3) + 5 * j * j + i * i) % 16)).toChar).mkString
+      w -> ((i % 5) + 1).toLong
+    }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+  private lazy val bigCorpus = Seq(
+    (0L, bigWords.toSeq.sortBy(_._1).flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("checkpointEvery produces IDENTICAL merges to the unchunked path") {
+    val unchunked = Bpe.trainMerges(corpus, col("text"), 8)
+    Bpe.trainMerges(corpus, col("text"), 8, checkpointEvery = 1) shouldBe unchunked
+    Bpe.trainMerges(corpus, col("text"), 8, checkpointEvery = 3) shouldBe unchunked
+  }
+
+  test("checkpointEvery lifts the 64-round cap: 70 merges match the reference") {
+    val ref = refTrain(bigWords, 70)
+    ref.size shouldBe 70 // the fixture really has 70 learnable merges
+    // past 64 rounds the unchunked path refuses...
+    val e = intercept[IllegalArgumentException](Bpe.trainMerges(bigCorpus, col("text"), 70))
+    e.getMessage should include("checkpointEvery")
+    // ...and the checkpointed path trains the full vocabulary exactly
+    Bpe.trainMerges(bigCorpus, col("text"), 70, checkpointEvery = 8) shouldBe ref
+  }
+
+  test("checkpointEvery bounds the per-round analyzed-plan depth") {
+    // analyzed-plan SIZE (string length) tracks the fold-expression
+    // depth — plan node count doesn't, the fold chain is one Project
+    def depths(checkpointEvery: Int): Seq[Int] = {
+      val ds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      Bpe.trainMergesProbed(bigCorpus, col("text"), 16, checkpointEvery,
+        (_, scored) => ds += scored.queryExecution.analyzed.toString.length)
+      ds.toSeq
+    }
+    val chunked = depths(2)
+    val unchunked = depths(0)
+    // identical plumbing: both saw 16 rounds
+    chunked.size shouldBe 16
+    // unchunked grows without bound (each round folds one more merge)...
+    unchunked.last.toDouble should be > unchunked.head * 4.0
+    // ...checkpointed depth CYCLES: every round folds at most 2 pending
+    // merges over the last materialization, so no round is deeper than
+    // the deepest of the first cycle
+    chunked.max shouldBe chunked.take(3).max
+    chunked.max should be < unchunked.last
+  }
 }
