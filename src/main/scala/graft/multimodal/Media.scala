@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * q50's cross-engine oracle replays, since DuckDB cannot decode
   * PNGs), plus [[Media.WavCodec]] (real PCM WAV/AIFF/AU decode via the
   * JDK's `javax.sound.sampled`: frames, sample rate, channels, RMS)
-  * and [[Media.JdkCodec]] dispatching image/audio to the real codecs.
-  * A JNI/ffmpeg-backed video codec drops into the same trait with
-  * nothing else changing.
+  * [[Media.AviCodec]] (real pure-JVM AVI parse: MJPEG frames via
+  * `javax.imageio`, uncompressed DIB frames directly), and
+  * [[Media.JdkCodec]] dispatching image/audio/video to the real
+  * codecs. Modern video codecs (H.264/VP9/AV1) need a JNI/ffmpeg
+  * decoder that drops into the same trait with nothing else changing.
   *
   * Scale design: decode runs as `mapPartitions` over the binary column
   * — one codec instance per partition (amortized init, the same shape
@@ -181,16 +183,130 @@ object Media {
       }
   }
 
+  /** Real pure-JVM video codec for AVI (RIFF) containers — the two
+    * stream formats decodable without ffmpeg/JNI: MJPEG ('MJPG'
+    * handler / '00dc' chunks, each frame an ordinary JPEG handed to
+    * `javax.imageio`) and uncompressed bottom-up BGR DIB
+    * (biCompression=0 / '00db' chunks). That covers the classic
+    * offline interchange forms; anything else (H.264 etc.) needs a
+    * native decoder and fails LOUDLY, same policy as the other real
+    * codecs. For `kind == "video"` the [[Codec]] tuple is mapped as:
+    *
+    *   - width / height → pixel geometry from the BITMAPINFOHEADER
+    *   - channels       → DECODED FRAME COUNT (the video analog of
+    *                      [[WavCodec]] mapping width → audio frames)
+    *   - meanIntensity  → mean (R+G+B)/3 over every pixel of every
+    *                      decoded frame (integer sums, one division)
+    *
+    * Container parsing is a plain RIFF chunk walk (fourcc + LE size +
+    * even padding; LIST chunks recurse) — AVI structure is public
+    * format knowledge, ~60 lines, no dependencies. Non-video kinds
+    * fall back to [[FakeCodec]].
+    */
+  object AviCodec extends Codec {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double) =
+      if (kind != "video") FakeCodec.decode(payload, kind)
+      else {
+        require(
+          payload.length >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ",
+          s"undecodable video payload (${payload.length} bytes): not a RIFF/AVI container")
+        var width = 0
+        var height = 0
+        var compression = "" // '\0\0\0\0' ↦ "" for biCompression = 0
+        var frames = 0
+        var pixSum = 0L
+        var pixCount = 0L
+
+        def decodeJpegFrame(b: Array[Byte], off: Int, len: Int): Unit = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, len))
+          require(img != null, s"undecodable MJPEG frame ($len bytes)")
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              pixSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          pixCount += img.getWidth.toLong * img.getHeight * 3L
+          frames += 1
+        }
+
+        def decodeDibFrame(b: Array[Byte], off: Int, len: Int): Unit = {
+          // bottom-up BGR rows, each padded to a 4-byte boundary
+          val rowBytes = ((width * 3 + 3) / 4) * 4
+          require(
+            len >= rowBytes * height,
+            s"DIB frame too short: $len bytes for ${width}x$height")
+          var y = 0
+          while (y < height) {
+            val row = off + (height - 1 - y) * rowBytes
+            var x = 0
+            while (x < width) {
+              val p = row + x * 3
+              pixSum += (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          pixCount += width.toLong * height * 3L
+          frames += 1
+        }
+
+        def walk(off0: Int, end: Int): Unit = {
+          var off = off0
+          while (off + 8 <= end) {
+            val id = fourcc(payload, off)
+            val size = le32(payload, off + 4)
+            require(size >= 0 && off + 8 + size <= end, s"corrupt chunk $id at $off (size $size)")
+            if (id == "LIST") {
+              walk(off + 12, off + 8 + size) // skip the 4-byte list type
+            } else if (id == "strf" && width == 0) {
+              // BITMAPINFOHEADER: biWidth @4, biHeight @8, biCompression @16
+              require(size >= 20, s"strf too short ($size bytes)")
+              width = le32(payload, off + 8 + 4)
+              height = math.abs(le32(payload, off + 8 + 8))
+              val comp = le32(payload, off + 8 + 16)
+              compression = if (comp == 0) "" else fourcc(payload, off + 8 + 16)
+            } else if (id.length == 4 && id.substring(2) == "dc") {
+              require(
+                compression == "MJPG",
+                s"unsupported video compression '$compression' (MJPG or uncompressed DIB only)")
+              if (size > 0) decodeJpegFrame(payload, off + 8, size)
+            } else if (id.length == 4 && id.substring(2) == "db") {
+              if (size > 0) decodeDibFrame(payload, off + 8, size)
+            }
+            off += 8 + size + (size & 1) // chunks pad to even offsets
+          }
+        }
+        walk(12, math.min(payload.length, 8 + le32(payload, 4)))
+        require(frames > 0, "AVI container holds no decodable video frames")
+        val mean = if (pixCount == 0) 0.0 else pixSum.toDouble / pixCount
+        (width, height, frames, mean)
+      }
+  }
+
   /** The all-real JDK dispatcher: image → [[ImageIoCodec]], audio →
-    * [[WavCodec]], anything else (video chunks, unknown kinds) →
-    * [[FakeCodec]]'s deterministic shape, so mixed media tables flow
-    * through one stage. [[FakeCodec]] remains q50's oracle codec —
-    * DuckDB can replay neither a PNG nor a WAV decode.
+    * [[WavCodec]], video → [[AviCodec]], anything else (unknown
+    * kinds) → [[FakeCodec]]'s deterministic shape, so mixed media
+    * tables flow through one stage. [[FakeCodec]] remains q50's
+    * oracle codec — DuckDB can replay neither a PNG nor a WAV nor an
+    * AVI decode.
     */
   object JdkCodec extends Codec {
     def decode(payload: Array[Byte], kind: String): (Int, Int, Int, Double) = kind match {
       case "image" => ImageIoCodec.decode(payload, kind)
       case "audio" => WavCodec.decode(payload, kind)
+      case "video" => AviCodec.decode(payload, kind)
       case _ => FakeCodec.decode(payload, kind)
     }
   }

@@ -145,6 +145,115 @@ class MediaSpec extends SparkSpec {
     e.getMessage should include("undecodable image payload")
   }
 
+  /** Hand-rolled AVI container (independent byte-level construction —
+    * the codec must not be validated against bytes it wrote itself).
+    * Frames are either raw bottom-up BGR DIB rows ('00db') or
+    * caller-supplied JPEG bytes ('00dc', compression 'MJPG').
+    */
+  private def aviBytes(
+      w: Int, h: Int, frames: Seq[Array[Byte]], mjpg: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    // BITMAPINFOHEADER: biSize, biWidth, biHeight, planes+bpp,
+    // biCompression ('MJPG' or 0), biSizeImage, 4 trailing fields
+    val strf = chunk(
+      "strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le32(1 | (24 << 16)) ++
+        (if (mjpg) "MJPG".getBytes("US-ASCII") else le32(0)) ++
+        le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk(
+      "strh",
+      "vids".getBytes("US-ASCII") ++
+        (if (mjpg) "MJPG".getBytes("US-ASCII") else le32(0)) ++
+        Array.fill(48)(0.toByte))
+    val avih = chunk("avih", le32(33333) ++ Array.fill(12)(0.toByte) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list(
+      "movi",
+      frames.flatMap(f => chunk(if (mjpg) "00dc" else "00db", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  /** One bottom-up padded BGR DIB frame of a solid (r, g, b) color. */
+  private def dibFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      out(y * rowBytes + x * 3) = b.toByte
+      out(y * rowBytes + x * 3 + 1) = g.toByte
+      out(y * rowBytes + x * 3 + 2) = r.toByte
+    }
+    out
+  }
+
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AviCodec decodes an uncompressed DIB AVI: geometry, frame count, exact mean") {
+    // 6x4, 3 solid frames: (30,60,90), (120,120,120), (0,0,255)
+    val avi = aviBytes(6, 4, Seq(
+      dibFrame(6, 4, 30, 60, 90), dibFrame(6, 4, 120, 120, 120), dibFrame(6, 4, 0, 0, 255)), mjpg = false)
+    val ds = Seq(Media.MediaRecord(30L, "video", "synthetic://30", avi)).toDS()
+    val f = Media.decodeFeatures(ds, () => Media.JdkCodec).head()
+    f.width shouldBe 6
+    f.height shouldBe 4
+    f.channels shouldBe 3 // decoded frame count
+    // mean over all pixels of all frames: (60 + 120 + 85) / 3
+    f.meanIntensity shouldBe ((60.0 + 120.0 + 85.0) / 3) +- 1e-12
+  }
+
+  test("AviCodec decodes an MJPEG AVI through the partition-batched stage") {
+    val avi = aviBytes(16, 8, Seq(
+      jpegFrame(16, 8, 0x808080), jpegFrame(16, 8, 0x808080)), mjpg = true)
+    val ds = Seq(Media.MediaRecord(31L, "video", "synthetic://31", avi)).toDS()
+    val f = Media.decodeFeatures(ds, () => Media.JdkCodec).head()
+    f.width shouldBe 16
+    f.height shouldBe 8
+    f.channels shouldBe 2
+    // JPEG is lossy: a solid 0x80 frame round-trips near 128
+    f.meanIntensity shouldBe 128.0 +- 3.0
+  }
+
+  test("AviCodec fails loudly on non-AVI bytes and on unsupported compression") {
+    val bad = Seq(Media.MediaRecord(32L, "video", "synthetic://32", Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(bad, () => Media.AviCodec).collect()
+    }
+    e.getMessage should include("RIFF")
+    // an honest container whose stream claims H264 must refuse, not fake
+    val h264 = aviBytes(4, 4, Seq(dibFrame(4, 4, 1, 2, 3)), mjpg = false)
+    // corrupt the strf compression field to 'H264' and retag frames '00dc'
+    val idx = h264.indexOfSlice("strf".getBytes("US-ASCII"))
+    val compOff = idx + 8 + 16
+    Array('H', '2', '6', '4').map(_.toByte).copyToArray(h264, compOff)
+    val dcIdx = h264.indexOfSlice("00db".getBytes("US-ASCII"))
+    Array('0', '0', 'd', 'c').map(_.toByte).copyToArray(h264, dcIdx)
+    val ds2 = Seq(Media.MediaRecord(33L, "video", "synthetic://33", h264)).toDS()
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(ds2, () => Media.AviCodec).collect()
+    }
+    e2.getMessage should include("H264")
+  }
+
   test("fromText builds the canonical binary media schema") {
     val df = Media.fromText(Seq((7L, "abc")).toDF("doc_id", "text"), "doc_id", "text", "image")
     df.columns.toSeq shouldBe Seq("mediaId", "kind", "uri", "payload")
