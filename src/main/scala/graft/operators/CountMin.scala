@@ -57,6 +57,23 @@ object CountMin {
       .agg(sum(col("_n")).as("c"))
   }
 
+  /** Merge shard sketches by per-cell counter addition — THE
+    * production workflow at 100 TB: each shard builds its own ≤ d·w
+    * counter table, sketches (not streams) move, and the union is
+    * exactly the sketch of the concatenated stream (CMS counters are
+    * linear in the input). Identical parameters (d, w, and the md5
+    * bucket derivation, which is part of the sketch identity) are the
+    * caller's contract; mergeability is spec-pinned
+    * (CountMinSpec "shard sketches merge").
+    */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    sketches
+      .reduce(_ unionByName _)
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Point estimates for `probes`: min over the d rows of the probed
     * counters (0 for a never-touched bucket). Output (item, cms_est).
     */

@@ -51,4 +51,20 @@ class CountMinSpec extends SparkSpec {
     est("y") shouldBe 1L
     est("z") shouldBe 0L
   }
+
+  test("shard sketches merge into exactly the whole-stream sketch (CMS linearity)") {
+    val rows = stream.as[String].collect()
+    val (s1, s2, s3) = (rows.take(60), rows.slice(60, 130), rows.drop(130))
+    val merged = CountMin.merge(Seq(s1, s2, s3).map { shard =>
+      CountMin.counters(shard.toSeq.toDF("w"), col("w"), d = 4, w = 64)
+    })
+    val whole = CountMin.counters(stream, col("w"), d = 4, w = 64)
+    merged.as[(Int, Long, Long)].collect().toSet shouldBe
+      whole.as[(Int, Long, Long)].collect().toSet
+    // and estimates off the merged sketch keep the hard invariant
+    val est = CountMin
+      .estimate(merged, exact.keys.toSeq.toDF("w"), col("w"), d = 4, w = 64)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, v) => est(k) should be >= v }
+  }
 }
