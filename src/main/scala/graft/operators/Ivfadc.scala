@@ -30,7 +30,10 @@ object Ivfadc {
   /** A fitted index. `cells` (id, cell) and `enc` (id, sub, code) are
     * the persisted halves at production scale (the staged index
     * tables); `coarse` and `codebooks` are the model — driver
-    * literals, like every quantizer here.
+    * literals, like every quantizer here. [[save]]/[[load]] are the
+    * offline/online split: fit once, persist, then any number of
+    * search sessions load the staged tables without touching the raw
+    * embeddings again.
     */
   final case class Index(
       coarse: Seq[Seq[Double]],
@@ -38,6 +41,55 @@ object Ivfadc {
       cells: DataFrame,
       enc: DataFrame,
       dims: Int)
+
+  /** Persist a fitted index under `dir`: the two data-sized halves as
+    * parquet (`cells/` partition-pruned by cell — a probed search
+    * reads only its nprobe cells' files; `enc/` likewise), the model
+    * (coarse centroids + codebooks + dims) as one small JSON file.
+    * Doubles round-trip exactly: the JSON writer prints the shortest
+    * decimal that parses back to the same IEEE bits, so a loaded
+    * index is bit-identical to the fitted one (spec-pinned).
+    */
+  def save(index: Index, dir: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    index.enc.write.mode("overwrite").parquet(s"$dir/enc")
+    val spark = index.enc.sparkSession
+    import spark.implicits._
+    val model = ModelJson(index.dims, index.coarse, index.codebooks)
+    // one-row dataset → one small JSON file next to the staged tables
+    Seq(model).toDS().coalesce(1).write.mode("overwrite").json(s"$dir/model")
+  }
+
+  /** Load a [[save]]d index. The staged halves come back as plain
+    * parquet scans (so a probed search's (cell, sub, code) join prunes
+    * partitions instead of recomputing the fit); the model literals
+    * come back bit-identical.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    import spark.implicits._
+    val model = spark.read
+      .json(s"$dir/model")
+      // inference reads integral fields as bigint; cast to the case
+      // class's shapes explicitly (a bigint→int downcast is not an
+      // implicit encoder upcast)
+      .select(
+        col("dims").cast("int").as("dims"),
+        col("coarse").cast("array<array<double>>").as("coarse"),
+        col("codebooks").cast("array<array<array<double>>>").as("codebooks"))
+      .as[ModelJson]
+      .head()
+    Index(
+      coarse = model.coarse,
+      codebooks = model.codebooks,
+      cells = spark.read.parquet(s"$dir/cells").select(col("id"), col("cell").cast("int")),
+      enc = spark.read.parquet(s"$dir/enc").select(col("id"), col("sub"), col("code")),
+      dims = model.dims)
+  }
+
+  private case class ModelJson(
+      dims: Int,
+      coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]])
 
   /** Fit coarse + residual-PQ quantizers and encode the corpus.
     *

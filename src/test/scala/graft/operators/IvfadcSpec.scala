@@ -161,6 +161,27 @@ class IvfadcSpec extends SparkSpec {
     contained should be >= 0.8
   }
 
+  test("save/load round-trips the index bit-exactly; search off the loaded index is byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_idx").toString
+    Ivfadc.save(index, dir)
+    val loaded = Ivfadc.load(spark, dir)
+    // model literals round-trip exactly (JSON shortest-repr doubles)
+    loaded.dims shouldBe index.dims
+    loaded.coarse shouldBe index.coarse
+    loaded.codebooks shouldBe index.codebooks
+    // staged halves hold the same rows
+    loaded.cells.orderBy("id").collect() shouldBe index.cells.orderBy("id").collect()
+    loaded.enc.orderBy("id", "sub").collect() shouldBe index.enc.orderBy("id", "sub").collect()
+    // search results off the loaded index are byte-identical — and the
+    // loaded plan reads the staged parquet, not a recomputed fit
+    val a = Ivfadc.search(index, qseq, nprobe = 2, k = 5)
+      .orderBy("qid", "rank").as[(Long, Int, Long, Int, Double)].collect()
+    val res = Ivfadc.search(loaded, qseq, nprobe = 2, k = 5)
+    res.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode) should
+      include("Scan parquet")
+    res.orderBy("qid", "rank").as[(Long, Int, Long, Int, Double)].collect() shouldBe a
+  }
+
   test("recall gate: flat PQ-ADC (q101's path, no coarse tier) recovers the L2 truth") {
     val k = 5
     // absolute-vector PQ needs enough codes to resolve subclusters
