@@ -91,6 +91,41 @@ object Ivfadc {
       coarse: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]])
 
+  /** Ingest a new vector batch into a fitted index WITHOUT refitting —
+    * the daily-crawl path at production scale: the model (coarse
+    * centroids + codebooks) is frozen, so ingestion is two map-side
+    * stages per new vector (nearest-cell assignment, then residual PQ
+    * encoding against broadcast literals) and an append of staged
+    * rows; the existing corpus is never touched or re-encoded. The
+    * arithmetic is exactly [[fit]]'s encode half, so a vector ingested
+    * by append carries the same (cell, codes) it would have received
+    * from a fit that shared the model — byte-equality with the
+    * fit-encode is spec-pinned (IvfadcSpec), and searches see old and
+    * new vectors through one identical scoring path.
+    *
+    * Quantization drift is the documented trade-off: a model fitted on
+    * last month's distribution quantizes a shifted batch with more
+    * error (monitor per-batch mean sq_err from [[ProductQuant.encode]]
+    * and refit when it degrades — the standard IVF maintenance loop).
+    *
+    * @param batch (idCol: long, embCol: array<double>) — ids must be
+    *              new (exact-dedup upstream); same dims as the index
+    */
+  def append(index: Index, batch: DataFrame, idCol: String, embCol: String): Index = {
+    val base = batch.select(col(idCol).as("id"), col(embCol).as("e"))
+    val cells = KMeans.assign(base, "e", index.coarse)
+    val centLit = array(index.coarse.map(c => array(c.map(lit): _*)): _*)
+    val res = cells.select(
+      col("id"),
+      zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"))
+    val enc = ProductQuant
+      .encode(res, idCol = "id", embCol = "e", codebooks = index.codebooks)
+      .select(col("id"), col("sub"), col("code"))
+    index.copy(
+      cells = index.cells.unionByName(cells.select(col("id"), col("cell"))),
+      enc = index.enc.unionByName(enc))
+  }
+
   /** Fit coarse + residual-PQ quantizers and encode the corpus.
     *
     * @param e (idCol: long, embCol: array<double>)

@@ -182,6 +182,40 @@ class IvfadcSpec extends SparkSpec {
     res.orderBy("qid", "rank").as[(Long, Int, Long, Int, Double)].collect() shouldBe a
   }
 
+  test("append ingests a new batch frozen-model: byte-identical to fit-encode, searches see both") {
+    // fit on the first 7 coarse clusters only; cluster 7 is the "new
+    // crawl batch" ingested by append against the frozen model
+    val oldRows = rows.filter(_._1 < 420)
+    val newRows = rows.filter(_._1 >= 420)
+    val partial = Ivfadc.fit(
+      oldRows.toDF("id", "emb"), "id", "emb",
+      coarseK = 8, coarseIters = 5, m = 4, pqK = 16, pqIters = 3)
+    val appended = Ivfadc.append(partial, newRows.toDF("id", "emb"), "id", "emb")
+    // the model is untouched
+    appended.coarse shouldBe partial.coarse
+    appended.codebooks shouldBe partial.codebooks
+    // appended rows carry exactly the (cell, codes) the frozen model
+    // assigns: re-derive them directly from the model halves
+    val direct = Ivfadc.append(
+      partial.copy(
+        cells = partial.cells.limit(0),
+        enc = partial.enc.limit(0)),
+      newRows.toDF("id", "emb"), "id", "emb")
+    appended.cells.filter(col("id") >= 420).orderBy("id").collect() shouldBe
+      direct.cells.orderBy("id").collect()
+    appended.enc.filter(col("id") >= 420).orderBy("id", "sub").collect() shouldBe
+      direct.enc.orderBy("id", "sub").collect()
+    // a query anchored in the new batch finds new-batch neighbors
+    // through the SAME scoring path as old vectors
+    val q = Seq((9002L, rows.find(_._1 == 425).get._2))
+    val hits = Ivfadc.search(appended, q, nprobe = 2, k = 5)
+      .select(col("nid")).as[Long].collect()
+    hits.count(_ >= 420) should be >= 4 // the new cluster dominates its own neighborhood
+    // old corpus is untouched rows-wise
+    appended.cells.count() shouldBe 480
+    appended.enc.count() shouldBe 480 * 4
+  }
+
   test("recall gate: flat PQ-ADC (q101's path, no coarse tier) recovers the L2 truth") {
     val k = 5
     // absolute-vector PQ needs enough codes to resolve subclusters
