@@ -145,6 +145,142 @@ object Bm25 {
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 recipe:
+    * Lavrenko & Croft 2001 relevance models, the Jelinek-Mercer-mixed
+    * "RM3" variant in its standard rational simplification):
+    *
+    *   1. first pass: BM25 top-`fbDocs` per query (the feedback set);
+    *   2. expansion weights: w(t) = Σ_r tf(t, d_r)/dl(d_r) over the
+    *      feedback docs — summed over FIXED feedback-rank slots in
+    *      literal order (the pivot guard, never a partition-ordered
+    *      double sum), original query terms excluded;
+    *   3. top-`fbTerms` expansion terms per query (w DESC, term ASC),
+    *      normalized to ŵ = w/Σw with the Σ again a fixed-slot
+    *      literal-order sum;
+    *   4. second pass: BM25 over original slots (weight 1.0) plus
+    *      expansion slots (weight λ·ŵ), final score the literal-order
+    *      sum across the combined slot range.
+    *
+    * Everything stays relational — the expanded term table is a
+    * DataFrame joined against a full (doc, term, tf) inverted-index
+    * build, never a driver collect — so query count scales freely; at
+    * production scale the inverted index is the staged table the
+    * [[topK]] scaladoc describes. Every arithmetic step is exact
+    * integer ratios and fixed-order IEEE sums, so the full expanded
+    * ranking hash-replays in another engine (q122).
+    *
+    * @return (qid, rank, doc_id, score), rank 1..k per query
+    */
+  def topKRm3(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10,
+      fbDocs: Int = 5,
+      fbTerms: Int = 3,
+      lambda: Double = 0.5): DataFrame = {
+    validate(queries)
+    require(fbDocs >= 1 && fbTerms >= 1, s"need fbDocs/fbTerms >= 1 (got $fbDocs/$fbTerms)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxTerms = queries.map(_._2.size).max
+    val corpus = base(docs, idCol, textCol).localCheckpoint(false)
+    // ---- full inverted index: (doc_id, dl, term, tf), one shuffle.
+    // Data-dependent expansion terms join against it relationally —
+    // the first pass reuses it through the same plan block.
+    val tf = corpus
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val stats = corpus.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // BM25 contribution of a posting row (same shape as queryPostings)
+    def contrib(tfc: Column, dfc: Column, dlc: Column): Column =
+      ((col("n_docs").cast("double") - dfc + lit(0.5)) /
+        (dfc.cast("double") + lit(0.5))) *
+        ((tfc.cast("double") * lit(k1 + 1.0)) /
+          (tfc.cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              (lit(b) * dlc.cast("double")) / (col("sum_dl").cast("double") / col("n_docs")))))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+      .toDF("qid", "slot", "term")
+    def scoreTerms(termTable: DataFrame, nSlots: Int): DataFrame = {
+      // termTable: (qid, slot, term, weight). df must count one row
+      // per (doc, term) — so it rides the posting rows BEFORE the
+      // per-qid term join duplicates them (a shared term across
+      // queries would otherwise double its df); each slot then pivots
+      // MAX(CASE) and the final score sums slots in literal order
+      val posts = tf
+        .join(termTable.select(col("term")).distinct(), "term")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(stats))
+        .withColumn("s0", contrib(col("tf"), col("df"), col("dl")))
+      val scored = posts
+        .join(termTable, "term")
+        .withColumn("s", col("s0") * col("weight"))
+      val slots = (0 until nSlots).map(i => max(when(col("slot") === i, col("s"))).as(s"_s$i"))
+      val total = (0 until nSlots).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + coalesce(col(s"_s$i"), lit(0.0))
+      }
+      scored
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(slots.head, slots.tail: _*)
+        .withColumn("score", total)
+    }
+    // ---- pass 1: feedback set -----------------------------------------------
+    val wFb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val fb = scoreTerms(broadcast(qterms.withColumn("weight", lit(1.0))), maxTerms)
+      .withColumn("fr", row_number().over(wFb))
+      .filter(col("fr") <= fbDocs)
+      .select(col("qid"), col("fr"), col("doc_id"))
+      .localCheckpoint(false)
+    // ---- expansion weights: fixed feedback-rank slots ------------------------
+    val frSlots = (1 to fbDocs).map(r =>
+      max(when(col("fr") === r, col("tf").cast("double") / col("dl"))).as(s"_w$r"))
+    val wSum = (1 to fbDocs).foldLeft(lit(0.0)) { (acc, r) =>
+      acc + coalesce(col(s"_w$r"), lit(0.0))
+    }
+    val wExp = Window.partitionBy(col("qid")).orderBy(col("w").desc, col("term"))
+    val origTerms = qterms.select(col("qid"), col("term")).withColumn("_o", lit(1))
+    val expanded = tf
+      .join(broadcast(fb), "doc_id")
+      .groupBy(col("qid"), col("term"))
+      .agg(frSlots.head, frSlots.tail: _*)
+      .withColumn("w", wSum)
+      .join(broadcast(origTerms), Seq("qid", "term"), "left_anti")
+      .withColumn("er", row_number().over(wExp))
+      .filter(col("er") <= fbTerms)
+      .localCheckpoint(false)
+    // normalize over fixed expansion-rank slots, literal order
+    val erSlots = (1 to fbTerms).map(r => max(when(col("er") === r, col("w"))).as(s"_n$r"))
+    val normSum = (1 to fbTerms).foldLeft(lit(0.0)) { (acc, r) =>
+      acc + coalesce(col(s"_n$r"), lit(0.0))
+    }
+    val norms = expanded
+      .groupBy(col("qid"))
+      .agg(erSlots.head, erSlots.tail: _*)
+      .select(col("qid"), normSum.as("wsum"))
+    val expTerms = expanded
+      .join(norms, "qid")
+      .select(
+        col("qid"),
+        (col("er") + lit(maxTerms - 1)).cast("int").as("slot"),
+        col("term"),
+        (lit(lambda) * (col("w") / col("wsum"))).as("weight"))
+    // ---- pass 2: original slots (weight 1) + expansion slots (λ·ŵ) ----------
+    val combined = broadcast(
+      qterms.withColumn("weight", lit(1.0)).unionByName(expTerms))
+    val wFin = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scoreTerms(combined, maxTerms + fbTerms)
+      .withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** [[topK]] with max-score (WAND-family) pruning — identical output,
     * bounded candidate generation on hot terms.
     *

@@ -1544,6 +1544,120 @@ object Documents {
 
   val q110Sql: String = bm25Sql(wandQueries)
 
+  // ---- q122: RM3 pseudo-relevance-feedback query expansion --------------------
+  // The published retrieval-quality step on top of BM25 (Lavrenko &
+  // Croft 2001 relevance models, standard rational simplification):
+  // first-pass top-5 feedback docs per query, expansion weights
+  // w(t) = sum over fixed feedback-rank slots of tf/dl (literal
+  // order), top-3 new terms normalized and mixed at lambda = 0.5 into
+  // a second BM25 pass over the combined slot range. Fully relational
+  // (the expanded term table joins a full inverted-index build —
+  // no driver collect), every sum a fixed-slot literal-order pivot,
+  // so the expanded ranking hash-gates end-to-end.
+  private val rm3Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("data", "quality"),
+    2 -> Seq("spark"),
+    3 -> Seq("stream", "window")
+  )
+  private val rm3FbDocs = 5
+  private val rm3FbTerms = 3
+
+  def q122Rm3Expansion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25
+      .topKRm3(
+        docs(s, dir), "doc_id", col("text"), rm3Queries,
+        k1 = 1.2, b = 0.75, k = 10,
+        fbDocs = rm3FbDocs, fbTerms = rm3FbTerms, lambda = 0.5)
+      .orderBy("qid", "rank")
+
+  val q122Sql: String = {
+    val maxTerms = rm3Queries.map(_._2.size).max
+    val nSlots = maxTerms + rm3FbTerms
+    val qtRows = rm3Queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
+      .mkString(",")
+    def pivotSum(n: Int, pivotCol: String, onCol: String, alias: String) = {
+      val slots = (0 until n)
+        .map(i => s"MAX(CASE WHEN $pivotCol = $i THEN $onCol END) AS _p$i")
+        .mkString(", ")
+      val total = (0 until n).foldLeft("0.0") { (acc, i) => s"($acc + COALESCE(_p$i, 0.0))" }
+      (slots, total)
+    }
+    val (p1Slots, p1Total) = pivotSum(maxTerms, "slot", "s", "score")
+    val (p2Slots, p2Total) = pivotSum(nSlots, "slot", "s", "score")
+    val frSlots = (1 to rm3FbDocs)
+      .map(r => s"MAX(CASE WHEN fr = $r THEN CAST(tf AS DOUBLE) / dl END) AS _w$r")
+      .mkString(", ")
+    val frTotal = (1 to rm3FbDocs).foldLeft("0.0") { (acc, r) =>
+      s"($acc + COALESCE(_w$r, 0.0))"
+    }
+    val erSlots = (1 to rm3FbTerms)
+      .map(r => s"MAX(CASE WHEN er = $r THEN w END) AS _n$r")
+      .mkString(", ")
+    val erTotal = (1 to rm3FbTerms).foldLeft("0.0") { (acc, r) =>
+      s"($acc + COALESCE(_n$r, 0.0))"
+    }
+    val contrib =
+      """((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |         ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |          (CAST(tf AS DOUBLE) +
+        |           1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE))
+        |                  / (CAST(sum_dl AS DOUBLE) / n_docs))))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+       |           FROM documents),
+       |tbase AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |          FROM tbase),
+       |itf AS MATERIALIZED (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tbase)
+       |  GROUP BY doc_id, dl, term),
+       |qt(qid, slot, term) AS (VALUES $qtRows),
+       |p1posts AS (
+       |  SELECT doc_id, dl, term, tf,
+       |    CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |  FROM itf WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |p1s AS (SELECT qid, slot, doc_id, $contrib AS s
+       |        FROM p1posts JOIN qt USING (term) CROSS JOIN stats),
+       |p1 AS (SELECT qid, doc_id, $p1Slots FROM p1s GROUP BY qid, doc_id),
+       |fb AS (SELECT qid, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY $p1Total DESC, doc_id) AS INTEGER) AS fr
+       |       FROM p1 QUALIFY fr <= $rm3FbDocs),
+       |ew AS (SELECT qid, term, $frSlots
+       |       FROM itf JOIN fb USING (doc_id)
+       |       GROUP BY qid, term),
+       |ew2 AS (SELECT qid, term, $frTotal AS w FROM ew),
+       |ex AS (SELECT qid, term, w,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY w DESC, term) AS INTEGER) AS er
+       |       FROM ew2
+       |       WHERE NOT EXISTS (SELECT 1 FROM qt
+       |                         WHERE qt.qid = ew2.qid AND qt.term = ew2.term)
+       |       QUALIFY er <= $rm3FbTerms),
+       |norm AS (SELECT qid, $erSlots FROM ex GROUP BY qid),
+       |norm2 AS (SELECT qid, $erTotal AS wsum FROM norm),
+       |et AS (SELECT ex.qid, CAST(ex.er + ${maxTerms - 1} AS INTEGER) AS slot, ex.term,
+       |         0.5 * (ex.w / norm2.wsum) AS weight
+       |       FROM ex JOIN norm2 ON ex.qid = norm2.qid),
+       |ct AS (SELECT qid, slot, term, 1.0 AS weight FROM qt
+       |       UNION ALL SELECT qid, slot, term, weight FROM et),
+       |p2posts AS (
+       |  SELECT doc_id, dl, term, tf,
+       |    CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |  FROM itf WHERE term IN (SELECT DISTINCT term FROM ct)),
+       |p2s AS (SELECT qid, slot, doc_id, ($contrib) * weight AS s
+       |        FROM p2posts JOIN ct USING (term) CROSS JOIN stats),
+       |p2 AS (SELECT qid, doc_id, $p2Slots FROM p2s GROUP BY qid, doc_id)
+       |SELECT CAST(qid AS INTEGER) AS qid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY $p2Total DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, $p2Total AS score
+       |FROM p2
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- q111/q112: BPE tokenizer training + encoding (Sennrich 2016) ----------
   // Training runs on the word-frequency table (corpus-sized work once,
   // vocabulary-sized work per merge round); the only driver traffic is
@@ -2078,6 +2192,7 @@ object Documents {
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q104_bm25" -> (q104Bm25 _),
     "q110_bm25_wand" -> (q110Bm25Wand _),
+    "q122_rm3_expansion" -> (q122Rm3Expansion _),
     "q111_bpe_train" -> (q111BpeTrain _),
     "q112_bpe_encode" -> (q112BpeEncode _),
     "q113_c4_filters" -> (q113C4Filters _),
@@ -2117,6 +2232,7 @@ object Documents {
     "q106_unimax_alloc" -> q106Sql,
     "q104_bm25" -> q104Sql,
     "q110_bm25_wand" -> q110Sql,
+    "q122_rm3_expansion" -> q122Sql,
     "q111_bpe_train" -> q111Sql,
     "q112_bpe_encode" -> q112Sql,
     "q113_c4_filters" -> q113Sql,

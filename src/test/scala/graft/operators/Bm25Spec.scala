@@ -143,4 +143,33 @@ class Bm25Spec extends SparkSpec {
     val plan = cands.queryExecution.executedPlan.toString
     plan should include("WindowGroupLimit")
   }
+
+  test("RM3 expansion retrieves a doc sharing NO original query term (the point of PRF)") {
+    // alpha docs consistently co-occur with beta; doc 10 is beta-only.
+    // A plain BM25 query for "alpha" can never return it; RM3 learns
+    // "beta" from the feedback docs and pulls it in.
+    val prf = (Seq(
+      (1L, "alpha beta one filler words here"),
+      (2L, "alpha beta two filler words here"),
+      (3L, "alpha beta three filler words here"),
+      (4L, "alpha beta four filler words here"),
+      (10L, "beta beta beta entirely different text"),
+      (11L, "unrelated noise document nothing shared")
+    )).toDF("doc_id", "text")
+    val q = Seq(1 -> Seq("alpha"))
+    val plain = Bm25
+      .topK(prf, "doc_id", col("text"), q, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    plain should not contain 10L
+    val rm3 = Bm25
+      .topKRm3(prf, "doc_id", col("text"), q, k = 10, fbDocs = 3, fbTerms = 1)
+      .orderBy("rank")
+      .select(col("doc_id"), col("rank")).as[(Long, Int)].collect()
+    rm3.map(_._1) should contain(10L)
+    // original-term docs still dominate: expansion mixes at λ=0.5,
+    // it does not hijack the query
+    rm3.head._1 should not be 10L
+    // and the noise doc (shares neither alpha nor beta) stays out
+    rm3.map(_._1) should not contain 11L
+  }
 }
