@@ -2011,6 +2011,85 @@ object Documents {
       |GROUP BY split
       |ORDER BY split""".stripMargin
 
+  // ---- q123: temperature-scaled mixture weighting (T = 2) --------------------
+  // The OTHER published multi-source balancing scheme (the mT5 /
+  // multilingual-LM recipe: sample stratum i with probability
+  // ∝ n_i^(1/T)): UniMax (q106) waterfills a budget under per-stratum
+  // epoch caps; temperature scaling smooths the raw proportions by a
+  // power law. T = 2 is chosen deliberately — n^(1/2) = sqrt(n) is
+  // the one power that is CORRECTLY ROUNDED in every engine (the q27
+  // determinism rule: no pow/ln, sqrt is exact), so the whole
+  // allocation hash-gates. The normalizer Σ sqrt(n_i) folds over the
+  // strata list in (source, lang) order — a sort_array fold mirrored
+  // by the oracle's list_reduce (the q118 pinned-fold pattern), never
+  // a partition-ordered double sum. Integer allocations come from
+  // floor(budget·w) plus largest-remainder top-up, so they sum to the
+  // budget exactly (spec-pinned); the remainder ranking is a global
+  // window over the ~|sources|·|langs| stratum aggregate — dimension-
+  // bounded like q68/q106 (PlanSpec allowlist).
+  def q123TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100000L
+    val strata = docs(s, dir)
+      .select(
+        col("source"),
+        col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("n_tokens"))
+    // ordered fold: Σ sqrt(n) over strata sorted by (source, lang)
+    val ssum = strata
+      .agg(sort_array(collect_list(struct(col("source"), col("lang"), col("n_tokens"))))
+        .as("xs"))
+      .select(
+        aggregate(
+          col("xs"),
+          lit(0.0),
+          (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("ssum"))
+    val alloc = strata
+      .crossJoin(broadcast(ssum))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")) / col("ssum"))
+      .withColumn("alloc_floor", floor(lit(budget.toDouble) * col("weight")).cast("long"))
+      .withColumn("rem", lit(budget.toDouble) * col("weight") - col("alloc_floor"))
+    val leftover = alloc.agg((lit(budget) - sum(col("alloc_floor"))).as("lo"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"), col("lang"))
+    alloc
+      .crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(wRem))
+      .withColumn(
+        "alloc_tokens",
+        col("alloc_floor") + when(col("rn") <= col("lo"), 1L).otherwise(0L))
+      .select(col("source"), col("lang"), col("n_tokens"), col("weight"), col("alloc_tokens"))
+      .orderBy("source", "lang")
+  }
+
+  val q123Sql: String =
+    """WITH d AS (SELECT source, lang,
+      |             CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n
+      |           FROM documents),
+      |strata AS (SELECT source, lang, CAST(SUM(n) AS BIGINT) AS n_tokens
+      |           FROM d GROUP BY source, lang),
+      |ssum AS (SELECT list_reduce(list_prepend(0.0,
+      |             list_transform(list(n_tokens ORDER BY source, lang),
+      |               x -> sqrt(CAST(x AS DOUBLE)))),
+      |             (a, b) -> a + b) AS ssum
+      |         FROM strata),
+      |alloc AS (SELECT source, lang, n_tokens,
+      |            sqrt(CAST(n_tokens AS DOUBLE)) / ssum AS weight,
+      |            CAST(FLOOR(100000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / ssum)) AS BIGINT)
+      |              AS alloc_floor,
+      |            100000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / ssum)
+      |              - FLOOR(100000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / ssum)) AS rem
+      |          FROM strata CROSS JOIN ssum),
+      |lo AS (SELECT 100000 - CAST(SUM(alloc_floor) AS BIGINT) AS lo FROM alloc),
+      |rn AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source, lang) AS INTEGER)
+      |              AS rn
+      |       FROM alloc)
+      |SELECT source, lang, n_tokens, weight,
+      |  alloc_floor + CASE WHEN rn <= lo THEN 1 ELSE 0 END AS alloc_tokens
+      |FROM rn CROSS JOIN lo
+      |ORDER BY source, lang""".stripMargin
+
   // ---- q106: UniMax sampling-budget allocation (Chung et al. 2023) -----------
   // The published fair-sampling allocator for multi-source training
   // mixes: every (source, lang) stratum gets a uniform share of the
@@ -2190,6 +2269,7 @@ object Documents {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_cdc_chunks" -> (q108CdcChunks _),
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
+    "q123_temperature_mix" -> (q123TemperatureMix _),
     "q104_bm25" -> (q104Bm25 _),
     "q110_bm25_wand" -> (q110Bm25Wand _),
     "q122_rm3_expansion" -> (q122Rm3Expansion _),
@@ -2230,6 +2310,7 @@ object Documents {
   val oracles: Map[String, String] = Map(
     "q108_cdc_chunks" -> q108Sql,
     "q106_unimax_alloc" -> q106Sql,
+    "q123_temperature_mix" -> q123Sql,
     "q104_bm25" -> q104Sql,
     "q110_bm25_wand" -> q110Sql,
     "q122_rm3_expansion" -> q122Sql,

@@ -41,4 +41,30 @@ class UnimaxSpec extends SparkSpec {
     if (capped.nonEmpty && uncapped.nonEmpty)
       uncapped.head._4 should be > capped.map(_._1).max.toDouble
   }
+
+  // ---- q123 temperature-mix invariants ---------------------------------------
+
+  private lazy val tRows = Documents
+    .q123TemperatureMix(spark, "/root/testdata/sf0.001")
+    .collect()
+    .map(r =>
+      (r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"), r.getAs[Long]("alloc_tokens")))
+
+  test("temperature allocations sum to the budget EXACTLY (largest remainder)") {
+    tRows.map(_._3).sum shouldBe 100000L
+  }
+
+  test("temperature weights are a probability vector proportional to sqrt(n)") {
+    tRows.map(_._2).sum shouldBe 1.0 +- 1e-9
+    // ratio check on two strata: w_i/w_j == sqrt(n_i)/sqrt(n_j)
+    val a = tRows.head; val b = tRows.last
+    (a._2 / b._2) shouldBe (math.sqrt(a._1.toDouble) / math.sqrt(b._1.toDouble)) +- 1e-9
+  }
+
+  test("temperature flattens the mix: smallest stratum gains share, largest loses") {
+    val total = tRows.map(_._1).sum.toDouble
+    val min = tRows.minBy(_._1); val max = tRows.maxBy(_._1)
+    (min._2) should be > (min._1 / total) // up-weighted vs raw proportion
+    (max._2) should be < (max._1 / total) // down-weighted
+  }
 }
