@@ -222,6 +222,11 @@ object Media {
         var frames = 0
         var pixSum = 0L
         var pixCount = 0L
+        // multi-stream AVIs interleave strl lists (audio first is
+        // legal); a strf only describes video when its stream's strh
+        // said fccType 'vids' — an audio strf is a WAVEFORMATEX whose
+        // bytes would otherwise misparse as geometry
+        var lastStreamType = ""
 
         def decodeJpegFrame(b: Array[Byte], off: Int, len: Int): Unit = {
           val img = javax.imageio.ImageIO.read(
@@ -242,10 +247,13 @@ object Media {
         }
 
         def decodeDibFrame(b: Array[Byte], off: Int, len: Int): Unit = {
+          require(
+            width > 0 && height > 0,
+            "DIB frame before any video strf header (corrupt or truncated hdrl)")
           // bottom-up BGR rows, each padded to a 4-byte boundary
           val rowBytes = ((width * 3 + 3) / 4) * 4
           require(
-            len >= rowBytes * height,
+            len >= rowBytes.toLong * height,
             s"DIB frame too short: $len bytes for ${width}x$height")
           var y = 0
           while (y < height) {
@@ -267,12 +275,19 @@ object Media {
           while (off + 8 <= end) {
             val id = fourcc(payload, off)
             val size = le32(payload, off + 4)
-            require(size >= 0 && off + 8 + size <= end, s"corrupt chunk $id at $off (size $size)")
+            // bounds math in Long: a crafted size near Int.MaxValue
+            // would wrap `off + 8 + size` negative and defeat the guard
+            require(
+              size >= 0 && off.toLong + 8L + size <= end,
+              s"corrupt chunk $id at $off (size $size)")
             if (id == "LIST") {
               walk(off + 12, off + 8 + size) // skip the 4-byte list type
-            } else if (id == "strf" && width == 0) {
+            } else if (id == "strh") {
+              require(size >= 4, s"strh too short ($size bytes)")
+              lastStreamType = fourcc(payload, off + 8)
+            } else if (id == "strf" && lastStreamType == "vids" && width == 0) {
               // BITMAPINFOHEADER: biWidth @4, biHeight @8, biCompression @16
-              require(size >= 20, s"strf too short ($size bytes)")
+              require(size >= 20, s"video strf too short ($size bytes)")
               width = le32(payload, off + 8 + 4)
               height = math.abs(le32(payload, off + 8 + 8))
               val comp = le32(payload, off + 8 + 16)

@@ -56,6 +56,20 @@ object Bm25 {
     }
   }
 
+  /** The rational-idf BM25 contribution of one posting row — THE
+    * hash-gate-critical arithmetic, factored once so the exact IEEE
+    * op order can never drift between the first-pass/pruned path and
+    * the RM3 second pass (each has a DuckDB twin mirroring this tree).
+    * Expects an `n_docs` column in scope (the 1-row stats broadcast).
+    */
+  private def contribExpr(
+      tfc: Column, dfc: Column, dlc: Column, avgdl: Column, k1: Double, b: Double): Column =
+    ((col("n_docs").cast("double") - dfc + lit(0.5)) /
+      (dfc.cast("double") + lit(0.5))) *
+      ((tfc.cast("double") * lit(k1 + 1.0)) /
+        (tfc.cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + (lit(b) * dlc.cast("double")) / avgdl)))
+
   /** Per-(qid, slot, doc) posting rows carrying the term's BM25
     * contribution `s` and the term's document frequency `df` — the
     * shared substrate of [[topK]] and [[topKPruned]].
@@ -88,13 +102,7 @@ object Bm25 {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn(
-        "s",
-        ((col("n_docs").cast("double") - col("df") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))) *
-          ((col("tf").cast("double") * lit(k1 + 1.0)) /
-            (col("tf").cast("double") +
-              lit(k1) * (lit(1.0) - lit(b) + (lit(b) * col("dl").cast("double")) / col("avgdl")))))
+      .withColumn("s", contribExpr(col("tf"), col("df"), col("dl"), col("avgdl"), k1, b))
     val qterms = queries.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
     }
@@ -197,14 +205,8 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val stats = corpus.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // BM25 contribution of a posting row (same shape as queryPostings)
     def contrib(tfc: Column, dfc: Column, dlc: Column): Column =
-      ((col("n_docs").cast("double") - dfc + lit(0.5)) /
-        (dfc.cast("double") + lit(0.5))) *
-        ((tfc.cast("double") * lit(k1 + 1.0)) /
-          (tfc.cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) +
-              (lit(b) * dlc.cast("double")) / (col("sum_dl").cast("double") / col("n_docs")))))
+      contribExpr(tfc, dfc, dlc, col("sum_dl").cast("double") / col("n_docs"), k1, b)
     val qterms = queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
       .toDF("qid", "slot", "term")

@@ -1576,15 +1576,15 @@ object Documents {
     val qtRows = rm3Queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
       .mkString(",")
-    def pivotSum(n: Int, pivotCol: String, onCol: String, alias: String) = {
+    def pivotSum(n: Int, pivotCol: String, onCol: String) = {
       val slots = (0 until n)
         .map(i => s"MAX(CASE WHEN $pivotCol = $i THEN $onCol END) AS _p$i")
         .mkString(", ")
       val total = (0 until n).foldLeft("0.0") { (acc, i) => s"($acc + COALESCE(_p$i, 0.0))" }
       (slots, total)
     }
-    val (p1Slots, p1Total) = pivotSum(maxTerms, "slot", "s", "score")
-    val (p2Slots, p2Total) = pivotSum(nSlots, "slot", "s", "score")
+    val (p1Slots, p1Total) = pivotSum(maxTerms, "slot", "s")
+    val (p2Slots, p2Total) = pivotSum(nSlots, "slot", "s")
     val frSlots = (1 to rm3FbDocs)
       .map(r => s"MAX(CASE WHEN fr = $r THEN CAST(tf AS DOUBLE) / dl END) AS _w$r")
       .mkString(", ")
@@ -2030,6 +2030,10 @@ object Documents {
   def q123TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 100000L
+    // lazy localCheckpoint: strata feeds the ssum fold AND the alloc
+    // branch (whose result feeds leftover AND the final join) — unpinned,
+    // the corpus scan + aggregation would re-derive once per branch
+    // (the q110/q115 plan-replication hazard)
     val strata = docs(s, dir)
       .select(
         col("source"),
@@ -2037,6 +2041,7 @@ object Documents {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
       .groupBy(col("source"), col("lang"))
       .agg(sum(col("n")).as("n_tokens"))
+      .localCheckpoint(false)
     // ordered fold: Σ sqrt(n) over strata sorted by (source, lang)
     val ssum = strata
       .agg(sort_array(collect_list(struct(col("source"), col("lang"), col("n_tokens"))))
@@ -2051,6 +2056,7 @@ object Documents {
       .withColumn("weight", sqrt(col("n_tokens").cast("double")) / col("ssum"))
       .withColumn("alloc_floor", floor(lit(budget.toDouble) * col("weight")).cast("long"))
       .withColumn("rem", lit(budget.toDouble) * col("weight") - col("alloc_floor"))
+      .localCheckpoint(false)
     val leftover = alloc.agg((lit(budget) - sum(col("alloc_floor"))).as("lo"))
     val wRem = Window.orderBy(col("rem").desc, col("source"), col("lang"))
     alloc

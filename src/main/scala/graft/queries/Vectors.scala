@@ -871,17 +871,11 @@ object Vectors {
       .withColumn("rank_dense", row_number().over(wD))
       .filter(col("rank_dense") <= k)
       .select(col("qid"), col("doc_id"), col("rank_dense"))
-    val wF = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-    sparse
-      .join(dense, Seq("qid", "doc_id"), "full_outer")
-      .withColumn(
-        "rrf",
-        coalesce(lit(1.0) / (lit(60.0) + col("rank_sparse")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)))
-      .withColumn("rank", row_number().over(wF))
-      .filter(col("rank") <= 10)
+    // the fusion arithmetic lives in HybridRetrieval.fuseRrf (shared
+    // with q120's scale form — identical expression tree, so the
+    // refactor is hash-invariant)
+    graft.operators.HybridRetrieval
+      .fuseRrf(sparse, dense, k = 10)
       .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
       .orderBy("qid", "rank")
   }

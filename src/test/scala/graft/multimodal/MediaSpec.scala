@@ -233,6 +233,53 @@ class MediaSpec extends SparkSpec {
     f.meanIntensity shouldBe 128.0 +- 3.0
   }
 
+  test("AviCodec handles an audio-first multi-stream AVI (strf gated on strh fccType)") {
+    // hand-build: RIFF(AVI (hdrl: avih + strl[auds: strh+WAVEFORMATEX strf]
+    //                        + strl[vids: strh+BITMAPINFOHEADER strf]) + movi)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    val audStrh = chunk("strh", "auds".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte))
+    // 16-byte WAVEFORMATEX: would crash (or misparse as 44100-wide
+    // video) if strf weren't gated on the owning strh's fccType
+    val audStrf = chunk("strf", le32(1 | (1 << 16)) ++ le32(44100) ++ le32(88200) ++ le32(2 | (16 << 16)))
+    val vidStrh = chunk("strh", "vids".getBytes("US-ASCII") ++ Array.fill(52)(0.toByte))
+    val vidStrf = chunk("strf",
+      le32(40) ++ le32(4) ++ le32(2) ++ le32(1 | (24 << 16)) ++ le32(0) ++
+        le32(4 * 2 * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val avih = chunk("avih", Array.fill(56)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", audStrh ++ audStrf) ++ list("strl", vidStrh ++ vidStrf))
+    val movi = list("movi", chunk("00db", dibFrame(4, 2, 10, 20, 30)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val (w, h, frames, mean) = Media.AviCodec.decode(avi, "video")
+    w shouldBe 4
+    h shouldBe 2
+    frames shouldBe 1
+    mean shouldBe 20.0 +- 1e-12
+  }
+
+  test("AviCodec refuses DIB frames arriving before any video strf (no fabricated geometry)") {
+    // an AVI whose hdrl is missing entirely: frames must not silently
+    // decode as 0x0 with intensity 0.0
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++ chunk("00db", Array.fill(24)(7.toByte)))
+    val body = "AVI ".getBytes("US-ASCII") ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val e = intercept[IllegalArgumentException](Media.AviCodec.decode(avi, "video"))
+    e.getMessage should include("strf")
+  }
+
   test("AviCodec fails loudly on non-AVI bytes and on unsupported compression") {
     val bad = Seq(Media.MediaRecord(32L, "video", "synthetic://32", Array[Byte](1, 2, 3))).toDS()
     val e = intercept[org.apache.spark.SparkException] {
