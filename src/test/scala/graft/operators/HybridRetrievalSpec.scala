@@ -145,6 +145,18 @@ class HybridRetrievalSpec extends SparkSpec {
     info(s"self-id candidates kept without excludeSelf: $selfPairs")
   }
 
+  test("production composition: hybrid search off a SAVED+LOADED index is byte-identical") {
+    // fit offline -> save -> load -> serve: the deployment shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_idx").toString
+    Ivfadc.save(index, dir)
+    val loaded = Ivfadc.load(spark, dir)
+    val served = HybridRetrieval.topK(
+      docs, "doc_id", col("text"), termQueries,
+      loaded, queryEmb.toDF("qid", "qemb"), "qid", "qemb",
+      k = k, legK = legK, cap = 8, nprobe = 2)
+    served.orderBy("qid", "rank").collect() shouldBe hybrid.orderBy("qid", "rank").collect()
+  }
+
   test("rank fidelity: fused top-10 tracks the exact hybrid baseline (brute L2 + exact BM25)") {
     // exact dense leg: brute-force squared L2, self kept, top legK
     val denseTruth: Map[(Int, Long), Int] = queryEmb.flatMap { case (qid, qe) =>
