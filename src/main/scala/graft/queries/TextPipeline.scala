@@ -315,6 +315,65 @@ object TextPipeline {
       |GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q124: canonical representative selection by QUALITY policy -------------
+  // q64 keeps each near-dup cluster's MIN doc_id (first-arrival); a
+  // production corpus keeps the BEST copy — crawled duplicates differ
+  // in truncation and boilerplate, so the canonical pick is the member
+  // with the most tokens (ties to the lower id). One rank window per
+  // cluster over the CC labels (cluster count ≪ corpus, members per
+  // cluster small), then a conditional aggregate — no second scan. The
+  // oracle replays the full LSH → connected-components build (the
+  // q51/q64 recursive-CTE template) and the same argmax.
+  def q124CanonicalSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val clusters = Dedup
+      .nearDupComponents(d, idCol = "doc_id", textCol = "text", k = 3, numHashes = 8, bands = 4,
+        dedupFirst = graft.operators.TextGroups.adaptiveStaging(d, col("text")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val toks = d.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters
+      .join(toks, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
+        max(when(col("rn") === 1, col("n_tokens"))).as("kept_n_tokens"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_id")
+  }
+
+  val q124Sql: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.comp AS comp
+      |  FROM reach r JOIN edges e ON r.id = e.src
+      |  WHERE r.comp < e.dst),
+      |clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+      |toks AS (SELECT doc_id,
+      |           CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+      |         FROM documents),
+      |ranked AS (SELECT cluster_id, c.doc_id, n_tokens,
+      |             ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |               ORDER BY n_tokens DESC, c.doc_id) AS rn
+      |           FROM clusters c JOIN toks USING (doc_id))
+      |SELECT cluster_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+      |  MAX(CASE WHEN rn = 1 THEN n_tokens END) AS kept_n_tokens
+      |FROM ranked
+      |GROUP BY cluster_id
+      |HAVING COUNT(*) >= 2
+      |ORDER BY cluster_id""".stripMargin
+
   // ---- q64: end-to-end corpus curation -------------------------------------------
   // The composed flow a corpus build actually runs, as ONE plan:
   //   1. quality gate: repetition (dup-bigram fraction) + length;
@@ -616,6 +675,7 @@ object TextPipeline {
     "q80_bloom_decontamination" -> (q80BloomDecontamination _),
     "q65_decontamination" -> (q65Decontamination _),
     "q64_curation" -> (q64Curation _),
+    "q124_canonical_select" -> (q124CanonicalSelect _),
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q94_incremental_neardup" -> (q94IncrementalNeardup _),
     "q96_staged_neardup" -> (q96StagedNeardup _),
@@ -631,6 +691,7 @@ object TextPipeline {
     "q80_bloom_decontamination" -> q80Sql,
     "q65_decontamination" -> q65Sql,
     "q64_curation" -> q64Sql,
+    "q124_canonical_select" -> q124Sql,
     "q35_minhash_lsh" -> q35Sql,
     "q94_incremental_neardup" -> q94Sql,
     "q96_staged_neardup" -> q94Sql, // bit-identical to q94 by design
