@@ -308,6 +308,93 @@ object Vectors {
        |SELECT qid, cell, rank, nid, cosine FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- q125: retrieval-quality evaluation (recall@10 + MRR vs exact truth) ----
+  // The eval harness the ANN family needs to be operated: the trained-
+  // index run (q52's within-cell cosine ANN, k=10) is scored against
+  // the brute-force global truth (the q40 shape, k=10) — per query,
+  // recall@10 (|run ∩ truth| / 10, an exact rational) and the
+  // reciprocal rank of the first truth member in the run (1/rank,
+  // one exact IEEE division; 0.0 when the run misses entirely).
+  // This is what "recall gates" look like as a QUERY rather than a
+  // spec: the same numbers IvfadcSpec pins in-process, computed
+  // relationally and hash-gated in both engines. Scale shape: run and
+  // truth are both per-query top-10 tables (|Q|·10 rows), so the eval
+  // join is trivially small; truth's corpus scan is the documented
+  // q40 brute-force baseline.
+  def q125RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e"))
+    val centroids = graft.operators.KMeans.fit(e, idCol = "vec_id", embCol = "e", k = 8, iters = 3,
+      dedupVectors = graft.operators.TextGroups.adaptiveStaging(e, xxhash64(col("e"))))
+    val cells = graft.operators.KMeans.assign(e, "e", centroids)
+    val q = cells.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("cell"), col("e").as("qemb"))
+    val c = cells.select(col("vec_id").as("nid"), col("cell"), col("e").as("nemb"))
+    val run = graft.operators.Similarity
+      .cellTopK(q, c, k = 10)
+      .select(col("qid"), col("rank"), col("nid"))
+    val qb = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("e").as("qemb"))
+    val wT = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    val truth = e
+      .select(col("vec_id").as("nid"), col("e").as("nemb"))
+      .join(broadcast(qb), col("nid") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        (dot(col("qemb"), col("nemb")) /
+          (sqrt(dot(col("qemb"), col("qemb"))) * sqrt(dot(col("nemb"), col("nemb"))))).as("cosine"))
+      .withColumn("trank", row_number().over(wT))
+      .filter(col("trank") <= 10)
+      .select(col("qid"), col("nid"), lit(1).as("rel"))
+    run
+      .join(truth, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        sum(coalesce(col("rel"), lit(0))).cast("long").as("n_hits"),
+        min(when(col("rel") === 1, col("rank"))).cast("int").as("first_rel_rank"))
+      .withColumn("recall_at_10", col("n_hits").cast("double") / lit(10.0))
+      .withColumn("rr", coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)))
+      .select(col("qid"), col("n_hits"), col("recall_at_10"), col("first_rel_rank"), col("rr"))
+      .orderBy("qid")
+  }
+
+  val q125Sql: String =
+    s"""$lloydCellsSql,
+       |q AS (SELECT vec_id AS qid, cell, emb AS qemb FROM cells WHERE vec_id < 8),
+       |runp AS (
+       |  SELECT qid, cells.vec_id AS nid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, emb), p -> p[1] * p[2])), (a, b) -> a + b)
+       |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(qemb, qemb), p -> p[1] * p[2])), (a, b) -> a + b))
+       |       * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(emb, emb),  p -> p[1] * p[2])), (a, b) -> a + b))) AS cosine
+       |  FROM cells JOIN q ON cells.cell = q.cell AND cells.vec_id <> qid),
+       |run AS (SELECT qid, nid,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rank
+       |        FROM runp QUALIFY rank <= 10),
+       |q2 AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 8),
+       |truthp AS (
+       |  SELECT qid, e.vec_id AS nid,
+       |    list_reduce(list_transform(list_zip(qemb, emb), p -> p[1] * p[2]), (a, b) -> a + b)
+       |      / (sqrt(list_reduce(list_transform(list_zip(qemb, qemb), p -> p[1] * p[2]), (a, b) -> a + b))
+       |       * sqrt(list_reduce(list_transform(list_zip(emb, emb),  p -> p[1] * p[2]), (a, b) -> a + b))) AS cosine
+       |  FROM e CROSS JOIN q2
+       |  WHERE e.vec_id <> qid),
+       |truth AS (SELECT qid, nid FROM (
+       |            SELECT qid, nid,
+       |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS trank
+       |            FROM truthp)
+       |          WHERE trank <= 10),
+       |j AS (SELECT r.qid, r.rank,
+       |        CASE WHEN t.nid IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |      FROM run r LEFT JOIN truth t ON r.qid = t.qid AND r.nid = t.nid)
+       |SELECT qid,
+       |  CAST(SUM(rel) AS BIGINT) AS n_hits,
+       |  CAST(CAST(SUM(rel) AS BIGINT) AS DOUBLE) / 10.0 AS recall_at_10,
+       |  CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS INTEGER) AS first_rel_rank,
+       |  COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0) AS rr
+       |FROM j
+       |GROUP BY qid
+       |ORDER BY qid""".stripMargin
+
   // ---- q66: per-label embedding centroids (vector aggregation) -------------------
   // Mean vector per label in long form (label, dim, mean): posexplode →
   // partial-agg per (label, dim) — the KMeans iteration's shuffle shape
@@ -1185,6 +1272,7 @@ object Vectors {
     "q116_random_projection" -> (q116RandomProjection _),
     "q117_hybrid_rrf" -> (q117HybridRrf _),
     "q120_hybrid_scale" -> (q120HybridScale _),
+    "q125_retrieval_eval" -> (q125RetrievalEval _),
     "q118_power_iteration" -> (q118PowerIteration _),
     "q107_hard_mining" -> (q107HardMining _),
     "q102_ivfadc" -> (q102Ivfadc _),
@@ -1205,6 +1293,7 @@ object Vectors {
     "q116_random_projection" -> q116Sql,
     "q117_hybrid_rrf" -> q117Sql,
     "q120_hybrid_scale" -> q120Sql,
+    "q125_retrieval_eval" -> q125Sql,
     "q118_power_iteration" -> q118Sql,
     "q107_hard_mining" -> q107Sql,
     "q102_ivfadc" -> q102Sql,
