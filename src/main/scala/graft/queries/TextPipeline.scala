@@ -298,8 +298,14 @@ object TextPipeline {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
-  val q51Sql: String =
-    s"""WITH RECURSIVE $lshPairsCte,
+  /** [[lshPairsCte]] + the recursive connected-components CTEs ending
+    * in `clusters(doc_id, cluster_id)` — min-label propagation over
+    * the LSH candidate pairs, factored once so q51/q64/q124's oracles
+    * can never see divergent cluster labels (the lshSigCte argument
+    * one level up).
+    */
+  private val ccClustersCte: String =
+    s"""$lshPairsCte,
       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
       |          UNION ALL
       |          SELECT id2, id1 FROM pairs),
@@ -309,10 +315,13 @@ object TextPipeline {
       |  SELECT e.dst AS id, r.comp AS comp
       |  FROM reach r JOIN edges e ON r.id = e.src
       |  WHERE r.comp < e.dst
-      |)
-      |SELECT id AS doc_id, MIN(comp) AS cluster_id
-      |FROM reach
-      |GROUP BY id
+      |),
+      |clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  val q51Sql: String =
+    s"""WITH RECURSIVE $ccClustersCte
+      |SELECT doc_id, cluster_id
+      |FROM clusters
       |ORDER BY doc_id""".stripMargin
 
   // ---- q124: canonical representative selection by QUALITY policy -------------
@@ -348,16 +357,7 @@ object TextPipeline {
   }
 
   val q124Sql: String =
-    s"""WITH RECURSIVE $lshPairsCte,
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-      |          UNION ALL SELECT id2, id1 FROM pairs),
-      |reach AS (
-      |  SELECT src AS id, src AS comp FROM edges
-      |  UNION
-      |  SELECT e.dst AS id, r.comp AS comp
-      |  FROM reach r JOIN edges e ON r.id = e.src
-      |  WHERE r.comp < e.dst),
-      |clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+    s"""WITH RECURSIVE $ccClustersCte,
       |toks AS (SELECT doc_id,
       |           CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
       |         FROM documents),
@@ -421,16 +421,7 @@ object TextPipeline {
   }
 
   val q64Sql: String =
-    s"""WITH RECURSIVE $lshPairsCte,
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-      |          UNION ALL SELECT id2, id1 FROM pairs),
-      |reach AS (
-      |  SELECT src AS id, src AS comp FROM edges
-      |  UNION
-      |  SELECT e.dst AS id, r.comp AS comp
-      |  FROM reach r JOIN edges e ON r.id = e.src
-      |  WHERE r.comp < e.dst),
-      |clusters AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+    s"""WITH RECURSIVE $ccClustersCte,
       |metrics AS (
       |  SELECT doc_id, lang,
       |    CAST(LEN(toks) AS INTEGER) AS n_tokens,

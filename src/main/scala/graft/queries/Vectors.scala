@@ -334,27 +334,28 @@ object Vectors {
       .cellTopK(q, c, k = 10)
       .select(col("qid"), col("rank"), col("nid"))
     val qb = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("e").as("qemb"))
-    val wT = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    val truth = e
-      .select(col("vec_id").as("nid"), col("e").as("nemb"))
-      .join(broadcast(qb), col("nid") =!= col("qid"))
-      .select(
-        col("qid"),
-        col("nid"),
-        (dot(col("qemb"), col("nemb")) /
-          (sqrt(dot(col("qemb"), col("qemb"))) * sqrt(dot(col("nemb"), col("nemb"))))).as("cosine"))
-      .withColumn("trank", row_number().over(wT))
-      .filter(col("trank") <= 10)
+    // ground truth comes from the OPERATOR the exact queries use
+    // (Similarity.bruteForceTopK), not an inline copy — a future
+    // tie-break fix there must reach this eval's truth leg
+    val truth = graft.operators.Similarity
+      .bruteForceTopK(broadcast(qb), e.select(col("vec_id").as("nid"), col("e").as("nemb")), 10)
       .select(col("qid"), col("nid"), lit(1).as("rel"))
-    run
+    val metrics = run
       .join(truth, Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(
         sum(coalesce(col("rel"), lit(0))).cast("long").as("n_hits"),
         min(when(col("rel") === 1, col("rank"))).cast("int").as("first_rel_rank"))
-      .withColumn("recall_at_10", col("n_hits").cast("double") / lit(10.0))
-      .withColumn("rr", coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)))
-      .select(col("qid"), col("n_hits"), col("recall_at_10"), col("first_rel_rank"), col("rr"))
+    // every query gets a row — a broken quantizer that strands a query
+    // alone in its cell (run empty) must score recall 0.0, not vanish
+    qb.select(col("qid"))
+      .join(metrics, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"))
       .orderBy("qid")
   }
 
@@ -385,15 +386,18 @@ object Vectors {
        |          WHERE trank <= 10),
        |j AS (SELECT r.qid, r.rank,
        |        CASE WHEN t.nid IS NOT NULL THEN 1 ELSE 0 END AS rel
-       |      FROM run r LEFT JOIN truth t ON r.qid = t.qid AND r.nid = t.nid)
-       |SELECT qid,
-       |  CAST(SUM(rel) AS BIGINT) AS n_hits,
-       |  CAST(CAST(SUM(rel) AS BIGINT) AS DOUBLE) / 10.0 AS recall_at_10,
-       |  CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS INTEGER) AS first_rel_rank,
-       |  COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0) AS rr
-       |FROM j
-       |GROUP BY qid
-       |ORDER BY qid""".stripMargin
+       |      FROM run r LEFT JOIN truth t ON r.qid = t.qid AND r.nid = t.nid),
+       |m AS (SELECT qid,
+       |        CAST(SUM(rel) AS BIGINT) AS n_hits,
+       |        CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS INTEGER) AS first_rel_rank
+       |      FROM j GROUP BY qid)
+       |SELECT q2.qid,
+       |  COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |  CAST(COALESCE(n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / 10.0 AS recall_at_10,
+       |  first_rel_rank,
+       |  COALESCE(1.0 / first_rel_rank, 0.0) AS rr
+       |FROM q2 LEFT JOIN m ON q2.qid = m.qid
+       |ORDER BY q2.qid""".stripMargin
 
   // ---- q66: per-label embedding centroids (vector aggregation) -------------------
   // Mean vector per label in long form (label, dim, mean): posexplode →
