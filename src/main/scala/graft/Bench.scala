@@ -20,15 +20,35 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_LEGACY=1 reproduces the pre-round-10 harness
+    // (no pinned-block release) for measuring the contamination itself.
+    val legacy = sys.env.get("SPARK_GRAFT_BENCH_LEGACY").contains("1")
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => return -1.0 }
-      finally
+      finally {
         // Queries that persist intermediates (LSH dedup) would otherwise
         // accumulate a new cached copy per run — later runs would both
         // leak memory and measure a cache-warmed variant.
         spark.catalog.clearCache()
+        // clearCache() frees CacheManager entries only; the engine's
+        // localCheckpoint pins free on RDD GC, which across a ~500-query
+        // session lags far enough to tax whatever runs last (BENCH_r09's
+        // q94-q99 carried ~18s of phantom cost this way). Release them
+        // on the query boundary — blocking, so removal never overlaps
+        // the next measurement.
+        if (!legacy) graft.operators.Pinned.release(spark, blocking = true)
+        if (diag) {
+          val info = spark.sparkContext.getRDDStorageInfo
+          System.err.println(
+            s"DIAG $name persistent=${spark.sparkContext.getPersistentRDDs.size}" +
+              s" storedRdds=${info.length}" +
+              s" bytes=${info.map(i => i.memSize + i.diskSize).sum}")
+        }
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

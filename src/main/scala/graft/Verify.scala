@@ -21,6 +21,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally {
+        // Same session hygiene as Bench: free each query's pinned
+        // localCheckpoint blocks on the query boundary instead of
+        // letting ~125 queries' worth pile up on the GC.
+        spark.catalog.clearCache()
+        graft.operators.Pinned.release(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Pinned.PinOps
 
 /** Okapi BM25 top-k keyword retrieval over an inverted index — the
   * sparse-retrieval complement of the dense ANN family (q40-q44,
@@ -195,7 +196,7 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val maxTerms = queries.map(_._2.size).max
-    val corpus = base(docs, idCol, textCol).localCheckpoint(false)
+    val corpus = base(docs, idCol, textCol).pinned
     // ---- full inverted index: (doc_id, dl, term, tf), one shuffle.
     // Data-dependent expansion terms join against it relationally —
     // the first pass reuses it through the same plan block.
@@ -203,7 +204,7 @@ object Bm25 {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .pinned
     val stats = corpus.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     def contrib(tfc: Column, dfc: Column, dlc: Column): Column =
       contribExpr(tfc, dfc, dlc, col("sum_dl").cast("double") / col("n_docs"), k1, b)
@@ -239,7 +240,7 @@ object Bm25 {
       .withColumn("fr", row_number().over(wFb))
       .filter(col("fr") <= fbDocs)
       .select(col("qid"), col("fr"), col("doc_id"))
-      .localCheckpoint(false)
+      .pinned
     // ---- expansion weights: fixed feedback-rank slots ------------------------
     val frSlots = (1 to fbDocs).map(r =>
       max(when(col("fr") === r, col("tf").cast("double") / col("dl"))).as(s"_w$r"))
@@ -256,7 +257,7 @@ object Bm25 {
       .join(broadcast(origTerms), Seq("qid", "term"), "left_anti")
       .withColumn("er", row_number().over(wExp))
       .filter(col("er") <= fbTerms)
-      .localCheckpoint(false)
+      .pinned
     // normalize over fixed expansion-rank slots, literal order
     val erSlots = (1 to fbTerms).map(r => max(when(col("er") === r, col("w"))).as(s"_n$r"))
     val normSum = (1 to fbTerms).foldLeft(lit(0.0)) { (acc, r) =>
@@ -347,7 +348,7 @@ object Bm25 {
       reuse: Boolean = true): (DataFrame, DataFrame) = {
     validate(queries)
     require(cap >= 1, s"cap must be >= 1 (got $cap)")
-    def pin(df: DataFrame): DataFrame = if (reuse) df.localCheckpoint(false) else df
+    def pin(df: DataFrame): DataFrame = if (reuse) df.pinned else df
     val maxTerms = queries.map(_._2.size).max
     val qpost = pin(
       queryPostings(docs, idCol, textCol, queries, k1, b)

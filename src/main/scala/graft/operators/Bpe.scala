@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Pinned.PinOps
 
 /** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) — the
   * canonical LLM-preprocessing step the rest of the token-level
@@ -116,7 +117,7 @@ object Bpe {
     // Lazy local checkpoint: the corpus-sized aggregation runs once
     // and every round reuses the materialized blocks (freed with the
     // RDD — no CacheManager entry to leak, see the q102 note).
-    val wf = wordFreq(docs, textCol).localCheckpoint(false)
+    val wf = wordFreq(docs, textCol).pinned
     // cur holds (syms, wc) with every merge up to the last checkpoint
     // already applied; pending holds merges learned since (oldest
     // first). On the default path pending is simply the full history.
@@ -151,7 +152,7 @@ object Bpe {
           val folded = pending.foldLeft(col("syms")) { case (arr, (l, r)) =>
             applyMerge(arr, l, r)
           }
-          cur = cur.select(folded.as("syms"), col("wc")).localCheckpoint(false)
+          cur = cur.select(folded.as("syms"), col("wc")).pinned
           pending = Vector.empty
         }
       }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.Pinned.PinOps
 
 /** Connected components over an undirected edge list — the clustering
   * stage of near-duplicate deduplication: LSH emits candidate PAIRS,
@@ -99,9 +100,9 @@ object ConnectedComponents {
       // the action that materializes it, so each round is ONE job (an
       // eager checkpoint would run a separate materialization job first).
       // Storage note: each round's checkpoint holds a copy of the label
-      // table until the ContextCleaner GCs the superseded Dataset
-      // (localCheckpoint's internal RDD isn't reachable for an explicit
-      // unpersist). Bounded in practice: labels cover only PAIR-GRAPH
+      // table until the ContextCleaner GCs the superseded Dataset or
+      // the caller runs Pinned.release on its request boundary.
+      // Bounded in practice: labels cover only PAIR-GRAPH
       // vertices (a small fraction of the corpus) and near-dup clusters
       // converge in 3-5 rounds (SCALE.md), so at most a handful of
       // small tables are ever live.
@@ -109,7 +110,7 @@ object ConnectedComponents {
         .select(col("src").as("id"))
         .distinct()
         .select(col("id"), col("id").as("component"))
-        .localCheckpoint(false)
+        .pinned
       // Sum as decimal(38,0): with hash-derived 64-bit ids a long sum
       // can overflow (ANSI mode would throw mid-job; non-ANSI could wrap).
       def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -126,7 +127,7 @@ object ConnectedComponents {
           .unionByName(msgs)
           .groupBy(col("id"))
           .agg(min(col("component")).as("component"))
-          .localCheckpoint(false)
+          .pinned
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s

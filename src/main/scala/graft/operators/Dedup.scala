@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Pinned.PinOps
 
 /** Near-duplicate detection for large text corpora: MinHash + LSH,
   * SimHash, n-gram Jaccard, and winnowing fingerprints.
@@ -306,7 +307,7 @@ object Dedup {
       val repPairs = incrementalNearDups(
         reps, idCol, textCol, col("_anyNew"), k, numHashes, bands, threshold,
         maxBucketSize, verifyCandidatesOnly, dedupFirst = false)
-        .localCheckpoint(false)
+        .pinned
       val cross = repPairs
         .join(members.select(col("gid").as("g1"), col("mid").as("a"), col("mNew").as("an")), col("id1") === col("g1"))
         .join(members.select(col("gid").as("g2"), col("mid").as("b"), col("mNew").as("bn")), col("id2") === col("g2"))
@@ -351,7 +352,7 @@ object Dedup {
     val pairsPlain = incrementalCandidatePairs(bandsDf, idCol, "_new", maxBucketSize)
     // localCheckpoint when the pairs feed three consumers (the id filter
     // + both verify joins), exactly as in minhashNearDups.
-    val pairs = if (verifyCandidatesOnly) pairsPlain.localCheckpoint(false) else pairsPlain
+    val pairs = if (verifyCandidatesOnly) pairsPlain.pinned else pairsPlain
     val verifySh =
       if (verifyCandidatesOnly) {
         val candidateIds = pairs
@@ -632,7 +633,7 @@ object Dedup {
         // set intersection once per DOC pair instead of once per text
         // pair, and ship both shingle arrays with every expanded row).
         // One row per colliding text pair — tiny.
-        .localCheckpoint(false)
+        .pinned
       val cross = repPairs
         .join(members.select(col("gid").as("g1"), col("mid").as("a")), col("id1") === col("g1"))
         .join(members.select(col("gid").as("g2"), col("mid").as("b")), col("id2") === col("g2"))
@@ -673,7 +674,7 @@ object Dedup {
     // (the id filter below + both verify joins): the band pipeline +
     // bucket shuffle then run exactly once.
     val pairs =
-      if (verifyCandidatesOnly) candidatePairs(bandsDf, idCol).localCheckpoint(false)
+      if (verifyCandidatesOnly) candidatePairs(bandsDf, idCol).pinned
       else candidatePairs(bandsDf, idCol)
     // Candidate-only verify: the id filter joins the raw corpus BEFORE
     // the shingle projection, so the two verify sides tokenize

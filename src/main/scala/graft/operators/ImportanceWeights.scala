@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Pinned.PinOps
 
 /** DSIR-style data selection via hashed n-gram importance weights
   * (Xie et al., 2023, arXiv:2302.03169): fit bag-of-hashed-ngram
@@ -187,7 +188,7 @@ object ImportanceWeights {
       .agg(count(lit(1)).as("cnt"))
       // barrier: both the model fit and the scoring read this — without
       // it each consumer re-runs the corpus explode
-      .localCheckpoint(false)
+      .pinned
     val perBucket = dc
       .groupBy(col("bucket"))
       .agg(

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Session-lifecycle registry for the engine's pinned intermediates.
+  *
+  * Operators that feed one intermediate to several consumers (LSH
+  * candidate pairs, BM25 posting builds, IVF residuals, CC iteration
+  * frontiers, …) pin it with a lazy `localCheckpoint(false)` rather
+  * than `persist`: a CacheManager entry lives until an explicit
+  * `unpersist` nobody is positioned to issue, while checkpoint blocks
+  * free when the RDD is garbage-collected. That GC contract is
+  * correct but LAZY — in a long-lived session executing many engine
+  * calls (a bench sweep, a "load index once, serve searches all day"
+  * deployment), blocks from hundreds of completed queries can outlive
+  * their queries by minutes, squeezing the storage pool and taxing
+  * later work (measured: the round-9 bench session accumulated ~18s
+  * of phantom cost onto its tail queries; BASELINE.md "Bench session
+  * hygiene").
+  *
+  * [[pin]] therefore records the checkpoint RDD ids per
+  * SparkContext, and [[release]] frees them deterministically. The
+  * contract for callers:
+  *
+  *   - `release(spark)` is safe once no Dataset returned by an engine
+  *     call BEFORE the release point will be re-executed (results
+  *     already written/collected). Re-executing a released Dataset
+  *     throws (its lineage was truncated by the checkpoint) — it
+  *     never silently recomputes wrong data.
+  *   - Calls AFTER a release are unaffected: they build fresh plans
+  *     and fresh pins.
+  *   - Not calling release at all keeps the old GC-driven behavior —
+  *     correct, just lazier.
+  *
+  * Serving loops should release on their request boundary (the bench
+  * harness releases after every query; an index-serving process would
+  * release per batch of searches). Bounded-growth under repeated
+  * calls is spec-pinned (PinnedSessionSpec).
+  */
+object Pinned {
+
+  /** Checkpoint RDD ids pinned per context. Weak keys: a stopped,
+    * dropped SparkContext must not be retained by this registry (its
+    * blocks died with the executors). The value set is concurrent —
+    * pins happen at plan-build time from arbitrary caller threads.
+    */
+  private val reg =
+    new java.util.WeakHashMap[SparkContext, java.util.Set[Integer]]()
+
+  private def ids(sc: SparkContext): java.util.Set[Integer] = reg.synchronized {
+    var s = reg.get(sc)
+    if (s == null) {
+      s = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+      reg.put(sc, s)
+    }
+    s
+  }
+
+  /** `ds.localCheckpoint(eager = false)` + registration of the
+    * checkpoint RDD for [[release]]. Lazy on purpose: the checkpoint
+    * materializes inside the first job that reads it, so a pin never
+    * adds a job of its own. The checkpoint RDD is the returned plan's
+    * `LogicalRDD` leaf — registered at build time (Spark registers it
+    * in the context's persistent-RDD map immediately, before any
+    * blocks exist).
+    */
+  def pin[T](ds: Dataset[T]): Dataset[T] = {
+    val out = ds.localCheckpoint(false)
+    val set = ids(out.sparkSession.sparkContext)
+    out.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => set.add(l.rdd.id)
+      case _ =>
+    }
+    out
+  }
+
+  /** Chain form: `df.pinned` reads like `.localCheckpoint(false)`. */
+  implicit final class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def pinned: Dataset[T] = pin(ds)
+  }
+
+  /** Unpersist every pinned block recorded for this session's context
+    * and clear the registry. Returns the number of RDDs that were
+    * still persistent (already-GC-collected pins count as zero work).
+    * `blocking = true` waits for block removal — use it when the next
+    * step is a measurement that must not share the session with the
+    * removal (the bench harness does).
+    */
+  def release(spark: SparkSession, blocking: Boolean = false): Int = {
+    val sc = spark.sparkContext
+    val set = ids(sc)
+    val persistent = sc.getPersistentRDDs
+    var n = 0
+    val it = set.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      persistent.get(id.intValue()).foreach { rdd =>
+        rdd.unpersist(blocking)
+        n += 1
+      }
+      it.remove()
+    }
+    n
+  }
+
+  /** Pins recorded for this context that still hold storage (blocks
+    * in memory or on disk) — the bounded-growth assertion handle.
+    */
+  def pinnedCount(spark: SparkSession): Int = {
+    val sc = spark.sparkContext
+    val set = ids(sc)
+    sc.getPersistentRDDs.keysIterator.count(id => set.contains(Integer.valueOf(id)))
+  }
+
+  /** Total (memory + disk) bytes currently held by pinned RDDs. */
+  def pinnedBytes(spark: SparkSession): Long = {
+    val sc = spark.sparkContext
+    val set = ids(sc)
+    sc.getRDDStorageInfo
+      .filter(info => set.contains(Integer.valueOf(info.id)))
+      .map(info => info.memSize + info.diskSize)
+      .sum
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Pinned.PinOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -169,7 +170,7 @@ object Similarity {
       // Barrier: stops Catalyst collapsing the cosine projection above
       // the expansion joins (re-running the dot product per DOC pair
       // and shipping both embeddings with every expanded row).
-      .localCheckpoint(false)
+      .pinned
       .join(m1, col("cell") === col("c1") && col("id1") === col("g1"))
       .join(m2, col("cell") === col("c2") && col("id2") === col("g2"))
       .select(col("cell"), least(col("a"), col("b")).as("id1"), greatest(col("a"), col("b")).as("id2"), col("cosine"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
+import graft.operators.Pinned.PinOps
 
 /** Training-data pipeline: text analysis + deduplication over `documents`.
   *
@@ -1022,7 +1023,7 @@ object Documents {
       // one row per colliding GROUP pair — tiny; the barrier stops the
       // union's two expansion branches below from re-running the whole
       // gram pipeline (the q91 repVerified idiom)
-      .localCheckpoint(false)
+      .pinned
     val oneWay = gpairs
       .join(members.select(col("gid").as("g1"), col("mid").as("da")), "g1")
       .join(members.select(col("gid").as("g2"), col("mid").as("db")), "g2")
@@ -1157,7 +1158,7 @@ object Documents {
       // expansion at sf1). The table is one row per verified text pair
       // — tiny — and the lazy checkpoint materializes inside the same
       // job (CC uses the same idiom for its iteration barrier).
-      .localCheckpoint(false)
+      .pinned
     val cross = repVerified
       .join(members.select(col("gid").as("g1"), col("mid").as("a")), "g1")
       .join(members.select(col("gid").as("g2"), col("mid").as("b")), "g2")
@@ -2041,7 +2042,7 @@ object Documents {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
       .groupBy(col("source"), col("lang"))
       .agg(sum(col("n")).as("n_tokens"))
-      .localCheckpoint(false)
+      .pinned
     // ordered fold: Σ sqrt(n) over strata sorted by (source, lang)
     val ssum = strata
       .agg(sort_array(collect_list(struct(col("source"), col("lang"), col("n_tokens"))))
@@ -2056,7 +2057,7 @@ object Documents {
       .withColumn("weight", sqrt(col("n_tokens").cast("double")) / col("ssum"))
       .withColumn("alloc_floor", floor(lit(budget.toDouble) * col("weight")).cast("long"))
       .withColumn("rem", lit(budget.toDouble) * col("weight") - col("alloc_floor"))
-      .localCheckpoint(false)
+      .pinned
     val leftover = alloc.agg((lit(budget) - sum(col("alloc_floor"))).as("lo"))
     val wRem = Window.orderBy(col("rem").desc, col("source"), col("lang"))
     alloc

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num._
 import graft.operators.{AsOfJoin, Sessionize}
 import graft.tables.Tables
+import graft.operators.Pinned.PinOps
 
 /** Event-stream processing surface, batch-expressed over the `events`
   * table. These are the go-fish capabilities (SURVEY §2.3-2.6) recast as
@@ -290,7 +291,7 @@ object Events {
     // fact table — pin the 3-column projection so it reads once
     val e = ev(s, dir)
       .select(col("event_type"), col("user_id"), col("value"))
-      .localCheckpoint(false)
+      .pinned
     // countDistinct must NOT share the aggregate with the percentile
     // functions: Spark's distinct rewrite pre-groups by (event_type,
     // user_id), and the TypedImperative percentile buffers then

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, TextAnalysis}
 import graft.tables.Tables
+import graft.operators.Pinned.PinOps
 
 /** Training-data text pipeline, part 2: near-dup detection (MinHash+LSH,
   * SimHash, winnowing) and text analysis (language-ID, fingerprints) —
@@ -620,7 +621,7 @@ object TextPipeline {
       // narrowing here gives the oracle a clean int64 = int64 schema)
       .withColumn("w_units", col("w_units").cast("long"))
       // tiny (one row per doc); both the top-N and the flag join read it
-      .localCheckpoint(false)
+      .pinned
     val top = perDoc
       .orderBy(col("w_units").desc, col("id"))
       .limit(100)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
+import graft.operators.Pinned.PinOps
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -1068,7 +1069,7 @@ object Vectors {
       .select(
         transform(col("embedding"), v => floor(v.cast("double") * lit(1000.0)).cast("long"))
           .as("xq"))
-      .localCheckpoint(false)
+      .pinned
     val pairs = q
       .select(col("xq"), posexplode(col("xq")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))

@@ -18,6 +18,7 @@ object TimeQueries {
         graft.SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.operators.Pinned.release(spark, blocking = true)
         dt
       }
       run() // warmup, discarded

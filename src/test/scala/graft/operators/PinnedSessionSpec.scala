@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The long-lived-session contract for operators that pin
+  * intermediates with lazy local checkpoints (Bm25, Dedup, Ivfadc,
+  * ConnectedComponents, ImportanceWeights, Bpe):
+  *
+  *   - pins accumulate across engine calls when nobody releases
+  *     (the GC eventually frees them, but lazily — the round-9 bench
+  *     session measured ~18s of phantom cost from exactly this);
+  *   - `Pinned.release` on a request boundary frees them
+  *     deterministically, and repeated call→release cycles show
+  *     ZERO storage growth with byte-identical results per cycle;
+  *   - a released frame that is re-executed fails loudly (checkpoint
+  *     block gone) — it never silently recomputes.
+  */
+class PinnedSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "apple apple banana kiwi"),
+    (1L, "apple banana banana cherry"),
+    (2L, "banana cherry cherry plum"),
+    (3L, "apple kiwi plum plum"),
+    (4L, "apple apple banana kiwi"),
+    (5L, "cherry plum kiwi banana")
+  ).toDF("doc_id", "text")
+
+  private val queries = Seq(1 -> Seq("apple", "kiwi"), 2 -> Seq("cherry", "plum"))
+
+  private def runPruned() =
+    Bm25
+      .topKPruned(corpus, "doc_id", col("text"), queries, k = 3, cap = 2)
+      .orderBy("qid", "rank")
+      .collect()
+      .toSeq
+
+  private def runDedup() =
+    Dedup
+      .minhashNearDups(corpus, "doc_id", "text", verifyCandidatesOnly = true)
+      .orderBy("id1", "id2")
+      .collect()
+      .toSeq
+
+  test("pins accumulate without release; release frees every one") {
+    spark.catalog.clearCache() // clean slate from earlier suites
+    Pinned.release(spark, blocking = true)
+    Pinned.pinnedCount(spark) shouldBe 0
+
+    // Hold the result frames across the assertions: pins from a
+    // DISCARDED call are eventually ContextCleaner-collected (that's
+    // the lazy GC path the registry exists to beat), which would race
+    // the strict-growth check below.
+    val r1 = Bm25.topKPruned(corpus, "doc_id", col("text"), queries, k = 3, cap = 2)
+    r1.collect()
+    val afterOne = Pinned.pinnedCount(spark)
+    afterOne should be > 0 // topKPruned pins posting/capped/candidate frames
+
+    val r2 = Bm25.topKPruned(corpus, "doc_id", col("text"), queries, k = 3, cap = 2)
+    r2.collect()
+    Pinned.pinnedCount(spark) shouldBe (2 * afterOne) // strict per-call growth
+
+    val freed = Pinned.release(spark, blocking = true)
+    freed shouldBe (2 * afterOne)
+    Pinned.pinnedCount(spark) shouldBe 0
+    Pinned.pinnedBytes(spark) shouldBe 0L
+  }
+
+  test("repeated call->release cycles: zero storage growth, identical results") {
+    // The request boundary pairs BOTH hygiene calls, exactly as the
+    // Bench/Verify harnesses do: clearCache() for CacheManager
+    // entries (minhashNearDups' persistShingles), Pinned.release for
+    // the checkpoint pins clearCache can't reach.
+    def boundary(): Unit = {
+      spark.catalog.clearCache()
+      Pinned.release(spark, blocking = true)
+    }
+    boundary()
+    val sc = spark.sparkContext
+    val basePersistent = sc.getPersistentRDDs.size
+
+    val first = runPruned()
+    val firstDedup = runDedup()
+    boundary()
+
+    (1 to 4).foreach { i =>
+      runPruned() shouldBe first
+      runDedup() shouldBe firstDedup
+      boundary()
+      withClue(s"cycle $i: ") {
+        Pinned.pinnedCount(spark) shouldBe 0
+        // nothing of ours leaked past the boundary (<= not ==: the
+        // ContextCleaner may concurrently collect OTHER suites'
+        // discarded frames, shrinking the map under us)
+        sc.getPersistentRDDs.size should be <= basePersistent
+      }
+    }
+  }
+
+  test("a released frame fails loudly on re-execution, never recomputes") {
+    val p = Pinned.pin(corpus.select(col("doc_id"), expr("length(text)").as("len")))
+    p.collect().length shouldBe 6
+    Pinned.release(spark, blocking = true)
+    val e = intercept[Exception](p.collect())
+    // LocalCheckpointRDD: "Checkpoint block rdd_N_P not found!"
+    val msgs = Iterator
+      .iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    msgs.toLowerCase should include("checkpoint block")
+  }
+}
