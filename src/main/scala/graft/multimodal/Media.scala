@@ -290,6 +290,17 @@ object Media {
               require(size >= 20, s"video strf too short ($size bytes)")
               width = le32(payload, off + 8 + 4)
               height = math.abs(le32(payload, off + 8 + 8))
+              // Fail loudly on corrupt geometry AT THE HEADER, not in
+              // the frame loop: a negative biWidth (or one big enough
+              // to overflow width*3 in Int) would make the DIB
+              // rowBytes arithmetic wrap and index backwards from the
+              // frame offset — in-bounds header bytes read as pixels,
+              // a silently wrong meanIntensity. 1<<15 = 32768 px per
+              // side is beyond any real AVI (8K video is 7680x4320)
+              // and keeps every later Int product safe.
+              require(
+                width > 0 && width <= (1 << 15) && height > 0 && height <= (1 << 15),
+                s"corrupt video strf geometry ${width}x$height")
               val comp = le32(payload, off + 8 + 16)
               compression = if (comp == 0) "" else fourcc(payload, off + 8 + 16)
             } else if (id.length == 4 && id.substring(2) == "dc") {

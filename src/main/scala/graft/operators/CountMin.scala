@@ -61,18 +61,44 @@ object CountMin {
     * production workflow at 100 TB: each shard builds its own ≤ d·w
     * counter table, sketches (not streams) move, and the union is
     * exactly the sketch of the concatenated stream (CMS counters are
-    * linear in the input). Identical parameters (d, w, and the md5
-    * bucket derivation, which is part of the sketch identity) are the
-    * caller's contract; mergeability is spec-pinned
+    * linear in the input). Sketches built with DIFFERENT (d, w) would
+    * union into a structurally valid but meaningless table whose
+    * estimates silently break the never-undercount invariant — so
+    * merge takes the intended (d, w) and fails loudly, at plan time
+    * on a wrong schema and at run time on any counter cell outside
+    * [0,d)×[0,w) (a sketch-sized scan; the md5 bucket derivation is
+    * fixed by this object, so (d, w) IS the sketch identity).
+    * Mergeability + the mismatch rejection are spec-pinned
     * (CountMinSpec "shard sketches merge").
     */
-  def merge(sketches: Seq[DataFrame]): DataFrame = {
+  def merge(sketches: Seq[DataFrame], d: Int, w: Int): DataFrame = {
     require(sketches.nonEmpty, "merge needs at least one sketch")
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2 (got d=$d, w=$w)")
+    sketches.zipWithIndex.foreach { case (s, i) =>
+      require(
+        s.columns.sorted.sameElements(Array("b", "c", "r")),
+        s"sketch $i is not a (r, b, c) counter table: ${s.columns.mkString("(", ", ", ")")}")
+    }
     sketches
+      .map(_.select(
+        assertInCell(col("r"), d, "r").as("r"),
+        assertInCell(col("b"), w, "b").as("b"),
+        col("c")))
       .reduce(_ unionByName _)
       .groupBy(col("r"), col("b"))
       .agg(sum(col("c")).as("c"))
   }
+
+  /** Pass-through that raises if a counter coordinate falls outside
+    * its declared bound — the executable form of "all shards share
+    * (d, w)". A foreign-parameter sketch can't be detected cheaper:
+    * its schema is identical, only its coordinate range differs.
+    */
+  private def assertInCell(c: Column, bound: Int, name: String): Column =
+    when(c >= 0 && c < bound, c).otherwise(
+      raise_error(concat(
+        lit(s"CountMin.merge: $name coordinate "), c.cast("string"),
+        lit(s" outside [0,$bound) — shard sketch built with different (d, w)"))))
 
   /** Point estimates for `probes`: min over the d rows of the probed
     * counters (0 for a never-touched bucket). Output (item, cms_est).

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Pinned.PinOps
 
 /** IVFADC (Jegou et al. 2011, §V): the production ANN index. A
   * trained coarse quantizer routes each vector to a cell; the
@@ -27,13 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Ivfadc {
 
-  /** A fitted index. `cells` (id, cell) and `enc` (id, sub, code) are
-    * the persisted halves at production scale (the staged index
-    * tables); `coarse` and `codebooks` are the model — driver
-    * literals, like every quantizer here. [[save]]/[[load]] are the
-    * offline/online split: fit once, persist, then any number of
-    * search sessions load the staged tables without touching the raw
-    * embeddings again.
+  /** A fitted index. `cells` (id, cell) and `enc` (id, sub, code —
+    * plus cell once [[load]]ed from the cell-partitioned staged
+    * table) are the persisted halves at production scale; `coarse`
+    * and `codebooks` are the model — driver literals, like every
+    * quantizer here. [[save]]/[[load]] are the offline/online split:
+    * fit once, persist, then any number of search sessions load the
+    * staged tables without touching the raw embeddings again.
     */
   final case class Index(
       coarse: Seq[Seq[Double]],
@@ -43,16 +44,22 @@ object Ivfadc {
       dims: Int)
 
   /** Persist a fitted index under `dir`: the two data-sized halves as
-    * parquet (`cells/` partition-pruned by cell — a probed search
-    * reads only its nprobe cells' files; `enc/` likewise), the model
-    * (coarse centroids + codebooks + dims) as one small JSON file.
-    * Doubles round-trip exactly: the JSON writer prints the shortest
-    * decimal that parses back to the same IEEE bits, so a loaded
-    * index is bit-identical to the fitted one (spec-pinned).
+    * parquet, BOTH partitioned by cell — `cells/` natively, `enc/` by
+    * joining each row's cell on before the write. Cell-partitioned
+    * enc is what makes the staged index probe-prunable end to end: a
+    * loaded index's enc carries the cell column, [[score]] then joins
+    * candidates on (cell, sub, code) directly (no corpus-wide id-join
+    * to re-attach cells), and dynamic partition pruning restricts the
+    * enc scan to the probed cells' files instead of the whole encoded
+    * corpus. The model (coarse centroids + codebooks + dims) is one
+    * small JSON file. Doubles round-trip exactly: the JSON writer
+    * prints the shortest decimal that parses back to the same IEEE
+    * bits, so a loaded index is bit-identical to the fitted one
+    * (spec-pinned).
     */
   def save(index: Index, dir: String): Unit = {
     index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    index.enc.write.mode("overwrite").parquet(s"$dir/enc")
+    withCell(index).write.mode("overwrite").partitionBy("cell").parquet(s"$dir/enc")
     val spark = index.enc.sparkSession
     import spark.implicits._
     val model = ModelJson(index.dims, index.coarse, index.codebooks)
@@ -61,9 +68,10 @@ object Ivfadc {
   }
 
   /** Load a [[save]]d index. The staged halves come back as plain
-    * parquet scans (so a probed search's (cell, sub, code) join prunes
-    * partitions instead of recomputing the fit); the model literals
-    * come back bit-identical.
+    * parquet scans — enc keeps its cell partition column, so a probed
+    * search's (cell, sub, code) join partition-prunes BOTH tables
+    * instead of recomputing the fit; the model literals come back
+    * bit-identical.
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
     import spark.implicits._
@@ -82,9 +90,19 @@ object Ivfadc {
       coarse = model.coarse,
       codebooks = model.codebooks,
       cells = spark.read.parquet(s"$dir/cells").select(col("id"), col("cell").cast("int")),
-      enc = spark.read.parquet(s"$dir/enc").select(col("id"), col("sub"), col("code")),
+      enc = spark.read
+        .parquet(s"$dir/enc")
+        .select(col("id"), col("sub"), col("code"), col("cell").cast("int")),
       dims = model.dims)
   }
+
+  /** enc with each row's cell attached. A fit/append-produced enc is
+    * (id, sub, code) — the cell comes from the id-join; a loaded enc
+    * already carries the cell partition column and skips the join.
+    */
+  private def withCell(index: Index): DataFrame =
+    if (index.enc.columns.contains("cell")) index.enc
+    else index.enc.join(index.cells, "id").select(col("id"), col("sub"), col("code"), col("cell"))
 
   private case class ModelJson(
       dims: Int,
@@ -112,18 +130,92 @@ object Ivfadc {
     *              new (exact-dedup upstream); same dims as the index
     */
   def append(index: Index, batch: DataFrame, idCol: String, embCol: String): Index = {
-    val base = batch.select(col(idCol).as("id"), col(embCol).as("e"))
-    val cells = KMeans.assign(base, "e", index.coarse)
-    val centLit = array(index.coarse.map(c => array(c.map(lit): _*)): _*)
-    val res = cells.select(
-      col("id"),
-      zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"))
-    val enc = ProductQuant
-      .encode(res, idCol = "id", embCol = "e", codebooks = index.codebooks)
+    val res = residuals(index, batch, idCol, embCol)
+    val cells = res.select(col("id"), col("cell"))
+    val encPlain = ProductQuant
+      .encode(res.select(col("id"), col("e")), idCol = "id", embCol = "e",
+        codebooks = index.codebooks)
       .select(col("id"), col("sub"), col("code"))
+    // match the index's enc shape: a loaded enc carries its cell
+    // partition column, so the appended rows attach theirs too (the
+    // batch's own cell table — batch-sized join, never corpus-sized)
+    val enc =
+      if (index.enc.columns.contains("cell"))
+        encPlain
+          .join(cells.select(col("id"), col("cell")), "id")
+          .select(col("id"), col("sub"), col("code"), col("cell"))
+      else encPlain
     index.copy(
       cells = index.cells.unionByName(cells.select(col("id"), col("cell"))),
       enc = index.enc.unionByName(enc))
+  }
+
+  /** Drop deleted ids from both staged halves — the delete side of the
+    * maintenance loop ([[append]] is the insert side). The model is
+    * untouched (removing vectors can't invalidate codes, only leave
+    * the quantizer slightly stale — [[stalenessReport]] is the gauge
+    * for that), so compaction is two anti-joins; a following [[save]]
+    * rewrites the staged tables, which is the intended cadence:
+    * accumulate a deletion batch, compact, rewrite — never a per-row
+    * delete. Searches off the compacted index can never return a
+    * deleted id (its enc rows are gone, not masked).
+    *
+    * @param deletedIds one id per row, any extra columns ignored
+    */
+  def compact(index: Index, deletedIds: DataFrame, idCol: String): Index = {
+    val del = deletedIds.select(col(idCol).as("id"))
+    index.copy(
+      cells = index.cells.join(del, Seq("id"), "left_anti"),
+      enc = index.enc.join(del, Seq("id"), "left_anti"))
+  }
+
+  /** Quantization-error report for a vector batch under the FROZEN
+    * model — the executable form of append's "monitor per-batch mean
+    * sq_err and refit when it degrades". Encodes the batch exactly as
+    * [[append]] would (nearest cell, residual PQ) and aggregates the
+    * per-vector reconstruction error (Σ over subspaces of the chosen
+    * code's squared residual distance) per cell, with a rollup total
+    * (cell = null row). Run it on each ingest batch and compare
+    * against the fit-time corpus baseline (same call over the
+    * original vectors, saved by the caller next to the index): a
+    * rising mean is distribution drift, a single hot cell rising is a
+    * cell gone stale — either way the answer is a refit, which is the
+    * pinned maintenance policy (refit-from-scratch; there is no
+    * incremental re-train, by design — the model is driver literals).
+    * Cost: two map-side stages over the batch + one sketch-sized agg;
+    * never touches the staged corpus tables.
+    *
+    * @return (cell, n_vectors, mean_sq_err, max_sq_err); cell null =
+    *         whole batch
+    */
+  def stalenessReport(index: Index, batch: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val res = residuals(index, batch, idCol, embCol)
+    ProductQuant
+      .encode(res.select(col("id"), col("e")), idCol = "id", embCol = "e",
+        codebooks = index.codebooks)
+      .groupBy(col("id"))
+      .agg(sum(col("sq_err")).as("_err"))
+      .join(res.select(col("id"), col("cell")), "id")
+      .rollup(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        avg(col("_err")).as("mean_sq_err"),
+        max(col("_err")).as("max_sq_err"))
+  }
+
+  /** The frozen-model encode prelude shared by [[append]] and
+    * [[stalenessReport]]: nearest-cell assignment + residual against
+    * the assigned centroid. Returns (id, cell, e = residual). Two
+    * map-side stages against broadcast model literals.
+    */
+  def residuals(index: Index, batch: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val base = batch.select(col(idCol).as("id"), col(embCol).as("e"))
+    val cells = KMeans.assign(base, "e", index.coarse)
+    val centLit = array(index.coarse.map(c => array(c.map(lit): _*)): _*)
+    cells.select(
+      col("id"),
+      col("cell"),
+      zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"))
   }
 
   /** Fit coarse + residual-PQ quantizers and encode the corpus.
@@ -156,7 +248,7 @@ object Ivfadc {
         col("id"),
         zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"),
         col("cell"))
-      .localCheckpoint(false)
+      .pinned
     val dims = Similarity.embeddingDims(base, "e")
     val cbs = ProductQuant.fitCodebooks(
       res, idCol = "id", embCol = "e", dims = dims, m = m, k = pqK, iters = pqIters,
@@ -266,7 +358,7 @@ object Ivfadc {
     */
   private def score(
       index: Index, tdf: DataFrame, m: Int, k: Int, excludeSelf: Boolean): DataFrame = {
-    val encWithCell = index.enc.join(index.cells, "id")
+    val encWithCell = withCell(index)
     val terms = (0 until m).map(x => max(when(col("sub") === x, col("_d"))).as(s"_d$x"))
     val summed = encWithCell
       .join(tdf, Seq("cell", "sub", "code"))

@@ -280,6 +280,18 @@ class MediaSpec extends SparkSpec {
     e.getMessage should include("strf")
   }
 
+  test("AviCodec rejects corrupt strf geometry at the header (negative / overflow-sized)") {
+    // a negative biWidth (or one that overflows width*3 in Int) would
+    // make the DIB rowBytes arithmetic wrap and read header bytes as
+    // pixels — the codec must refuse at the strf, before any frame
+    val junkFrame = Array.fill(64)(7.toByte)
+    for (badW <- Seq(-6, 0, 0x40000000)) {
+      val e = intercept[IllegalArgumentException](
+        Media.AviCodec.decode(aviBytes(badW, 4, Seq(junkFrame), mjpg = false), "video"))
+      e.getMessage should include("geometry")
+    }
+  }
+
   test("AviCodec fails loudly on non-AVI bytes and on unsupported compression") {
     val bad = Seq(Media.MediaRecord(32L, "video", "synthetic://32", Array[Byte](1, 2, 3))).toDS()
     val e = intercept[org.apache.spark.SparkException] {

@@ -57,7 +57,7 @@ class CountMinSpec extends SparkSpec {
     val (s1, s2, s3) = (rows.take(60), rows.slice(60, 130), rows.drop(130))
     val merged = CountMin.merge(Seq(s1, s2, s3).map { shard =>
       CountMin.counters(shard.toSeq.toDF("w"), col("w"), d = 4, w = 64)
-    })
+    }, d = 4, w = 64)
     val whole = CountMin.counters(stream, col("w"), d = 4, w = 64)
     merged.as[(Int, Long, Long)].collect().toSet shouldBe
       whole.as[(Int, Long, Long)].collect().toSet
@@ -66,5 +66,26 @@ class CountMinSpec extends SparkSpec {
       .estimate(merged, exact.keys.toSeq.toDF("w"), col("w"), d = 4, w = 64)
       .as[(String, Long)].collect().toMap
     exact.foreach { case (k, v) => est(k) should be >= v }
+  }
+
+  test("merge fails loudly on a shard built with different (d, w) — never a silent bad union") {
+    val good = CountMin.counters(stream, col("w"), d = 4, w = 64)
+    // same schema, foreign parameters: only the coordinate range betrays it
+    val foreign = CountMin.counters(stream, col("w"), d = 8, w = 1024)
+    val e = intercept[Exception] {
+      CountMin.merge(Seq(good, foreign), d = 4, w = 64).count()
+    }
+    // the raise_error surfaces wrapped in job-failure layers — check the chain
+    val msgs = Iterator
+      .iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    msgs.toLowerCase should include("different (d, w)")
+    // and a structurally wrong input is rejected before any job runs
+    val notASketch = Seq((0, 1L)).toDF("r", "b")
+    intercept[IllegalArgumentException] {
+      CountMin.merge(Seq(good, notASketch), d = 4, w = 64)
+    }.getMessage should include("counter table")
   }
 }

@@ -169,9 +169,18 @@ class IvfadcSpec extends SparkSpec {
     loaded.dims shouldBe index.dims
     loaded.coarse shouldBe index.coarse
     loaded.codebooks shouldBe index.codebooks
-    // staged halves hold the same rows
+    // staged halves hold the same rows; loaded enc additionally
+    // carries its cell partition column (what makes the probed-search
+    // join partition-prunable), and every row's cell matches the
+    // cells table's assignment
     loaded.cells.orderBy("id").collect() shouldBe index.cells.orderBy("id").collect()
-    loaded.enc.orderBy("id", "sub").collect() shouldBe index.enc.orderBy("id", "sub").collect()
+    loaded.enc.select("id", "sub", "code").orderBy("id", "sub").collect() shouldBe
+      index.enc.orderBy("id", "sub").collect()
+    loaded.enc.join(index.cells.withColumnRenamed("cell", "_c"), "id")
+      .filter(col("cell") =!= col("_c")).count() shouldBe 0L
+    // the physical layout is cell-partitioned for BOTH staged halves
+    new java.io.File(s"$dir/enc").listFiles.map(_.getName).count(_.startsWith("cell=")) should be > 1
+    new java.io.File(s"$dir/cells").listFiles.map(_.getName).count(_.startsWith("cell=")) should be > 1
     // search results off the loaded index are byte-identical — and the
     // loaded plan reads the staged parquet, not a recomputed fit
     val a = Ivfadc.search(index, qseq, nprobe = 2, k = 5)
@@ -214,6 +223,58 @@ class IvfadcSpec extends SparkSpec {
     // old corpus is untouched rows-wise
     appended.cells.count() shouldBe 480
     appended.enc.count() shouldBe 480 * 4
+  }
+
+  test("compact drops deleted ids from both halves; searches never return a deleted id") {
+    val deleted = Seq(5L, 17L, 301L).toDF("id")
+    val compacted = Ivfadc.compact(index, deleted, "id")
+    // model untouched; staged halves lose exactly the deleted rows
+    compacted.coarse shouldBe index.coarse
+    compacted.codebooks shouldBe index.codebooks
+    compacted.cells.count() shouldBe (index.cells.count() - 3)
+    compacted.enc.count() shouldBe (index.enc.count() - 3 * 4)
+    compacted.cells.filter(col("id").isin(5L, 17L, 301L)).count() shouldBe 0L
+    // a search that DID return a deleted id before can't after — and
+    // survivors keep their relative order (scoring is unchanged)
+    val q = Seq((9100L, rows.find(_._1 == 5).get._2))
+    val before = Ivfadc.search(index, q, nprobe = 2, k = 5)
+      .select(col("nid")).as[Long].collect()
+    before should contain(5L)
+    val after = Ivfadc.search(compacted, q, nprobe = 2, k = 5)
+      .select(col("nid")).as[Long].collect()
+    after should not contain 5L
+    after.filter(before.contains) shouldBe before.filter(after.contains)
+    // the composition survives the staged round-trip: compact -> save
+    // -> load keeps the cell-partitioned layout and the row drop
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_compact").toString
+    Ivfadc.save(compacted, dir)
+    val reloaded = Ivfadc.load(spark, dir)
+    reloaded.enc.filter(col("id").isin(5L, 17L, 301L)).count() shouldBe 0L
+    reloaded.enc.count() shouldBe compacted.enc.count()
+  }
+
+  test("stalenessReport: fit-corpus baseline is reproduced; a drifted batch reads strictly worse") {
+    val base = Ivfadc.stalenessReport(index, rows.toDF("id", "emb"), "id", "emb")
+    val whole = base.filter(col("cell").isNull).head()
+    whole.getAs[Long]("n_vectors") shouldBe 480L
+    // the whole-batch mean equals the fit-time encode error exactly:
+    // stalenessReport replays fit's encode half on the same vectors
+    val fitErr = ProductQuant
+      .encode(
+        Ivfadc.residuals(index, rows.toDF("id", "emb"), "id", "emb"),
+        "id", "e", index.codebooks)
+      .groupBy(col("id")).agg(sum(col("sq_err")).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    whole.getAs[Double]("mean_sq_err") shouldBe fitErr +- 1e-9
+    // per-cell rows cover every populated cell and sum to the total
+    val perCell = base.filter(col("cell").isNotNull)
+    perCell.agg(sum(col("n_vectors"))).head().getLong(0) shouldBe 480L
+    // drift: shift every vector by a constant the model never saw —
+    // the frozen quantizer reconstructs it strictly worse
+    val drifted = rows.map { case (id, e) => (id, e.map(_ + 0.9)) }.toDF("id", "emb")
+    val dWhole = Ivfadc.stalenessReport(index, drifted, "id", "emb")
+      .filter(col("cell").isNull).head()
+    dWhole.getAs[Double]("mean_sq_err") should be > whole.getAs[Double]("mean_sq_err")
   }
 
   test("recall gate: flat PQ-ADC (q101's path, no coarse tier) recovers the L2 truth") {

@@ -158,8 +158,10 @@ class WebSocketSpoolSpec extends SparkSpec {
     t.start()
     val dir = Files.createTempDirectory("graft_ws_reconnect").toString
     val h = WebSocketSpool.run(s"ws://127.0.0.1:${ss.getLocalPort}/", dir)
-    await(h.received == 4, timeoutMs = 30000) // second batch needs the ~1s re-dial
-    h.reconnected should be >= 1L
+    // second batch needs the ~1s re-dial; await BOTH counters — the
+    // reconnect counter increments just after the new socket is live,
+    // so frames can land a beat before it ticks
+    await(h.received == 4 && h.reconnected >= 1, timeoutMs = 30000)
     h.close()
     val lines = Files
       .list(Paths.get(dir))
