@@ -128,6 +128,59 @@ object TextPipeline {
     pairs.orderBy("id1", "id2")
   }
 
+  // ---- q126: multi-day staged ingest replay ≡ one-shot recompute --------------
+  // The quality gate on the whole incremental-dedup story: the corpus
+  // arrives as FOUR daily batches (day = source index mod 4, ingested
+  // in order), each day running incrementalNearDupsStaged against the
+  // staging tables accumulated from the previous days and appending
+  // its own staged rows — exactly the production loop SCALE.md
+  // describes. The union of all four days' pair outputs must equal
+  // the one-shot full-corpus recompute EXACTLY (the oracle replays the
+  // q35 pair set): precision = recall = 1.0, pinned by hash equality,
+  // not sampled. surfaced_in additionally pins WHEN each pair is
+  // found — on the later member's ingest day, never before, never
+  // twice (a duplicate emission or an old×old leak would break the
+  // primary-key match). Staging tables are pinned once per day
+  // ("written once at ingest"); nothing recomputes a previous day's
+  // text.
+  def q126StagedIngestReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pinned.PinOps
+    val d = docs(s, dir)
+    val day = d.select(
+      col("doc_id"), col("text"),
+      (substring(col("source"), 4, 10).cast("int") % 4).as("_day"))
+    var stagedBands: DataFrame = null
+    var stagedSh: DataFrame = null
+    var acc: DataFrame = null
+    for (b <- 0 until 4) {
+      val batch = day.filter(col("_day") === b).select(col("doc_id"), col("text"))
+      val (eb, es) =
+        if (b == 0) Dedup.stageNearDup(batch.limit(0), "doc_id", "text", 3, 8, 4)
+        else (stagedBands, stagedSh)
+      val (pairs, (bb, bs)) =
+        Dedup.incrementalNearDupsStaged(eb, es, batch, "doc_id", "text", 3, 8, 4)
+      val tagged = pairs.select(col("id1"), col("id2"), lit(b).as("surfaced_in"), col("jaccard"))
+      acc = if (acc == null) tagged else acc.unionByName(tagged)
+      val (pb, ps) = (bb.pinned, bs.pinned)
+      stagedBands = if (b == 0) pb else stagedBands.unionByName(pb)
+      stagedSh = if (b == 0) ps else stagedSh.unionByName(ps)
+    }
+    acc.orderBy("id1", "id2")
+  }
+
+  val q126Sql: String =
+    s"""WITH $lshPairsCte,
+      |bat AS (SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 4 AS day FROM documents)
+      |SELECT id1, id2,
+      |  CAST(GREATEST(b1.day, b2.day) AS INTEGER) AS surfaced_in,
+      |  CASE WHEN LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) > 0
+      |       THEN CAST(LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+      |            / (LEN(s1.sh) + LEN(s2.sh) - LEN(list_filter(s1.sh, x -> list_contains(s2.sh, x))))
+      |       ELSE 0.0 END AS jaccard
+      |FROM pairs JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id
+      |JOIN bat b1 ON id1 = b1.doc_id JOIN bat b2 ON id2 = b2.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
   val q94Sql: String =
     s"""WITH $lshSigCte,
       |flag AS (SELECT doc_id, source = 'src0' AS is_new FROM documents),
@@ -671,6 +724,7 @@ object TextPipeline {
     "q35_minhash_lsh" -> (q35MinhashLsh _),
     "q94_incremental_neardup" -> (q94IncrementalNeardup _),
     "q96_staged_neardup" -> (q96StagedNeardup _),
+    "q126_staged_ingest_replay" -> (q126StagedIngestReplay _),
     "q36_simhash" -> (q36Simhash _),
     "q37_winnow" -> (q37Winnow _),
     "q38_lang_id" -> (q38LangId _),
@@ -687,6 +741,7 @@ object TextPipeline {
     "q35_minhash_lsh" -> q35Sql,
     "q94_incremental_neardup" -> q94Sql,
     "q96_staged_neardup" -> q94Sql, // bit-identical to q94 by design
+    "q126_staged_ingest_replay" -> q126Sql,
     "q36_simhash" -> q36Sql,
     "q37_winnow" -> q37Sql,
     "q38_lang_id" -> q38Sql,
