@@ -33,6 +33,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         # accumulates allocator state across 100+ queries and the heavy
         # index-replay oracles (q102 at sf1) then OOM spuriously
         con = duckdb.connect()
+        # an in-memory connection has NO temp directory, so the big
+        # index-replay oracles (q102/q120 full IVFADC builds at sf1)
+        # cannot spill and die on a tiny allocation the moment 32
+        # threads' hash tables brush the limit; give them a spill path
+        # and keep the limit at the (full-RAM) default — q102's pinned
+        # working set alone exceeds 44 GiB, so do NOT lower it
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         try:
