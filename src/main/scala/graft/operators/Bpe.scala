@@ -118,6 +118,21 @@ object Bpe {
     // and every round reuses the materialized blocks (freed with the
     // RDD — no CacheManager entry to leak, see the q102 note).
     val wf = wordFreq(docs, textCol).pinned
+    // The pin chain, newest first: wf, then each re-materialized
+    // symbol table. Generation k's blocks are needed until generation
+    // k+1 materializes (the first collect after the checkpoint), so
+    // the newest TWO stay; everything older is released the moment a
+    // new generation joins — a 30k-merge training run holds at most
+    // two corpus-vocabulary tables at any instant instead of
+    // accumulating every superseded one until the GC notices. All
+    // remaining pins are released before returning: nothing escapes
+    // this method but the collected merge list.
+    var chain = List[DataFrame](wf)
+    def pushGeneration(g: DataFrame): Unit = {
+      chain = g :: chain
+      chain.drop(2).foreach(Pinned.release(_, blocking = false))
+      chain = chain.take(2)
+    }
     // cur holds (syms, wc) with every merge up to the last checkpoint
     // already applied; pending holds merges learned since (oldest
     // first). On the default path pending is simply the full history.
@@ -153,10 +168,12 @@ object Bpe {
             applyMerge(arr, l, r)
           }
           cur = cur.select(folded.as("syms"), col("wc")).pinned
+          pushGeneration(cur)
           pending = Vector.empty
         }
       }
     }
+    chain.foreach(Pinned.release(_, blocking = false))
     learned.reverse
   }
 }

@@ -105,6 +105,34 @@ object Pinned {
     n
   }
 
+  /** Release ONLY this frame's pinned checkpoint blocks — the
+    * operator-internal lifecycle: an iterative operator that
+    * supersedes its own pins mid-loop (BPE's re-symbolized word
+    * table, generation k replacing k-1) frees each superseded
+    * generation deterministically WITHOUT touching other operators'
+    * live pins the way the session-wide [[release]] would. Returns 1
+    * if the frame's RDD was still persistent. The same loud-failure
+    * contract applies: re-executing the released frame throws.
+    */
+  def release(ds: Dataset[_], blocking: Boolean): Int = {
+    val sc = ds.sparkSession.sparkContext
+    val set = ids(sc)
+    val persistent = sc.getPersistentRDDs
+    var n = 0
+    ds.queryExecution.analyzed.foreach {
+      case l: LogicalRDD =>
+        val id = Integer.valueOf(l.rdd.id)
+        if (set.remove(id)) {
+          persistent.get(id.intValue()).foreach { rdd =>
+            rdd.unpersist(blocking)
+            n += 1
+          }
+        }
+      case _ =>
+    }
+    n
+  }
+
   /** Pins recorded for this context that still hold storage (blocks
     * in memory or on disk) — the bounded-growth assertion handle.
     */

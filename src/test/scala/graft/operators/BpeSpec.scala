@@ -143,4 +143,18 @@ class BpeSpec extends SparkSpec {
     chunked.max shouldBe chunked.take(3).max
     chunked.max should be < unchunked.last
   }
+
+  test("training releases its own pins: bounded storage during, zero after") {
+    Pinned.release(spark, blocking = true) // clean slate from earlier suites
+    val pinsPerRound = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Bpe.trainMergesProbed(bigCorpus, col("text"), 16, checkpointEvery = 2,
+      (_, _) => pinsPerRound += Pinned.pinnedCount(spark))
+    // at most the word-freq table + two symbol-table generations are
+    // ever live (generation k-1 feeds k until k materializes); a
+    // 30k-merge run must not accumulate superseded tables
+    pinsPerRound.max should be <= 3
+    // and the method cleans up after itself — nothing escapes but the
+    // collected merge list
+    Pinned.pinnedCount(spark) shouldBe 0
+  }
 }
