@@ -27,8 +27,17 @@ object Bench {
 
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        // Elapsed is stamped HERE, on the try's success path: the finally
+        // below runs clearCache + a blocking pin release, and a trailing
+        // expression after the block would charge each query its own
+        // teardown (~5-25% per query in BENCH_r10 — BASELINE.md
+        // "Timed-window accounting"). TimeQueries stamps at the same
+        // boundary, so the two harnesses now agree.
+        (System.nanoTime() - t0) / 1e9
+      }
+      catch { case _: Throwable => -1.0 }
       finally {
         // Queries that persist intermediates (LSH dedup) would otherwise
         // accumulate a new cached copy per run — later runs would both
@@ -39,7 +48,8 @@ object Bench {
         // session lags far enough to tax whatever runs last (BENCH_r09's
         // q94-q99 carried ~18s of phantom cost this way). Release them
         // on the query boundary — blocking, so removal never overlaps
-        // the next measurement.
+        // the NEXT query's measurement (its own cost is teardown,
+        // outside the timed window).
         if (!legacy) graft.operators.Pinned.release(spark, blocking = true)
         if (diag) {
           val info = spark.sparkContext.getRDDStorageInfo
@@ -49,7 +59,6 @@ object Bench {
               s" bytes=${info.map(i => i.memSize + i.diskSize).sum}")
         }
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // BASELINE.md protocol: warm JVM, median of 3 runs per query.

@@ -76,6 +76,12 @@ final class ApiServer(
   // compiled; Compiled.spools documents the caller-owns-close contract
   private val spools =
     new java.util.concurrent.ConcurrentLinkedQueue[graft.sources.WebSocketSpool.Handle]()
+  // per-pipeline pin scopes (Compiled.pins): released when the owning
+  // pipeline dies — at server stop, or immediately on a failed start.
+  // Scope-local release is what makes this safe on the shared session:
+  // it can never unpersist another pipeline's in-flight intermediates.
+  private val pinScopes =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.operators.Pinned.Scope]()
   // Guards the handoff between the async pipeline starter and stop():
   // once `stopping` is set (under the lock), a starter that raced past
   // it stops its freshly-started queries itself instead of parking
@@ -103,6 +109,13 @@ final class ApiServer(
       catch { case e: Exception => System.err.println(s"[api] closing spool: ${e.getMessage}") }
     }
     spools.clear()
+    // queries are stopped, so no pipeline of ours will re-execute its
+    // pinned frames — free them deterministically rather than per GC
+    pinScopes.forEach { s =>
+      try { s.release(blocking = false); () }
+      catch { case e: Exception => System.err.println(s"[api] releasing pins: ${e.getMessage}") }
+    }
+    pinScopes.clear()
     if (listener != null) spark.streams.removeListener(listener)
   }
 
@@ -125,6 +138,7 @@ final class ApiServer(
             case Left(err) => respond(ex, 400, err)
             case Right(compiled) =>
               compiled.spools.values.foreach(spools.add)
+              compiled.pins.foreach(pinScopes.add)
               val id = UUID.randomUUID().toString
               store.put(id, raw.getBytes(StandardCharsets.UTF_8))
               backend.put(id, raw.getBytes(StandardCharsets.UTF_8))
@@ -157,6 +171,14 @@ final class ApiServer(
                         case e2: Exception =>
                           System.err.println(s"[api] closing spool after failed start: ${e2.getMessage}")
                       } finally spools.remove(h)
+                    }
+                    // ... nor its compile-time pins outlive it
+                    compiled.pins.foreach { s =>
+                      try { s.release(blocking = false); () }
+                      catch {
+                        case e2: Exception =>
+                          System.err.println(s"[api] releasing pins after failed start: ${e2.getMessage}")
+                      } finally pinScopes.remove(s)
                     }
                 }
               ).start()

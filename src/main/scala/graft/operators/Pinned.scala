@@ -41,6 +41,78 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Pinned {
 
+  /** Per-pipeline release handle (round-10 verdict: the harnesses
+    * released pins, the product's serving paths didn't — and the
+    * session-global [[release]] is unsafe there, since on a shared
+    * SparkContext it would unpersist OTHER in-flight pipelines' pins).
+    * A Scope collects exactly the pins built while it was the calling
+    * thread's active scope (see [[collecting]]); releasing it frees
+    * those and only those, so concurrent pipelines on one session
+    * can't free each other's intermediates.
+    *
+    * Same loud-failure contract as the other release forms:
+    * re-executing a frame whose pin this scope released throws; it
+    * never silently recomputes.
+    */
+  final class Scope private[Pinned] (sc: SparkContext) extends AutoCloseable {
+    private[Pinned] val mine = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    private[Pinned] def context: SparkContext = sc
+
+    /** Unpersist every pin this scope collected that is still
+      * persistent, removing each from the session registry too.
+      * Idempotent — a second release is a no-op.
+      */
+    def release(blocking: Boolean = false): Int = {
+      val set = ids(sc)
+      val persistent = sc.getPersistentRDDs
+      var n = 0
+      val it = mine.iterator()
+      while (it.hasNext) {
+        val id = it.next()
+        set.remove(id)
+        persistent.get(id.intValue()).foreach { rdd =>
+          rdd.unpersist(blocking)
+          n += 1
+        }
+        it.remove()
+      }
+      n
+    }
+
+    /** Pins collected by this scope that still hold a persistent RDD. */
+    def size: Int = {
+      val persistent = sc.getPersistentRDDs
+      var n = 0
+      mine.forEach(id => if (persistent.contains(id.intValue())) n += 1)
+      n
+    }
+
+    override def close(): Unit = { release(blocking = false); () }
+  }
+
+  /** The calling thread's active scope. Inheritable so a worker thread
+    * spawned inside a scope (the ApiServer's async pipeline starter)
+    * keeps attributing pins to its request's scope.
+    */
+  private val activeScope = new InheritableThreadLocal[Scope]()
+
+  /** Run `body` with a fresh [[Scope]] installed as the calling
+    * thread's active scope: every [[pin]] built during `body` (on this
+    * thread, same context) is recorded in it. Returns the body's
+    * result plus the scope; the CALLER owns releasing the scope once
+    * the collected frames will no longer be re-executed (e.g. after
+    * its sinks commit). Scopes nest — the innermost wins, so an
+    * engine call that opens its own scope keeps its internal pins out
+    * of the caller's.
+    */
+  def collecting[A](spark: SparkSession)(body: => A): (A, Scope) = {
+    val s = new Scope(spark.sparkContext)
+    val prev = activeScope.get()
+    activeScope.set(s)
+    try (body, s)
+    finally activeScope.set(prev)
+  }
+
   /** Checkpoint RDD ids pinned per context. Weak keys: a stopped,
     * dropped SparkContext must not be retained by this registry (its
     * blocks died with the executors). The value set is concurrent —
@@ -68,9 +140,13 @@ object Pinned {
     */
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val out = ds.localCheckpoint(false)
-    val set = ids(out.sparkSession.sparkContext)
+    val sc = out.sparkSession.sparkContext
+    val set = ids(sc)
+    val scope = activeScope.get()
     out.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => set.add(l.rdd.id)
+      case l: LogicalRDD =>
+        set.add(l.rdd.id)
+        if (scope != null && (scope.context eq sc)) scope.mine.add(l.rdd.id)
       case _ =>
     }
     out

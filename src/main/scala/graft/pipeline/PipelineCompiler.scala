@@ -48,7 +48,17 @@ object PipelineCompiler {
         * with a `certstream_config.url`; callers own closing them when
         * the pipeline stops. Empty for replay/offline pipelines.
         */
-      spools: Map[String, graft.sources.WebSocketSpool.Handle] = Map.empty
+      spools: Map[String, graft.sources.WebSocketSpool.Handle] = Map.empty,
+      /** Pins (lazy localCheckpoints) built while compiling THIS
+        * pipeline — eager rules like nearDup run their clustering at
+        * compile time and pin intermediates. Scope-local, so
+        * releasing it can never touch a concurrent pipeline's pins
+        * (the hazard of session-wide `Pinned.release` on a shared
+        * context). [[runBatch]] releases it after the sinks commit
+        * (unless a Memory sink hands the caller live frames);
+        * streaming owners (ApiServer) release on pipeline stop.
+        */
+      pins: Option[graft.operators.Pinned.Scope] = None
   )
 
   /** Parse + validate + compile against a spark session. Batch mode:
@@ -84,7 +94,20 @@ object PipelineCompiler {
               Left(s"eventFolder ${valid.eventFolder}: ${e.getMessage}")
           }
         else Right(registry)
-      compiled <- compileValidated(spark, valid, reg, effective, streaming)
+      compiled <- {
+        // Collect this pipeline's pins into a scope owned by the
+        // Compiled (round-10 verdict #2: serving paths must be able to
+        // release deterministically, and session-global release is
+        // unsafe under concurrent pipelines). A failed compile releases
+        // immediately — nothing of a rejected pipeline may outlive it.
+        val (result, scope) =
+          graft.operators.Pinned.collecting(spark)(
+            compileValidated(spark, valid, reg, effective, streaming))
+        result match {
+          case Left(err) => scope.release(blocking = false); Left(err)
+          case Right(c)  => Right(c.copy(pins = Some(scope)))
+        }
+      }
     } yield compiled
 
   /** The Kafka source's option map — the offline-testable half of the
@@ -247,7 +270,7 @@ object PipelineCompiler {
     * JSON-lines (the output/file.go format, minus the per-record
     * fsync), memory sinks become temp views named after the sink.
     */
-  def runBatch(c: Compiled): Unit =
+  def runBatch(c: Compiled): Unit = {
     c.sinks.foreach { case (name, df) =>
       c.config.sinks(name) match {
         // Structured file sink: parquet/csv/json, optionally partitioned
@@ -265,6 +288,16 @@ object PipelineCompiler {
         case other                               => sys.error(s"sink $name: unsupported $other")
       }
     }
+    // Serving hygiene: every non-Memory sink has committed, so this
+    // pipeline's pinned intermediates will never be re-executed —
+    // release them now instead of waiting on RDD GC (the round-9
+    // long-session leak, fixed for harnesses in round 10, fixed here
+    // for the product path). Memory sinks hand the CALLER live temp
+    // views over these frames, so the caller owns the release there
+    // (re-querying a released view would fail loudly, not silently).
+    if (!c.config.sinks.values.exists(_.`type` == "Memory"))
+      c.pins.foreach(_.release(blocking = false))
+  }
 
   /** Start a streaming-compiled pipeline: one StreamingQuery per sink.
     * `checkpointRoot` gets one key-space per sink — the state

@@ -18,6 +18,19 @@ class QueriesDocSpec extends AnyFunSuite with Matchers {
     documented shouldBe catalogued
   }
 
+  test("QUERIES.md header count matches the catalog size") {
+    // Round-10 verdict #3: the bullet check above passed while the prose
+    // header still said "all 119" at 126 queries. Gate the count line too.
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("QUERIES.md")),
+      "UTF-8"
+    )
+    val headerCount = "all (\\d+)".r
+      .findFirstMatchIn(doc)
+      .map(_.group(1).toInt)
+    headerCount shouldBe Some(SparkEntry.queries.size)
+  }
+
   test("every oracle key is a catalogued query") {
     SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
   }
