@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Streaming-throughput micro-bench — the reference is a stream
+  * processor (pipeline.go's goroutine graph), so alongside Bench's
+  * batch analytics this records events/sec through the PRODUCT
+  * streaming path: file stream → trial-dispatch decode → rule
+  * (stateless and stateful forms) → file sink, compiled by
+  * PipelineCompiler exactly as a served pipeline would be.
+  *
+  * Protocol (BASELINE.md "Streaming throughput protocol"):
+  *   - local[32], AvailableNow trigger over a pre-written spool of
+  *     N json-line events split across 32 files (so the source
+  *     parallelizes like a real spool);
+  *   - per scenario: 1 discarded warmup + 3 measured runs, each with
+  *     a FRESH checkpoint + sink dir (state starts empty every run;
+  *     the input spool is reused);
+  *   - the metric is events ingested / wall seconds from start() to
+  *     termination, median of the 3 runs (min recorded too);
+  *   - Pinned.release + clearCache between runs (Bench's hygiene).
+  *
+  * Scenarios:
+  *   - `stateless_decode`: CloudTrail decode-dispatch → the s2s rule's
+  *     stateless cousin is not separable, so the stateless row is the
+  *     raw-line length rule — decode trial-dispatch + predicate, no
+  *     state store.
+  *   - `stateful_agg`: CloudTrail decode → cloudTrailNoMfaAgg keyed
+  *     count (flatMapGroupsWithState + interval flush) → file sink.
+  *   - `stateful_s2s`: AssumeRole/CreateUser mix → cloudTrailS2SJoin
+  *     KV enrichment (the reference's flagship stateful shape).
+  *
+  * One JSON line on stdout; full artifact also written to
+  * SPARK_GRAFT_STREAMBENCH_OUT (default target/streambench_last.json).
+  */
+object StreamBench {
+
+  private def writeSpool(dir: String, lines: IndexedSeq[String], files: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val per = math.max(1, (lines.size + files - 1) / files)
+    lines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(
+        Paths.get(dir, f"part-$i%05d.json"),
+        chunk.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Compact forms of the public AWS CloudTrail sample events the test
+    * fixtures use (Fixtures.scala documents the provenance; inlined
+    * here because the bench main lives in the library jar, not the
+    * test tree). Identity fields vary per event: `keys` distinct
+    * principals round-robin, unique eventIDs.
+    */
+  private val createUserTemplate: String =
+    """{"eventVersion": "1.05", "userIdentity": {"type": "AssumedRole", """ +
+      """"principalId": "AIDAQRSTUVWXYZEXAMPLE:Bob-EC2-dev", """ +
+      """"arn": "arn:aws:sts::777788889999:assumed-role/AssumeNothing/devdsk", """ +
+      """"accountId": "777788889999", "accessKeyId": "AKIAQRSTUVWXYZEXAMPLE", """ +
+      """"sessionContext": {"attributes": {"mfaAuthenticated": "false", "creationDate": "2016-11-14T17:25:26Z"}, """ +
+      """"sessionIssuer": {"type": "Role", "principalId": "AIDAQRSTUVWXYZEXAMPLE", """ +
+      """"arn": "arn:aws:iam::777788889999:role/AssumeNothing", "accountId": "777788889999", "userName": "AssumeNothing"}}}, """ +
+      """"eventTime": "2016-11-14T17:25:45Z", "eventSource": "s3.amazonaws.com", "eventName": "CreateUser", """ +
+      """"awsRegion": "us-east-2", "sourceIPAddress": "192.0.2.1", "userAgent": "[aws-cli/1.11.10]", """ +
+      """"requestParameters": {"userName": "god_user"}, "requestID": "EXAMPLE463D56D4C", """ +
+      """"eventID": "dEXAMPLE-265a-41e0-9352-4401bEXAMPLE", "eventType": "AwsApiCall", "recipientAccountId": "777788889999"}"""
+
+  private val assumeRoleTemplate: String =
+    """{"eventVersion": "1.05", "userIdentity": {"type": "IAMUser", "principalId": "AIDAQRSTUVWXYZEXAMPLE", """ +
+      """"arn": "arn:aws:iam::777788889999:user/Bob", "accountId": "777788889999", """ +
+      """"accessKeyId": "AKIAQRSTUVWXYZEXAMPLE", "userName": "Bob"}, """ +
+      """"eventTime": "2014-07-18T15:07:39Z", "eventSource": "sts.amazonaws.com", "eventName": "AssumeRole", """ +
+      """"awsRegion": "us-east-2", "sourceIPAddress": "192.0.2.101", "userAgent": "aws-cli/1.11.10", """ +
+      """"requestParameters": {"roleArn": "arn:aws:iam::777788889999:role/EC2-dev", "roleSessionName": "Bob-EC2-dev"}, """ +
+      """"responseElements": {"credentials": {"sessionToken": "encoded session token blob", """ +
+      """"accessKeyId": "AKIAQRSTUVWXYZEXAMPLE", "expiration": "Jul 18, 2014 4:07:39 PM"}, """ +
+      """"assumedRoleUser": {"assumedRoleId": "AIDAQRSTUVWXYZEXAMPLE:Bob-EC2-dev", """ +
+      """"arn": "arn:aws:sts::777788889999:assumed-role/EC2-dev/Bob-EC2-dev"}}, """ +
+      """"requestID": "4EXAMPLE-0e8d-11e4-96e4-e55c0EXAMPLE", "eventID": "dEXAMPLE-ac7f-466c-a608-4ac8dEXAMPLE", """ +
+      """"eventType": "AwsApiCall", "recipientAccountId": "111122223333"}"""
+
+  private def createUserEvents(n: Int, keys: Int): IndexedSeq[String] =
+    (0 until n).map { i =>
+      val k = i % keys
+      createUserTemplate
+        .replace("dEXAMPLE-265a-41e0-9352-4401bEXAMPLE", f"evt-$i%08d")
+        .replace("Bob-EC2-dev", s"user-$k")
+    }
+
+  private def assumeRoleEvents(keys: Int): IndexedSeq[String] =
+    (0 until keys).map { k =>
+      assumeRoleTemplate
+        .replace("dEXAMPLE-ac7f-466c-a608-4ac8dEXAMPLE", f"ar-$k%08d")
+        .replace("Bob-EC2-dev", s"user-$k")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_N", "100000").toInt
+    val keys = math.max(1, n / 10)
+    val root = Files.createTempDirectory("graft_streambench").toString
+
+    def config(input: String, rule: (String, String), stateful: Boolean, sink: String): String = {
+      val stateRef = if (stateful) """, "state": "kv"""" else ""
+      val states = if (stateful) """{"kv": {"type": "KV"}}""" else "{}"
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "${rule._1}": {"source": "in", "plugin": "${rule._2}"$stateRef, "sink": "out"}
+         |  },
+         |  "states": $states,
+         |  "sources": {"in": {"type": "File", "path": "$input"}},
+         |  "sinks": {"out": {"type": "File", "path": "$sink"}}
+         |}""".stripMargin
+    }
+
+    /** One timed run: fresh checkpoint + sink, compile → start
+      * (AvailableNow) → measure wall seconds from start() until every
+      * query has INGESTED its whole spool (progress-based, not
+      * termination-based: a stateful rule with processing-time flush
+      * timers keeps scheduling timer batches under AvailableNow, so
+      * "query terminated" is not the ingest-complete boundary — the
+      * cumulative numInputRows reaching the spool size is). Queries
+      * are stopped right after the stamp.
+      */
+    def runOnce(
+        name: String,
+        input: String,
+        rule: (String, String),
+        stateful: Boolean,
+        expected: Long): Double = {
+      val runDir = Files.createTempDirectory(s"graft_sb_$name").toString
+      val c = pipeline.PipelineCompiler
+        .compile(spark, config(input, rule, stateful, s"$runDir/sink"), streaming = true)
+        .fold(err => sys.error(s"$name: $err"), identity)
+      def ingested(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        q.recentProgress.map(_.numInputRows).sum
+      val t0 = System.nanoTime()
+      val qs = pipeline.PipelineCompiler.startStreaming(c, s"$runDir/ckpt", availableNow = true)
+      val deadline = t0 + 600L * 1000000000L
+      while (qs.exists(q => q.isActive && ingested(q) < expected) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      val dt = (System.nanoTime() - t0) / 1e9
+      qs.foreach(q => try q.stop() catch { case _: Exception => () })
+      qs.foreach { q =>
+        require(ingested(q) >= expected, s"$name: ingested ${ingested(q)} of $expected events")
+      }
+      spark.catalog.clearCache()
+      c.pins.foreach(_.release(blocking = true))
+      operators.Pinned.release(spark, blocking = true)
+      dt
+    }
+
+    def scenario(name: String, input: String, rule: (String, String), stateful: Boolean, events: Int)
+        : (String, Int, Seq[Double]) = {
+      runOnce(name, input, rule, stateful, events.toLong) // warmup, discarded
+      val runs = (1 to 3).map(_ => runOnce(name, input, rule, stateful, events.toLong))
+      System.err.println(f"STREAMBENCH $name%-18s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      (name, events, runs)
+    }
+
+    // Inputs are written ONCE per scenario and reused across runs.
+    val ctSpool = s"$root/ct"
+    writeSpool(ctSpool, createUserEvents(n, keys), files = 32)
+    val s2sSpool = s"$root/s2s"
+    // build side first in file order: one AssumeRole per principal,
+    // then the CreateUser probes (same decode path, 2 event shapes)
+    writeSpool(s2sSpool, assumeRoleEvents(keys) ++ createUserEvents(n, keys), files = 32)
+    val rawSpool = s"$root/raw"
+    writeSpool(rawSpool, (0 until n).map(i => "x" * (i % 5 + 1)), files = 32)
+
+    val results = Seq(
+      scenario("stateless_decode", rawSpool, ("len", "lengthRule"), stateful = false, n),
+      scenario("stateful_agg", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n),
+      scenario("stateful_s2s", s2sSpool, ("s2s", "cloudTrailS2SJoin"), stateful = true, n + keys)
+    )
+
+    def eps(events: Int, sec: Double): Double = math.round(events / sec).toDouble
+    val scenarioJson = results.map { case (name, events, runs) =>
+      val sorted = runs.sorted
+      s""""$name":{"events":$events,"runs_sec":[${runs.map(r => f"$r%.3f").mkString(",")}],""" +
+        s""""events_per_sec":${eps(events, sorted(1))},"events_per_sec_max":${eps(events, sorted.head)}}"""
+    }.mkString("{", ",", "}")
+    // headline = the flagship stateful shape (s2s enrichment), median
+    val headline = {
+      val (_, events, runs) = results.find(_._1 == "stateful_s2s").get
+      eps(events, runs.sorted.apply(1))
+    }
+    val json =
+      s"""{"metric":"events_per_sec","value":$headline,"unit":"events/sec","scenarios":$scenarioJson,"n":$n,"keys":$keys,"cpus":$cpus}"""
+    println(json)
+    val out = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench_last.json"))
+    Option(out.getParent).foreach(Files.createDirectories(_))
+    Files.write(out, (json + "\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -35,11 +35,26 @@ object CountMin {
       conv(md5(concat(row.cast("string"), lit("#"), item)).substr(1, 7), 16, 10).cast("long"),
       lit(w.toLong))
 
+  /** Column-metadata keys stamping a counter table with the (d, w) it
+    * was built under — the sketch's identity, carried BY the table
+    * (metadata survives select/alias and a parquet round-trip, so it
+    * travels with shard sketches in the sketches-move workflow).
+    */
+  private val DKey = "graft.cms.d"
+  private val WKey = "graft.cms.w"
+
+  private def stampMeta(d: Int, w: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(DKey, d.toLong)
+      .putLong(WKey, w.toLong)
+      .build()
+
   /** The (row, bucket) -> count table, ≤ d·w rows. Occurrences are
     * pre-aggregated per DISTINCT item first, so the d md5 bucket
     * computations run once per vocabulary entry, not once per stream
     * element — identical counter values (summing pre-counts ≡
-    * counting rows), 4·V hash work instead of 4·N.
+    * counting rows), 4·V hash work instead of 4·N. The `c` column
+    * carries (d, w) in its metadata for [[merge]]'s identity check.
     */
   def counters(items: DataFrame, itemCol: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2 (got d=$d, w=$w)")
@@ -54,7 +69,7 @@ object CountMin {
             sequence(lit(0), lit(d - 1)),
             i => struct(i.cast("int").as("r"), bucket(col("item"), i, w).as("b")))).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(sum(col("_n")).as("c"))
+      .agg(sum(col("_n")).as("c", stampMeta(d, w)))
   }
 
   /** Merge shard sketches by per-cell counter addition — THE
@@ -64,12 +79,21 @@ object CountMin {
     * linear in the input). Sketches built with DIFFERENT (d, w) would
     * union into a structurally valid but meaningless table whose
     * estimates silently break the never-undercount invariant — so
-    * merge takes the intended (d, w) and fails loudly, at plan time
-    * on a wrong schema and at run time on any counter cell outside
-    * [0,d)×[0,w) (a sketch-sized scan; the md5 bucket derivation is
-    * fixed by this object, so (d, w) IS the sketch identity).
-    * Mergeability + the mismatch rejection are spec-pinned
-    * (CountMinSpec "shard sketches merge").
+    * merge takes the intended (d, w) and fails loudly:
+    *   - at plan time on a wrong schema;
+    *   - at plan time on a shard whose `c`-column metadata (stamped by
+    *     [[counters]], parquet-durable) declares a different (d, w) —
+    *     this catches SMALLER-parameter shards too, whose coordinates
+    *     are all in range;
+    *   - at run time on any counter cell outside [0,d)×[0,w) — the
+    *     fallback for unstamped tables (hand-built, or stripped by a
+    *     metadata-dropping transform), which catches larger-parameter
+    *     shards (a smaller-parameter UNSTAMPED shard is undetectable:
+    *     its schema, metadata and coordinate range are all consistent
+    *     with the declared identity).
+    * The md5 bucket derivation is fixed by this object, so (d, w) IS
+    * the sketch identity. Mergeability + both mismatch rejections are
+    * spec-pinned (CountMinSpec "shard sketches merge").
     */
   def merge(sketches: Seq[DataFrame], d: Int, w: Int): DataFrame = {
     require(sketches.nonEmpty, "merge needs at least one sketch")
@@ -78,6 +102,14 @@ object CountMin {
       require(
         s.columns.sorted.sameElements(Array("b", "c", "r")),
         s"sketch $i is not a (r, b, c) counter table: ${s.columns.mkString("(", ", ", ")")}")
+      val md = s.schema("c").metadata
+      if (md.contains(DKey) && md.contains(WKey)) {
+        val (sd, sw) = (md.getLong(DKey), md.getLong(WKey))
+        require(
+          sd == d.toLong && sw == w.toLong,
+          s"sketch $i was built with different (d, w): (d=$sd, w=$sw) vs the declared " +
+            s"(d=$d, w=$w) — foreign-parameter sketches never union")
+      }
     }
     sketches
       .map(_.select(
@@ -86,7 +118,9 @@ object CountMin {
         col("c")))
       .reduce(_ unionByName _)
       .groupBy(col("r"), col("b"))
-      .agg(sum(col("c")).as("c"))
+      // the merged sketch is itself a (d, w) sketch — re-stamp so
+      // tree-merges (shard → site → global) keep the identity check
+      .agg(sum(col("c")).as("c", stampMeta(d, w)))
   }
 
   /** Pass-through that raises if a counter coordinate falls outside

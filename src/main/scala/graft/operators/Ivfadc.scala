@@ -57,7 +57,22 @@ object Ivfadc {
     * bits, so a loaded index is bit-identical to the fitted one
     * (spec-pinned).
     */
-  def save(index: Index, dir: String): Unit = {
+  def save(index: Index, dir: String): Unit = save(index, dir, None)
+
+  /** As [[save]], additionally writing the index's FIT-TIME staleness
+    * baseline under `$dir/staleness` when the fit vectors are passed:
+    * [[stalenessReport]] over the corpus the model was trained on,
+    * staged next to the index so every future ingest batch has the
+    * reference to drift-check against ([[driftCheck]]) without the
+    * caller having to remember to snapshot it. Pass the SAME
+    * (idCol, embCol) frame the index was [[fit]] on.
+    */
+  def save(
+      index: Index,
+      dir: String,
+      fitVectors: Option[DataFrame],
+      idCol: String = "id",
+      embCol: String = "e"): Unit = {
     index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     withCell(index).write.mode("overwrite").partitionBy("cell").parquet(s"$dir/enc")
     val spark = index.enc.sparkSession
@@ -65,6 +80,61 @@ object Ivfadc {
     val model = ModelJson(index.dims, index.coarse, index.codebooks)
     // one-row dataset → one small JSON file next to the staged tables
     Seq(model).toDS().coalesce(1).write.mode("overwrite").json(s"$dir/model")
+    fitVectors.foreach { v =>
+      stalenessReport(index, v, idCol, embCol)
+        .write.mode("overwrite").parquet(s"$dir/staleness")
+    }
+  }
+
+  /** Batch-vs-baseline drift gauge — the executable maintenance loop:
+    * run each ingest batch's [[stalenessReport]] against the fit-time
+    * baseline [[save]]d under `$dir/staleness` and flag cells whose
+    * mean reconstruction error grew past `ratioThreshold`×. One row
+    * per cell either side touched, plus the rollup row (cell = null =
+    * whole batch vs whole fit corpus). `drifted` is the decision bit:
+    *   - batch error ratio > threshold → true (distribution drift or
+    *     a stale cell — refit, the pinned policy);
+    *   - the batch routes vectors into a cell the fit corpus never
+    *     exercised → true (the model has no evidence there);
+    *   - a baseline cell the batch never touched → false (nothing
+    *     new to judge).
+    * Sketch-sized: both sides are ≤ cells+1 rows; the only data-sized
+    * work is the batch encode inside stalenessReport.
+    */
+  def driftCheck(
+      index: Index,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      ratioThreshold: Double = 2.0): DataFrame = {
+    val spark = index.enc.sparkSession
+    val baseline = spark.read
+      .parquet(s"$dir/staleness")
+      .select(
+        col("cell").as("_bcell"),
+        col("n_vectors").as("baseline_n"),
+        col("mean_sq_err").as("baseline_mean_sq_err"))
+    val rep = stalenessReport(index, batch, idCol, embCol)
+      .select(
+        col("cell").as("_rcell"),
+        col("n_vectors").as("batch_n"),
+        col("mean_sq_err").as("batch_mean_sq_err"))
+    baseline
+      // null-safe on cell: the rollup rows (cell null) pair up too
+      .join(rep, baseline("_bcell") <=> rep("_rcell"), "full_outer")
+      .select(
+        coalesce(col("_bcell"), col("_rcell")).as("cell"),
+        col("baseline_n"),
+        col("baseline_mean_sq_err"),
+        col("batch_n"),
+        col("batch_mean_sq_err"),
+        (col("batch_mean_sq_err") / col("baseline_mean_sq_err")).as("err_ratio"))
+      .withColumn(
+        "drifted",
+        when(col("batch_n").isNull, lit(false))
+          .when(col("baseline_mean_sq_err").isNull, lit(true))
+          .otherwise(col("err_ratio") > ratioThreshold))
   }
 
   /** Load a [[save]]d index. The staged halves come back as plain
@@ -294,7 +364,10 @@ object Ivfadc {
       (cent, c) <- index.codebooks(s).zipWithIndex
     } yield (qid, cell, s, c, sqd(qres.slice(s * sub, (s + 1) * sub), cent))
     val tdf = broadcast(tdist.toDF("qid", "cell", "sub", "code", "_d"))
-    score(index, tdf, m, k, excludeSelf)
+    // the probed cells are known on the driver here — hand them to
+    // score as a STATIC partition filter (guaranteed pruning on a
+    // loaded cell-partitioned enc, no reliance on dynamic pruning)
+    score(index, tdf, m, k, excludeSelf, probeCells = Some(tdist.map(_._2).distinct))
   }
 
   /** Probed ADC search with tables built IN SPARK — the many-query
@@ -347,7 +420,18 @@ object Ivfadc {
         col("sub"),
         col("code"),
         sqErr(slice(col("_qres"), col("sub") * sub + 1, lit(sub)), col("_cent")).as("_d"))
-    score(index, tdf, m, k, excludeSelf)
+    // For a LOADED (cell-partitioned) enc, collect the batch's distinct
+    // probed cells — bounded by the model's cell count, the same size
+    // class as the coarse-centroid literals — so the enc scan prunes
+    // statically; the price is one extra map pass over the query batch
+    // (assignProbes re-runs for the distinct-cells job), tiny next to
+    // scanning unprobed corpus partitions. A fit-built in-memory index
+    // has no partitioned layout to prune, so it skips the extra job.
+    val probeCells: Option[Seq[Int]] =
+      if (index.enc.columns.contains("cell"))
+        Some(probed.select(col("cell").cast("int")).distinct().as[Int].collect().toSeq)
+      else None
+    score(index, tdf, m, k, excludeSelf, probeCells)
   }
 
   /** Shared probed-ADC scoring: candidates are the encoded vectors of
@@ -357,8 +441,21 @@ object Ivfadc {
     * the window (WindowGroupLimit keeps the top-k map-side).
     */
   private def score(
-      index: Index, tdf: DataFrame, m: Int, k: Int, excludeSelf: Boolean): DataFrame = {
-    val encWithCell = withCell(index)
+      index: Index,
+      tdf: DataFrame,
+      m: Int,
+      k: Int,
+      excludeSelf: Boolean,
+      probeCells: Option[Seq[Int]] = None): DataFrame = {
+    // Semantically the (cell, sub, code) join already restricts
+    // candidates to the probed cells; the explicit isin filter exists
+    // so a cell-partitioned (loaded) enc scan partition-prunes at
+    // LISTING time — files of unprobed cells are never read
+    // (IvfadcSpec pins files-read < total cell dirs).
+    val encWithCell = probeCells match {
+      case Some(cs) => withCell(index).filter(col("cell").isin(cs.map(Int.box): _*))
+      case None     => withCell(index)
+    }
     val terms = (0 until m).map(x => max(when(col("sub") === x, col("_d"))).as(s"_d$x"))
     val summed = encWithCell
       .join(tdf, Seq("cell", "sub", "code"))

@@ -88,4 +88,42 @@ class CountMinSpec extends SparkSpec {
       CountMin.merge(Seq(good, notASketch), d = 4, w = 64)
     }.getMessage should include("counter table")
   }
+
+  test("merge rejects a SMALLER-(d, w) shard at plan time via the metadata stamp") {
+    val good = CountMin.counters(stream, col("w"), d = 4, w = 64)
+    // every coordinate of a (2, 32) sketch is in range for (4, 64) —
+    // the run-time range check alone would pass it silently
+    val small = CountMin.counters(stream, col("w"), d = 2, w = 32)
+    val e = intercept[IllegalArgumentException] {
+      CountMin.merge(Seq(good, small), d = 4, w = 64)
+    }
+    e.getMessage should include("different (d, w)")
+    e.getMessage should include("d=2, w=32")
+  }
+
+  test("the (d, w) stamp survives a parquet round-trip (sketches-move workflow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    CountMin.counters(stream, col("w"), d = 4, w = 64).write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    // wrong declared identity → plan-time rejection straight off disk
+    intercept[IllegalArgumentException] {
+      CountMin.merge(Seq(loaded), d = 8, w = 64)
+    }.getMessage should include("different (d, w)")
+    // right identity → merges, and re-merging the MERGED sketch works
+    // too (merge re-stamps its output)
+    val m = CountMin.merge(Seq(loaded), d = 4, w = 64)
+    CountMin.merge(Seq(m, loaded), d = 4, w = 64).count() should be > 0L
+    // an UNSTAMPED table falls back to the run-time range check:
+    // smaller params pass (documented blind spot), larger fail
+    val stripped = loaded.select(col("r"), col("b"), (col("c") + lit(0L)).as("c"))
+    stripped.schema("c").metadata.contains("graft.cms.d") shouldBe false
+    val big = CountMin.counters(stream, col("w"), d = 8, w = 1024)
+      .select(col("r"), col("b"), (col("c") + lit(0L)).as("c"))
+    val e = intercept[Exception] {
+      CountMin.merge(Seq(stripped, big), d = 4, w = 64).count()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      .toLowerCase should include("different (d, w)")
+  }
 }

@@ -191,6 +191,78 @@ class IvfadcSpec extends SparkSpec {
     res.orderBy("qid", "rank").as[(Long, Int, Long, Int, Double)].collect() shouldBe a
   }
 
+  /** Every FileSourceScan in the final (post-AQE) physical tree. */
+  private def fileScans(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => fileScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec             => Seq(s)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  test("loaded-index probed search reads ONLY the probed cells' enc files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_prune").toString
+    Ivfadc.save(index, dir)
+    val loaded = Ivfadc.load(spark, dir)
+    val cellDirs = new java.io.File(s"$dir/enc").listFiles.filter(_.getName.startsWith("cell="))
+    cellDirs.length shouldBe 8 // the fixture populates every coarse cell
+    def parquetFiles(d: java.io.File): Int =
+      d.listFiles.count(f => f.getName.endsWith(".parquet"))
+    val totalEncFiles = cellDirs.map(parquetFiles).sum
+    val maxFilesPerCell = cellDirs.map(parquetFiles).max
+
+    def assertPruned(out: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      out.collect()
+      val encScans = fileScans(out.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfadc_prune")))
+        .filter(_.schema.fieldNames.contains("code")) // the enc scan, not cells
+      withClue(s"$label: ") {
+        encScans should not be empty
+        // the probe filter reaches the scan as a PARTITION filter …
+        encScans.foreach(s => s.partitionFilters should not be empty)
+        // … and listing-time pruning means a 1-query nprobe=2 search
+        // reads at most 2 cells' files, never the whole corpus layout
+        val filesRead = encScans.map(_.metrics("numFiles").value).sum
+        filesRead should be <= (2L * maxFilesPerCell)
+        filesRead should be < totalEncFiles.toLong
+      }
+    }
+    val q = Seq(qseq.head)
+    assertPruned(Ivfadc.search(loaded, q, nprobe = 2, k = 3), "driver-Seq search")
+    assertPruned(
+      Ivfadc.searchDf(loaded, q.toDF("qid", "emb"), "qid", "emb", nprobe = 2, k = 3),
+      "searchDf")
+    // pruning is an optimization, not a semantics change: results off
+    // the pruned loaded index equal the in-memory fit index's
+    Ivfadc.search(loaded, q, nprobe = 2, k = 3)
+      .orderBy("qid", "rank").as[(Long, Int, Long, Int, Double)].collect() shouldBe
+      Ivfadc.search(index, q, nprobe = 2, k = 3)
+        .orderBy("qid", "rank").as[(Long, Int, Long, Int, Double)].collect()
+  }
+
+  test("save ships the fit-time staleness baseline; driftCheck flags a drifted batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_stale").toString
+    Ivfadc.save(index, dir, Some(rows.toDF("id", "emb")), "id", "emb")
+    // the baseline is staged WITH the index — no caller bookkeeping
+    val baseline = spark.read.parquet(s"$dir/staleness")
+    baseline.filter(col("cell").isNull).head().getAs[Long]("n_vectors") shouldBe 480L
+    val loaded = Ivfadc.load(spark, dir)
+
+    // a batch from the fit distribution (a corpus sample): not drifted
+    val fresh = rows.filter(_._1 % 3 == 0).toDF("id", "emb")
+    val ok = Ivfadc.driftCheck(loaded, dir, fresh, "id", "emb")
+    ok.filter(col("cell").isNull).head().getAs[Boolean]("drifted") shouldBe false
+    ok.filter(col("cell").isNotNull && col("drifted")).count() shouldBe 0L
+
+    // a constant shift the frozen model never saw: rollup row flags,
+    // and the flag decomposes to per-cell evidence
+    val shifted = rows.map { case (id, e) => (id, e.map(_ + 3.0)) }.toDF("id", "emb")
+    val bad = Ivfadc.driftCheck(loaded, dir, shifted, "id", "emb")
+    bad.filter(col("cell").isNull).head().getAs[Boolean]("drifted") shouldBe true
+    bad.filter(col("cell").isNotNull && col("drifted")).count() should be > 0L
+  }
+
   test("append ingests a new batch frozen-model: byte-identical to fit-encode, searches see both") {
     // fit on the first 7 coarse clusters only; cluster 7 is the "new
     // crawl batch" ingested by append against the frozen model
