@@ -109,17 +109,30 @@ object Ivfadc {
       embCol: String,
       ratioThreshold: Double = 2.0): DataFrame = {
     val spark = index.enc.sparkSession
-    val baseline = spark.read
-      .parquet(s"$dir/staleness")
-      .select(
-        col("cell").as("_bcell"),
-        col("n_vectors").as("baseline_n"),
-        col("mean_sq_err").as("baseline_mean_sq_err"))
-    val rep = stalenessReport(index, batch, idCol, embCol)
-      .select(
-        col("cell").as("_rcell"),
-        col("n_vectors").as("batch_n"),
-        col("mean_sq_err").as("batch_mean_sq_err"))
+    driftJoin(
+      spark.read.parquet(s"$dir/staleness"),
+      stalenessReport(index, batch, idCol, embCol),
+      ratioThreshold)
+  }
+
+  /** The compare/flag half of [[driftCheck]], on two report frames
+    * directly — (cell, n_vectors, mean_sq_err) each, rollup row
+    * included. Public so callers holding both reports (q127's
+    * oracle-gated drift query; a monitoring job diffing two batches)
+    * reuse the exact decision logic the staged-baseline path runs.
+    */
+  def driftJoin(
+      baselineReport: DataFrame,
+      batchReport: DataFrame,
+      ratioThreshold: Double): DataFrame = {
+    val baseline = baselineReport.select(
+      col("cell").as("_bcell"),
+      col("n_vectors").as("baseline_n"),
+      col("mean_sq_err").as("baseline_mean_sq_err"))
+    val rep = batchReport.select(
+      col("cell").as("_rcell"),
+      col("n_vectors").as("batch_n"),
+      col("mean_sq_err").as("batch_mean_sq_err"))
     baseline
       // null-safe on cell: the rollup rows (cell null) pair up too
       .join(rep, baseline("_bcell") <=> rep("_rcell"), "full_outer")

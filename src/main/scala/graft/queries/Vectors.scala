@@ -1273,7 +1273,119 @@ object Vectors {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- q127: index staleness drift check — the maintenance loop, oracle-gated ----
+  // The operational question every frozen-model ANN deployment must
+  // answer ("has the corpus drifted past what the quantizer was fit
+  // on?") as a hash-gated query: fit the q102 index, compute the
+  // fit-corpus error baseline and the error report of a deterministic
+  // drifted batch (every vector shifted +0.25 per dim — re-assigned
+  // and re-encoded under the FROZEN model, exactly the append path),
+  // and run the product's drift decision (Ivfadc.driftJoin, the same
+  // code driftCheck runs off a staged baseline) — per-cell mean error
+  // ratios plus the drifted flag, rollup row included. Determinism:
+  // per-(vector, sub) errors are the fixed-order sqErr folds q100/q102
+  // hash-prove; the per-vector total pivots into fixed slots
+  // (q102's d0..d3 idiom); per-cell means fold the per-vector errors
+  // in id order (sorted-fold, the q90 cross-row idiom) and divide by
+  // the count — so every double matches the DuckDB replay bit-for-bit.
+  // (The serving-path stalenessReport aggregates the same per-vector
+  // errors with scalable unordered sums — same numbers up to float
+  // association; THIS query is the oracle-parity form of the loop.)
+  def q127IndexDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val idx = graft.operators.Ivfadc.fit(
+      e, idCol = "vec_id", embCol = "e",
+      coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
+    // per-cell (+rollup) mean reconstruction error of a batch under
+    // the frozen model, in oracle-parity arithmetic
+    def report(batch: DataFrame): DataFrame = {
+      val res = graft.operators.Ivfadc.residuals(idx, batch, "vec_id", "e")
+      val errTerms = (0 until 4).map(x => max(when(col("sub") === x, col("sq_err"))).as(s"_e$x"))
+      val perVec = graft.operators.ProductQuant
+        .encode(res.select(col("id"), col("e")), idCol = "id", embCol = "e",
+          codebooks = idx.codebooks)
+        .groupBy(col("id"))
+        .agg(errTerms.head, errTerms.tail: _*)
+        .select(
+          col("id"),
+          ((((lit(0.0) + col("_e0")) + col("_e1")) + col("_e2")) + col("_e3")).as("_err"))
+        .join(res.select(col("id"), col("cell")), "id")
+      val foldSum = aggregate(
+        transform(
+          sort_array(collect_list(struct(col("id"), col("_err")))),
+          r => r.getField("_err")),
+        lit(0.0),
+        (a, b) => a + b)
+      perVec
+        .rollup(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), (foldSum / count(lit(1))).as("mean_sq_err"))
+    }
+    val shifted = e.select(col("vec_id"), transform(col("e"), x => x + lit(0.25)).as("e"))
+    graft.operators.Ivfadc
+      .driftJoin(report(e), report(shifted), ratioThreshold = 2.0)
+      .orderBy(asc_nulls_first("cell"))
+  }
+
+  val q127Sql: String = {
+    val resChains = (0 until 4)
+      .map(x => pqChainSql(x, subDims = 16, k = 4, iters = 2, src = "res", prefix = "r"))
+      .mkString(",\n")
+    val sliceDist =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(emb[(sub*16+1):(sub*16+16)], cent), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    // per-vector err: min ADC distance per subspace (== the chosen
+    // code's sq_err), pivoted and summed in fixed subspace order; per
+    // cell: id-ordered fold / count, with a ROLLUP total row
+    def errReport(srcRes: String, out: String): String =
+      s"""${out}d AS (SELECT $srcRes.vec_id, $srcRes.cell, sub, $sliceDist AS d
+         |  FROM $srcRes CROSS JOIN rcb),
+         |${out}min AS (SELECT vec_id, cell, sub, MIN(d) AS dmin
+         |  FROM ${out}d GROUP BY vec_id, cell, sub),
+         |${out}err AS (SELECT vec_id, cell,
+         |    ((((0.0 + MAX(CASE WHEN sub = 0 THEN dmin END))
+         |      + MAX(CASE WHEN sub = 1 THEN dmin END))
+         |      + MAX(CASE WHEN sub = 2 THEN dmin END))
+         |      + MAX(CASE WHEN sub = 3 THEN dmin END)) AS err
+         |  FROM ${out}min GROUP BY vec_id, cell),
+         |${out}rep AS (SELECT cell, COUNT(*) AS n_vectors,
+         |    list_reduce(list_prepend(0.0, LIST(err ORDER BY vec_id)), (a, b) -> a + b)
+         |      / COUNT(*) AS mean_sq_err
+         |  FROM ${out}err GROUP BY ROLLUP(cell))""".stripMargin
+    s"""$lloydCellsSql,
+       |res AS (SELECT c.vec_id, list_transform(list_zip(c.emb, f.cent), p -> p[1] - p[2]) AS emb, c.cell
+       |        FROM cells c JOIN clF f ON c.cell = f.cell),
+       |$resChains,
+       |rcb AS (SELECT 0 AS sub, cell AS code, cent FROM r0clF
+       |        UNION ALL SELECT 1, cell, cent FROM r1clF
+       |        UNION ALL SELECT 2, cell, cent FROM r2clF
+       |        UNION ALL SELECT 3, cell, cent FROM r3clF),
+       |${errReport("res", "c")},
+       |sh AS (SELECT vec_id, list_transform(emb, x -> x + 0.25) AS emb FROM e),
+       |shcells AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $sqDistSql, c.cell) AS rn
+       |    FROM sh e CROSS JOIN clF c)
+       |  WHERE rn = 1),
+       |shres AS (SELECT s.vec_id, list_transform(list_zip(s.emb, f.cent), p -> p[1] - p[2]) AS emb, s.cell
+       |          FROM shcells s JOIN clF f ON s.cell = f.cell),
+       |${errReport("shres", "s")}
+       |SELECT COALESCE(b.cell, r.cell) AS cell,
+       |  b.n_vectors AS baseline_n, b.mean_sq_err AS baseline_mean_sq_err,
+       |  r.n_vectors AS batch_n, r.mean_sq_err AS batch_mean_sq_err,
+       |  r.mean_sq_err / b.mean_sq_err AS err_ratio,
+       |  CASE WHEN r.n_vectors IS NULL THEN FALSE
+       |       WHEN b.mean_sq_err IS NULL THEN TRUE
+       |       ELSE r.mean_sq_err / b.mean_sq_err > 2.0 END AS drifted
+       |FROM crep b FULL OUTER JOIN srep r ON b.cell IS NOT DISTINCT FROM r.cell
+       |ORDER BY cell NULLS FIRST""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_index_drift" -> (q127IndexDrift _),
     "q116_random_projection" -> (q116RandomProjection _),
     "q117_hybrid_rrf" -> (q117HybridRrf _),
     "q120_hybrid_scale" -> (q120HybridScale _),
@@ -1295,6 +1407,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_index_drift" -> q127Sql,
     "q116_random_projection" -> q116Sql,
     "q117_hybrid_rrf" -> q117Sql,
     "q120_hybrid_scale" -> q120Sql,
