@@ -273,17 +273,24 @@ object Ivfadc {
     */
   def stalenessReport(index: Index, batch: DataFrame, idCol: String, embCol: String): DataFrame = {
     val res = residuals(index, batch, idCol, embCol)
+    // Exact-decimal error accumulation (the functions.Num rationale):
+    // unordered double sums vary in their last bits with partitioning,
+    // so a drift threshold sitting near the boundary could flip
+    // between reruns of the SAME batch under AQE re-planning. Decimal
+    // sums are order-independent — the report is a stable gauge
+    // (rounding at 1e-12, far below any drift signal).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     ProductQuant
       .encode(res.select(col("id"), col("e")), idCol = "id", embCol = "e",
         codebooks = index.codebooks)
       .groupBy(col("id"))
-      .agg(sum(col("sq_err")).as("_err"))
+      .agg(sum(col("sq_err").cast(dec)).as("_err"))
       .join(res.select(col("id"), col("cell")), "id")
       .rollup(col("cell"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        avg(col("_err")).as("mean_sq_err"),
-        max(col("_err")).as("max_sq_err"))
+        (sum(col("_err")).cast("double") / count(lit(1))).as("mean_sq_err"),
+        max(col("_err")).cast("double").as("max_sq_err"))
   }
 
   /** The frozen-model encode prelude shared by [[append]] and
