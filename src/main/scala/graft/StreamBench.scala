@@ -52,7 +52,7 @@ object StreamBench {
     * test tree). Identity fields vary per event: `keys` distinct
     * principals round-robin, unique eventIDs.
     */
-  private val createUserTemplate: String =
+  private[graft] val createUserTemplate: String =
     """{"eventVersion": "1.05", "userIdentity": {"type": "AssumedRole", """ +
       """"principalId": "AIDAQRSTUVWXYZEXAMPLE:Bob-EC2-dev", """ +
       """"arn": "arn:aws:sts::777788889999:assumed-role/AssumeNothing/devdsk", """ +
@@ -65,7 +65,7 @@ object StreamBench {
       """"requestParameters": {"userName": "god_user"}, "requestID": "EXAMPLE463D56D4C", """ +
       """"eventID": "dEXAMPLE-265a-41e0-9352-4401bEXAMPLE", "eventType": "AwsApiCall", "recipientAccountId": "777788889999"}"""
 
-  private val assumeRoleTemplate: String =
+  private[graft] val assumeRoleTemplate: String =
     """{"eventVersion": "1.05", "userIdentity": {"type": "IAMUser", "principalId": "AIDAQRSTUVWXYZEXAMPLE", """ +
       """"arn": "arn:aws:iam::777788889999:user/Bob", "accountId": "777788889999", """ +
       """"accessKeyId": "AKIAQRSTUVWXYZEXAMPLE", "userName": "Bob"}, """ +
@@ -84,7 +84,13 @@ object StreamBench {
       val k = i % keys
       createUserTemplate
         .replace("dEXAMPLE-265a-41e0-9352-4401bEXAMPLE", f"evt-$i%08d")
+        // the s2s probe key (principalId suffix) …
         .replace("Bob-EC2-dev", s"user-$k")
+        // … AND the agg key: Principal.aggVariant keys AssumedRole on
+        // sessionIssuer.userName, so without this the keyed-count
+        // scenario degenerates to ONE hot key (StreamBenchSpec pins
+        // both derivations against the templates)
+        .replace("AssumeNothing", s"role-$k")
     }
 
   private def assumeRoleEvents(keys: Int): IndexedSeq[String] =
