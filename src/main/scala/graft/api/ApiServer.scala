@@ -153,11 +153,31 @@ final class ApiServer(
                   // vanishing (Metrics.listen).
                   qs.foreach(q => owners.put(q.runId, id))
                   startedLock.synchronized {
-                    if (stopping) qs.foreach { q =>
-                      try q.stop()
-                      catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
-                    }
-                    else qs.foreach(started.add)
+                    if (stopping) {
+                      qs.foreach { q =>
+                        try q.stop()
+                        catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
+                      }
+                      // stop() may already have drained spools/pinScopes
+                      // before this compile finished registering — mirror
+                      // the failed-start cleanup here or this pipeline's
+                      // bridges re-dial and its pins hold executor blocks
+                      // for the JVM lifetime (round-11 ADVICE #3)
+                      compiled.spools.values.foreach { h =>
+                        try h.close()
+                        catch {
+                          case e2: Exception =>
+                            System.err.println(s"[api] closing spool after stop race: ${e2.getMessage}")
+                        } finally spools.remove(h)
+                      }
+                      compiled.pins.foreach { s =>
+                        try { s.release(blocking = false); () }
+                        catch {
+                          case e2: Exception =>
+                            System.err.println(s"[api] releasing pins after stop race: ${e2.getMessage}")
+                        } finally pinScopes.remove(s)
+                      }
+                    } else qs.foreach(started.add)
                   }
                 } catch {
                   case e: Exception =>

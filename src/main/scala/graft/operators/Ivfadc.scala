@@ -66,6 +66,13 @@ object Ivfadc {
     * reference to drift-check against ([[driftCheck]]) without the
     * caller having to remember to snapshot it. Pass the SAME
     * (idCol, embCol) frame the index was [[fit]] on.
+    *
+    * The baseline is stamped with [[modelId]] and, when `fitVectors`
+    * is None, any EXISTING `$dir/staleness` is deleted — so re-saving
+    * a refit index over an old dir can never leave a previous
+    * quantizer's baseline in place for [[driftCheck]] to silently
+    * gauge against (it either finds no baseline, or a stamped one it
+    * verifies).
     */
   def save(
       index: Index,
@@ -80,10 +87,37 @@ object Ivfadc {
     val model = ModelJson(index.dims, index.coarse, index.codebooks)
     // one-row dataset → one small JSON file next to the staged tables
     Seq(model).toDS().coalesce(1).write.mode("overwrite").json(s"$dir/model")
-    fitVectors.foreach { v =>
-      stalenessReport(index, v, idCol, embCol)
-        .write.mode("overwrite").parquet(s"$dir/staleness")
+    fitVectors match {
+      case Some(v) =>
+        stalenessReport(index, v, idCol, embCol)
+          .withColumn("model_id", lit(modelId(index)))
+          .write.mode("overwrite").parquet(s"$dir/staleness")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/staleness")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); () }
     }
+  }
+
+  /** Deterministic identity of the model half — MD5 over dims plus the
+    * IEEE-754 bits of every coarse-centroid and codebook coordinate in
+    * declaration order. Two indexes share a modelId iff they quantize
+    * identically, so a staleness baseline stamped with it is
+    * verifiably the LOADED model's baseline (the re-save-over-old-dir
+    * hazard [[save]] documents).
+    */
+  def modelId(index: Index): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def put(d: Double): Unit = {
+      buf.clear()
+      buf.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(buf.array())
+    }
+    buf.clear(); buf.putLong(index.dims.toLong); md.update(buf.array())
+    index.coarse.foreach(_.foreach(put))
+    index.codebooks.foreach(_.foreach(_.foreach(put)))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Batch-vs-baseline drift gauge — the executable maintenance loop:
@@ -109,8 +143,26 @@ object Ivfadc {
       embCol: String,
       ratioThreshold: Double = 2.0): DataFrame = {
     val spark = index.enc.sparkSession
+    val baseline = spark.read.parquet(s"$dir/staleness")
+    // A stamped baseline must be THIS model's: a refit index re-saved
+    // over an old dir without fitVectors deletes the stale baseline
+    // (save's None arm), but a baseline staged by some other writer /
+    // an older copy restored into the dir would gauge drift against a
+    // different quantizer — fail loudly instead of verdicting wrong.
+    // (Pre-stamp baselines lack the column; their blind spot is
+    // documented on save.)
+    if (baseline.columns.contains("model_id")) {
+      val expected = modelId(index)
+      // sketch-sized read: the baseline is ≤ cells+1 rows
+      val found = baseline.select(col("model_id")).distinct().collect().map(_.getString(0))
+      require(
+        found.forall(_ == expected),
+        s"staleness baseline at $dir/staleness was written by a different model " +
+          s"(baseline model_id ${found.mkString(",")}, loaded index $expected) — " +
+          "refit and re-save with fitVectors to restage it")
+    }
     driftJoin(
-      spark.read.parquet(s"$dir/staleness"),
+      baseline.drop("model_id"),
       stalenessReport(index, batch, idCol, embCol),
       ratioThreshold)
   }

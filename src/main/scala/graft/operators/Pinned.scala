@@ -62,19 +62,30 @@ object Pinned {
       * persistent, removing each from the session registry too.
       * Idempotent — a second release is a no-op.
       */
-    def release(blocking: Boolean = false): Int = {
+    def release(blocking: Boolean = false): Int = releaseExcept(Set.empty, blocking)
+
+    /** As [[release]], but pins whose checkpoint-RDD id is in `keep`
+      * stay collected (in this scope AND the session registry) for a
+      * later release — the per-frame carve-out: a batch runner that
+      * committed its file sinks but handed the caller live Memory-sink
+      * views releases everything EXCEPT the pins those views still
+      * reference ([[Pinned.pinIds]] of the view frames).
+      */
+    def releaseExcept(keep: Set[Int], blocking: Boolean = false): Int = {
       val set = ids(sc)
       val persistent = sc.getPersistentRDDs
       var n = 0
       val it = mine.iterator()
       while (it.hasNext) {
         val id = it.next()
-        set.remove(id)
-        persistent.get(id.intValue()).foreach { rdd =>
-          rdd.unpersist(blocking)
-          n += 1
+        if (!keep.contains(id.intValue())) {
+          set.remove(id)
+          persistent.get(id.intValue()).foreach { rdd =>
+            rdd.unpersist(blocking)
+            n += 1
+          }
+          it.remove()
         }
-        it.remove()
       }
       n
     }
@@ -109,8 +120,16 @@ object Pinned {
     val s = new Scope(spark.sparkContext)
     val prev = activeScope.get()
     activeScope.set(s)
-    try (body, s)
-    finally activeScope.set(prev)
+    try {
+      // A throwing body unwinds before the caller ever receives the
+      // scope — release its pins here (round-11 verdict #3: the GC
+      // fallback is correct but would strand a failed compile's pins
+      // on the lazy lifecycle), then rethrow.
+      val r =
+        try body
+        catch { case t: Throwable => s.release(blocking = false); throw t }
+      (r, s)
+    } finally activeScope.set(prev)
   }
 
   /** Checkpoint RDD ids pinned per context. Weak keys: a stopped,
@@ -207,6 +226,22 @@ object Pinned {
       case _ =>
     }
     n
+  }
+
+  /** The REGISTERED pin ids reachable from this frame's plan —
+    * checkpoint-RDD leaves the frame would re-read if executed again,
+    * subquery plans included. The reachability half of
+    * [[Scope.releaseExcept]]: a runner keeping some frames live (e.g.
+    * Memory-sink temp views) computes the union of their pinIds and
+    * releases everything else.
+    */
+  def pinIds(ds: Dataset[_]): Set[Int] = {
+    val set = ids(ds.sparkSession.sparkContext)
+    ds.queryExecution.analyzed
+      .collectWithSubqueries {
+        case l: LogicalRDD if set.contains(Integer.valueOf(l.rdd.id)) => l.rdd.id
+      }
+      .toSet
   }
 
   /** Pins recorded for this context that still hold storage (blocks

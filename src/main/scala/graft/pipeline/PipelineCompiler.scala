@@ -271,32 +271,46 @@ object PipelineCompiler {
     * fsync), memory sinks become temp views named after the sink.
     */
   def runBatch(c: Compiled): Unit = {
-    c.sinks.foreach { case (name, df) =>
-      c.config.sinks(name) match {
-        // Structured file sink: parquet/csv/json, optionally partitioned
-        // (partition_by = the layout knob that turns downstream reads
-        // into partition-pruned scans at scale). No coalesce(1): the
-        // parallel write IS the point of a columnar sink.
-        case sc @ SinkConfig("File", Some(path), Some(fmt), _) =>
-          val w = df.write.mode("overwrite")
-          val p = if (sc.partitionBy.nonEmpty) w.partitionBy(sc.partitionBy: _*) else w
-          p.format(fmt).save(path)
-        case SinkConfig("File", Some(path), None, _) =>
-          df.coalesce(1).write.mode("overwrite").json(path)
-        case SinkConfig("Memory", _, _, _)       => df.createOrReplaceTempView(name)
-        case SinkConfig("SQS", Some(path), _, _) => QueueSink.post(df, path)
-        case other                               => sys.error(s"sink $name: unsupported $other")
+    try {
+      c.sinks.foreach { case (name, df) =>
+        c.config.sinks(name) match {
+          // Structured file sink: parquet/csv/json, optionally partitioned
+          // (partition_by = the layout knob that turns downstream reads
+          // into partition-pruned scans at scale). No coalesce(1): the
+          // parallel write IS the point of a columnar sink.
+          case sc @ SinkConfig("File", Some(path), Some(fmt), _) =>
+            val w = df.write.mode("overwrite")
+            val p = if (sc.partitionBy.nonEmpty) w.partitionBy(sc.partitionBy: _*) else w
+            p.format(fmt).save(path)
+          case SinkConfig("File", Some(path), None, _) =>
+            df.coalesce(1).write.mode("overwrite").json(path)
+          case SinkConfig("Memory", _, _, _)       => df.createOrReplaceTempView(name)
+          case SinkConfig("SQS", Some(path), _, _) => QueueSink.post(df, path)
+          case other                               => sys.error(s"sink $name: unsupported $other")
+        }
       }
+    } catch {
+      case t: Throwable =>
+        // A failed batch is abandoned, not retried on the same Compiled
+        // (recompile to retry — the pins' lineage is truncated): release
+        // everything rather than strand it on the GC lifecycle. Loud if
+        // violated — a Memory view registered before the failure throws
+        // on re-query, it never silently recomputes.
+        c.pins.foreach(_.release(blocking = false))
+        throw t
     }
-    // Serving hygiene: every non-Memory sink has committed, so this
-    // pipeline's pinned intermediates will never be re-executed —
-    // release them now instead of waiting on RDD GC (the round-9
-    // long-session leak, fixed for harnesses in round 10, fixed here
-    // for the product path). Memory sinks hand the CALLER live temp
-    // views over these frames, so the caller owns the release there
-    // (re-querying a released view would fail loudly, not silently).
-    if (!c.config.sinks.values.exists(_.`type` == "Memory"))
-      c.pins.foreach(_.release(blocking = false))
+    // Serving hygiene: every non-Memory sink has committed, so the only
+    // pinned intermediates that may still be re-executed are the ones
+    // the Memory sinks' live temp views reference — those stay for the
+    // CALLER to release (re-querying a released view would fail loudly,
+    // not silently); every other pin is released now instead of waiting
+    // on RDD GC (the round-9 long-session leak, fixed for harnesses in
+    // round 10, fixed per-frame here for the product path).
+    val keep = c.sinks.iterator
+      .collect { case (name, df) if c.config.sinks(name).`type` == "Memory" => df }
+      .flatMap(graft.operators.Pinned.pinIds)
+      .toSet
+    c.pins.foreach(_.releaseExcept(keep, blocking = false))
   }
 
   /** Start a streaming-compiled pipeline: one StreamingQuery per sink.

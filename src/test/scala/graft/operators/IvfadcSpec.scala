@@ -263,6 +263,40 @@ class IvfadcSpec extends SparkSpec {
     bad.filter(col("cell").isNotNull && col("drifted")).count() should be > 0L
   }
 
+  test("re-save without fitVectors deletes the old baseline; a foreign stamped baseline fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_refit").toString
+    Ivfadc.save(index, dir, Some(rows.toDF("id", "emb")), "id", "emb")
+
+    // a refit under different parameters is a different quantizer
+    val refit = Ivfadc.fit(
+      clustered, "id", "emb", coarseK = 4, coarseIters = 3, m = 4, pqK = 8, pqIters = 2)
+    Ivfadc.modelId(refit) should not be Ivfadc.modelId(index)
+
+    // re-saving the refit index over the same dir WITHOUT fitVectors
+    // must remove the old model's baseline — driftCheck then finds no
+    // baseline at all rather than silently gauging against the wrong
+    // quantizer (the ADVICE-r11 hazard)
+    Ivfadc.save(refit, dir)
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "staleness")) shouldBe false
+    val loadedRefit = Ivfadc.load(spark, dir)
+    // the model round-trips bit-identically, so so does its identity
+    Ivfadc.modelId(loadedRefit) shouldBe Ivfadc.modelId(refit)
+    an[Exception] should be thrownBy
+      Ivfadc.driftCheck(loadedRefit, dir, clustered, "id", "emb").collect()
+
+    // a stamped baseline restored from a DIFFERENT model's save (old
+    // backup copied into the dir) fails the identity check loudly
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfadc_foreign").toString
+    Ivfadc.save(index, dirA, Some(rows.toDF("id", "emb")), "id", "emb")
+    Ivfadc.save(refit, dir, Some(clustered), "id", "emb")
+    spark.read.parquet(s"$dirA/staleness")
+      .write.mode("overwrite").parquet(s"$dir/staleness")
+    val err = intercept[IllegalArgumentException] {
+      Ivfadc.driftCheck(Ivfadc.load(spark, dir), dir, clustered, "id", "emb")
+    }
+    err.getMessage should include("different model")
+  }
+
   test("append ingests a new batch frozen-model: byte-identical to fit-encode, searches see both") {
     // fit on the first 7 coarse clusters only; cluster 7 is the "new
     // crawl batch" ingested by append against the frozen model

@@ -179,6 +179,107 @@ class PinnedSessionSpec extends SparkSpec {
     }
   }
 
+  test("a throwing collecting body releases its pins before rethrowing") {
+    spark.catalog.clearCache()
+    Pinned.release(spark, blocking = true)
+    Pinned.pinnedCount(spark) shouldBe 0
+
+    // The failed-compile shape (round-11 verdict #3): pins built inside
+    // the scope, then the body throws before the caller could ever
+    // receive the Scope — nothing may be stranded on the GC lifecycle.
+    val boom = intercept[RuntimeException] {
+      Pinned.collecting(spark) {
+        val d = Pinned.pin(corpus.select(col("doc_id"), expr("length(text)").as("len")))
+        d.collect() // materialize the checkpoint blocks
+        sys.error("compile failed after pinning")
+      }
+    }
+    boom.getMessage should include("compile failed after pinning")
+    Pinned.pinnedCount(spark) shouldBe 0
+    Pinned.pinnedBytes(spark) shouldBe 0L
+  }
+
+  test("mixed Memory+File pipeline: runBatch keeps only the Memory-reachable pins") {
+    import graft.pipeline.PipelineCompiler
+    spark.catalog.clearCache()
+    Pinned.release(spark, blocking = true)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin_mixed").toString
+    val pangram = "the quick brown fox jumps over the lazy dog while pack my box " +
+      "with five dozen liquor jugs and bright vixens jump quickly"
+    corpus
+      .unionByName(Seq((10L, pangram), (11L, s"apple $pangram")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    // two independent nearDup applications: each pins its own CC
+    // frames; only the Memory sink's remain live after runBatch
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {
+         |    "dedupLive": {"source": "docs", "plugin": "nearDup", "sink": "live"},
+         |    "dedupFile": {"source": "docs", "plugin": "nearDup", "sink": "out"}
+         |  },
+         |  "states": {},
+         |  "sources": {"docs": {"type": "File", "path": "$dir/in", "format": "parquet"}},
+         |  "sinks": {
+         |    "live": {"type": "Memory"},
+         |    "out": {"type": "File", "path": "$dir/out", "format": "parquet"}
+         |  }
+         |}""".stripMargin
+
+    val c = PipelineCompiler.compile(spark, config).toOption.get
+    val before = c.pins.map(_.size).getOrElse(0)
+    before should be > 0
+    PipelineCompiler.runBatch(c)
+
+    // per-frame carve-out: the File sink's pins are gone, the Memory
+    // view's survive for the caller
+    val after = c.pins.map(_.size).getOrElse(-1)
+    after should be > 0
+    after should be < before
+    spark.read.parquet(s"$dir/out").count() should be > 0L
+    val live = spark.table("live").orderBy("doc_id").collect()
+    live.length should be > 0
+    // caller-owned release: view dies loudly, nothing leaks
+    c.pins.foreach(_.release(blocking = true))
+    Pinned.pinnedCount(spark) shouldBe 0
+    intercept[Exception](spark.table("live").collect())
+    spark.catalog.dropTempView("live")
+  }
+
+  test("a runBatch whose sink write throws releases the pipeline's pins") {
+    import graft.pipeline.PipelineCompiler
+    spark.catalog.clearCache()
+    Pinned.release(spark, blocking = true)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin_throw").toString
+    val pangram = "the quick brown fox jumps over the lazy dog while pack my box " +
+      "with five dozen liquor jugs and bright vixens jump quickly"
+    corpus
+      .unionByName(Seq((10L, pangram), (11L, s"apple $pangram")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    // the sink path routes THROUGH a regular file — mkdir fails at
+    // write time (works even as root, unlike a read-only dir), after
+    // compile already pinned the CC frames
+    val blocker = java.nio.file.Paths.get(dir, "blocker")
+    java.nio.file.Files.writeString(blocker, "not a directory")
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"dedup": {"source": "docs", "plugin": "nearDup", "sink": "out"}},
+         |  "states": {},
+         |  "sources": {"docs": {"type": "File", "path": "$dir/in", "format": "parquet"}},
+         |  "sinks": {"out": {"type": "File", "path": "$blocker/sub/out", "format": "parquet"}}
+         |}""".stripMargin
+    val c = PipelineCompiler.compile(spark, config).toOption.get
+    c.pins.map(_.size).getOrElse(0) should be > 0
+    intercept[Exception](PipelineCompiler.runBatch(c))
+    // the failed batch is abandoned — its pins were released in the
+    // catch, not stranded on GC (round-11 ADVICE #2)
+    c.pins.map(_.size).getOrElse(-1) shouldBe 0
+    Pinned.pinnedCount(spark) shouldBe 0
+  }
+
   test("a released frame fails loudly on re-execution, never recomputes") {
     val p = Pinned.pin(corpus.select(col("doc_id"), expr("length(text)").as("len")))
     p.collect().length shouldBe 6
