@@ -24,6 +24,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB state store by default: streaming state on executor
+      // local disk rather than heap, so a stateful pipeline's key space
+      // is bounded by disk, not executor memory. Pipelines can opt back
+      // to the heap-backed provider via the `stateStore: hdfs` config
+      // knob (PipelineCompiler), and a query restarted from a
+      // checkpoint keeps whatever provider it started under.
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** Local session with `n` executor threads. */

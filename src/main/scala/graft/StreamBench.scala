@@ -26,10 +26,20 @@ import java.nio.file.{Files, Paths}
   *     stateless cousin is not separable, so the stateless row is the
   *     raw-line length rule — decode trial-dispatch + predicate, no
   *     state store.
-  *   - `stateful_agg`: CloudTrail decode → cloudTrailNoMfaAgg keyed
-  *     count (flatMapGroupsWithState + interval flush) → file sink.
-  *   - `stateful_s2s`: AssumeRole/CreateUser mix → cloudTrailS2SJoin
-  *     KV enrichment (the reference's flagship stateful shape).
+  *   - `stateful_agg[_rocksdb]`: CloudTrail decode → cloudTrailNoMfaAgg
+  *     keyed count (flatMapGroupsWithState + interval flush) → file
+  *     sink, under the heap-backed provider (bare name — the
+  *     r11-comparable row) and RocksDB (the product default since
+  *     round 12).
+  *   - `stateful_s2s[_rocksdb]`: AssumeRole/CreateUser mix →
+  *     cloudTrailS2SJoin KV enrichment (the reference's flagship
+  *     stateful shape), both providers; the RocksDB median is the
+  *     artifact headline.
+  *   - `stateful_s2s_restart`: the s2s shape stopped at half-spool and
+  *     restarted from its checkpoint to completion (RocksDB), vs an
+  *     uninterrupted start→termination run — the recovery-overhead
+  *     ratio, with exactly-once delivery verified on the split run's
+  *     sink output.
   *
   * One JSON line on stdout; full artifact also written to
   * SPARK_GRAFT_STREAMBENCH_OUT (default target/streambench_last.json).
@@ -108,18 +118,53 @@ object StreamBench {
     val keys = math.max(1, n / 10)
     val root = Files.createTempDirectory("graft_streambench").toString
 
-    def config(input: String, rule: (String, String), stateful: Boolean, sink: String): String = {
+    // Cumulative numInputRows per query run, fed by a listener: the
+    // query's own recentProgress is a BOUNDED ring (default 100
+    // entries), so a run needing more micro-batches than that (larger
+    // N, long stateful timer-batch tails) would undercount and spin the
+    // wait loop to its deadline — the listener sees every progress
+    // event exactly once.
+    val ingestedRows = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        ingestedRows.merge(e.progress.runId, e.progress.numInputRows, (a, b) => a + b)
+        ()
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    def ingested(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(ingestedRows.get(q.runId)).map(_.longValue()).getOrElse(0L)
+
+    def config(
+        input: String,
+        rule: (String, String),
+        stateful: Boolean,
+        sink: String,
+        provider: String,
+        maxFiles: Option[Int] = None): String = {
       val stateRef = if (stateful) """, "state": "kv"""" else ""
       val states = if (stateful) """{"kv": {"type": "KV"}}""" else "{}"
+      val throttle = maxFiles.map(m => s""", "max_files_per_trigger": $m""").getOrElse("")
       s"""{
          |  "eventFolder": "builtin",
+         |  "stateStore": "$provider",
          |  "rules": {
          |    "${rule._1}": {"source": "in", "plugin": "${rule._2}"$stateRef, "sink": "out"}
          |  },
          |  "states": $states,
-         |  "sources": {"in": {"type": "File", "path": "$input"}},
+         |  "sources": {"in": {"type": "File", "path": "$input"$throttle}},
          |  "sinks": {"out": {"type": "File", "path": "$sink"}}
          |}""".stripMargin
+    }
+
+    def hygiene(c: pipeline.PipelineCompiler.Compiled): Unit = {
+      spark.catalog.clearCache()
+      c.pins.foreach(_.release(blocking = true))
+      operators.Pinned.release(spark, blocking = true)
     }
 
     /** One timed run: fresh checkpoint + sink, compile → start
@@ -136,13 +181,12 @@ object StreamBench {
         input: String,
         rule: (String, String),
         stateful: Boolean,
-        expected: Long): Double = {
+        expected: Long,
+        provider: String): Double = {
       val runDir = Files.createTempDirectory(s"graft_sb_$name").toString
       val c = pipeline.PipelineCompiler
-        .compile(spark, config(input, rule, stateful, s"$runDir/sink"), streaming = true)
+        .compile(spark, config(input, rule, stateful, s"$runDir/sink", provider), streaming = true)
         .fold(err => sys.error(s"$name: $err"), identity)
-      def ingested(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-        q.recentProgress.map(_.numInputRows).sum
       val t0 = System.nanoTime()
       val qs = pipeline.PipelineCompiler.startStreaming(c, s"$runDir/ckpt", availableNow = true)
       val deadline = t0 + 600L * 1000000000L
@@ -153,18 +197,97 @@ object StreamBench {
       qs.foreach { q =>
         require(ingested(q) >= expected, s"$name: ingested ${ingested(q)} of $expected events")
       }
-      spark.catalog.clearCache()
-      c.pins.foreach(_.release(blocking = true))
-      operators.Pinned.release(spark, blocking = true)
+      hygiene(c)
       dt
     }
 
-    def scenario(name: String, input: String, rule: (String, String), stateful: Boolean, events: Int)
-        : (String, Int, Seq[Double]) = {
-      runOnce(name, input, rule, stateful, events.toLong) // warmup, discarded
-      val runs = (1 to 3).map(_ => runOnce(name, input, rule, stateful, events.toLong))
-      System.err.println(f"STREAMBENCH $name%-18s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+    def scenario(
+        name: String,
+        input: String,
+        rule: (String, String),
+        stateful: Boolean,
+        events: Int,
+        provider: String): (String, Int, Seq[Double]) = {
+      runOnce(name, input, rule, stateful, events.toLong, provider) // warmup, discarded
+      val runs = (1 to 3).map(_ => runOnce(name, input, rule, stateful, events.toLong, provider))
+      System.err.println(f"STREAMBENCH $name%-22s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
       (name, events, runs)
+    }
+
+    /** Restart-under-load: the s2s shape run start→termination once
+      * uninterrupted, then once stopped mid-spool (half the events
+      * ingested) and restarted from the SAME checkpoint to completion.
+      * Both sides run with max_files_per_trigger=2 (32-file spool → 16
+      * micro-batches) so the stop genuinely lands BETWEEN committed
+      * batches with the spool part-read — unthrottled AvailableNow
+      * would plan one mega-batch and the "interruption" would either
+      * replay everything or nothing. The s2s query has no
+      * processing-time timers, so AvailableNow termination IS its
+      * completion boundary — both halves use awaitTermination.
+      * Delivery is verified after the split run: exactly one output
+      * row per probe event, no loss, no duplicates (the exactly-once
+      * restart spec's property, here measured at bench load). Returns
+      * (uninterrupted_sec, interrupted_sec).
+      */
+    def runRestart(input: String, expected: Long, provider: String): (Double, Double) = {
+      val throttle = Some(2)
+      def timedToTermination(runDir: String): Double = {
+        val c = pipeline.PipelineCompiler
+          .compile(
+            spark,
+            config(input, ("s2s", "cloudTrailS2SJoin"), stateful = true, s"$runDir/sink", provider, throttle),
+            streaming = true)
+        .fold(err => sys.error(s"restart: $err"), identity)
+        val t0 = System.nanoTime()
+        val qs = pipeline.PipelineCompiler.startStreaming(c, s"$runDir/ckpt", availableNow = true)
+        qs.foreach(_.awaitTermination(600000))
+        val dt = (System.nanoTime() - t0) / 1e9
+        hygiene(c)
+        dt
+      }
+      // warmup + uninterrupted reference (median-of-1 is enough here —
+      // the scenario rows already carry the steady-state medians)
+      timedToTermination(Files.createTempDirectory("graft_sb_restart_warm").toString)
+      val uSec = timedToTermination(Files.createTempDirectory("graft_sb_restart_u").toString)
+
+      // interrupted: stop at half-spool, restart same checkpoint
+      val runDir = Files.createTempDirectory("graft_sb_restart_i").toString
+      val c1 = pipeline.PipelineCompiler
+        .compile(
+          spark,
+          config(input, ("s2s", "cloudTrailS2SJoin"), stateful = true, s"$runDir/sink", provider, throttle),
+          streaming = true)
+        .fold(err => sys.error(s"restart: $err"), identity)
+      val t0 = System.nanoTime()
+      val q1 = pipeline.PipelineCompiler.startStreaming(c1, s"$runDir/ckpt", availableNow = true)
+      val half = expected / 2
+      val deadline = t0 + 600L * 1000000000L
+      while (q1.exists(q => q.isActive && ingested(q) < half) && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      q1.foreach(q => try q.stop() catch { case _: Exception => () })
+      val p1 = (System.nanoTime() - t0) / 1e9
+      hygiene(c1)
+      val c2 = pipeline.PipelineCompiler
+        .compile(
+          spark,
+          config(input, ("s2s", "cloudTrailS2SJoin"), stateful = true, s"$runDir/sink", provider, throttle),
+          streaming = true)
+        .fold(err => sys.error(s"restart: $err"), identity)
+      val t1 = System.nanoTime()
+      val q2 = pipeline.PipelineCompiler.startStreaming(c2, s"$runDir/ckpt", availableNow = true)
+      q2.foreach(_.awaitTermination(600000))
+      val p2 = (System.nanoTime() - t1) / 1e9
+      hygiene(c2)
+      // exactly-once at load: one row per CreateUser probe, none lost,
+      // none duplicated across the stop/restart boundary
+      val out = spark.read.json(s"$runDir/sink")
+      val total = out.count()
+      val distinct = out.select("EventId").distinct().count()
+      require(total == n.toLong, s"restart: $total output rows, expected $n")
+      require(distinct == n.toLong, s"restart: $distinct distinct EventIds, expected $n")
+      System.err.println(
+        f"STREAMBENCH stateful_s2s_restart     uninterrupted=$uSec%.2f interrupted=${p1 + p2}%.2f (p1=$p1%.2f p2=$p2%.2f)")
+      (uSec, p1 + p2)
     }
 
     // Inputs are written ONCE per scenario and reused across runs.
@@ -177,11 +300,18 @@ object StreamBench {
     val rawSpool = s"$root/raw"
     writeSpool(rawSpool, (0 until n).map(i => "x" * (i % 5 + 1)), files = 32)
 
+    // Stateful scenarios run under BOTH providers: the bare names stay
+    // heap-backed ("hdfs") — the r11-comparable rows — and the
+    // `_rocksdb` rows measure the product DEFAULT since round 12
+    // (state on executor local disk, key space disk-bounded).
     val results = Seq(
-      scenario("stateless_decode", rawSpool, ("len", "lengthRule"), stateful = false, n),
-      scenario("stateful_agg", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n),
-      scenario("stateful_s2s", s2sSpool, ("s2s", "cloudTrailS2SJoin"), stateful = true, n + keys)
+      scenario("stateless_decode", rawSpool, ("len", "lengthRule"), stateful = false, n, "rocksdb"),
+      scenario("stateful_agg", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "hdfs"),
+      scenario("stateful_agg_rocksdb", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "rocksdb"),
+      scenario("stateful_s2s", s2sSpool, ("s2s", "cloudTrailS2SJoin"), stateful = true, n + keys, "hdfs"),
+      scenario("stateful_s2s_rocksdb", s2sSpool, ("s2s", "cloudTrailS2SJoin"), stateful = true, n + keys, "rocksdb")
     )
+    val (restartU, restartI) = runRestart(s2sSpool, (n + keys).toLong, "rocksdb")
 
     def eps(events: Int, sec: Double): Double = math.round(events / sec).toDouble
     val scenarioJson = results.map { case (name, events, runs) =>
@@ -189,13 +319,18 @@ object StreamBench {
       s""""$name":{"events":$events,"runs_sec":[${runs.map(r => f"$r%.3f").mkString(",")}],""" +
         s""""events_per_sec":${eps(events, sorted(1))},"events_per_sec_max":${eps(events, sorted.head)}}"""
     }.mkString("{", ",", "}")
-    // headline = the flagship stateful shape (s2s enrichment), median
+    val restartJson =
+      f""""stateful_s2s_restart":{"events":${n + keys},"uninterrupted_sec":$restartU%.3f,""" +
+        f""""interrupted_sec":$restartI%.3f,"overhead_ratio":${restartI / restartU}%.3f}"""
+    // headline = the flagship stateful shape (s2s enrichment) on the
+    // product-default RocksDB provider, median
     val headline = {
-      val (_, events, runs) = results.find(_._1 == "stateful_s2s").get
+      val (_, events, runs) = results.find(_._1 == "stateful_s2s_rocksdb").get
       eps(events, runs.sorted.apply(1))
     }
     val json =
-      s"""{"metric":"events_per_sec","value":$headline,"unit":"events/sec","scenarios":$scenarioJson,"n":$n,"keys":$keys,"cpus":$cpus}"""
+      s"""{"metric":"events_per_sec","value":$headline,"unit":"events/sec","scenarios":$scenarioJson,""" +
+        s""""restart":{$restartJson},"n":$n,"keys":$keys,"cpus":$cpus}"""
     println(json)
     val out = Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench_last.json"))

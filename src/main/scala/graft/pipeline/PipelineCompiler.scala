@@ -154,14 +154,20 @@ object PipelineCompiler {
         // the structured analogue of a source whose bytes are already
         // events. Text remains the reference's raw-bytes + decode path.
         val structured = sc.format.filter(_ != "text")
+        // max_files_per_trigger → Spark's file-source batch-size cap
+        // (SourceConfig.maxFilesPerTrigger documents why a served spool
+        // pipeline wants this bounded at scale)
+        def spoolStream: org.apache.spark.sql.streaming.DataStreamReader =
+          sc.maxFilesPerTrigger.foldLeft(spark.readStream)((r, m) =>
+            r.option("maxFilesPerTrigger", m.toString))
         def structRead(path: String): DataFrame = structured match {
           case Some("csv") =>
             val r = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
             if (streaming)
-              spark.readStream.schema(r.schema).option("header", "true").csv(path)
+              spoolStream.schema(r.schema).option("header", "true").csv(path)
             else r
           case Some(f) =>
-            if (streaming) spark.readStream.schema(spark.read.format(f).load(path).schema).format(f).load(path)
+            if (streaming) spoolStream.schema(spark.read.format(f).load(path).schema).format(f).load(path)
             else spark.read.format(f).load(path)
           case None => sys.error("not structured")
         }
@@ -173,7 +179,7 @@ object PipelineCompiler {
           case ("File", false) =>
             spark.read.text(sc.path.getOrElse(sys.error(s"source $name: missing path"))).toDF("value")
           case ("File", true) =>
-            spark.readStream.text(sc.path.getOrElse(sys.error(s"source $name: missing path"))).toDF("value")
+            spoolStream.text(sc.path.getOrElse(sys.error(s"source $name: missing path"))).toDF("value")
           case ("Kafka", true) =>
             // config parity with input/kafka.go; requires a live broker.
             // The option mapping itself is pure and contract-tested
@@ -206,13 +212,13 @@ object PipelineCompiler {
               val h = graft.sources.WebSocketSpool.run(url, path)
               spoolHandles += (name -> h)
             }
-            if (s) spark.readStream.text(path).toDF("value")
+            if (s) spoolStream.text(path).toDF("value")
             else spark.read.text(path).toDF("value")
           case ("Kinesis", s) =>
             // config parity with input/kinesis.go; offline deployments
             // replay captured records from a path (SURVEY §7.1)
             val path = sc.path.getOrElse(sys.error(s"source $name: Kinesis needs a replay path here"))
-            if (s) spark.readStream.text(path).toDF("value") else spark.read.text(path).toDF("value")
+            if (s) spoolStream.text(path).toDF("value") else spark.read.text(path).toDF("value")
           case (t, _) => sys.error(s"source $name: unknown source type $t")
         }
         // dispatchFast: single-pass type detection (one Jackson parse
@@ -313,9 +319,44 @@ object PipelineCompiler {
     c.pins.foreach(_.releaseExcept(keep, blocking = false))
   }
 
+  /** The streaming state-store provider classes the `stateStore`
+    * config knob resolves to. RocksDB is the DEFAULT: the heap-backed
+    * HDFS provider bounds a served pipeline's key space by executor
+    * memory, while RocksDB keeps state on executor local disk with
+    * changelog/snapshot files in the checkpoint — the posture a
+    * long-lived 100 TB-scale stateful pipeline needs (and the one the
+    * reference's own disk-backed BoltDB substrate has). "hdfs" remains
+    * available for small-state pipelines and provider comparisons.
+    */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private[graft] val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  private[graft] def providerFor(config: PipelineConfig): String =
+    config.stateStore match {
+      case Some("hdfs") => HdfsProvider
+      case _            => RocksDbProvider
+    }
+
+  // serializes provider-conf set → start → restore across concurrent
+  // startStreaming calls (the ApiServer starts pipelines on parallel
+  // threads; the provider is a SESSION conf read at query start, so an
+  // unsynchronized interleaving could start a pipeline under its
+  // neighbor's provider)
+  private val startLock = new Object
+
   /** Start a streaming-compiled pipeline: one StreamingQuery per sink.
     * `checkpointRoot` gets one key-space per sink — the state
     * exclusivity the reference enforces per rule (pipeline.go:79-84).
+    *
+    * The pipeline's state-store provider ([[providerFor]] — RocksDB
+    * unless the config says "hdfs") is set on the session for the
+    * duration of the starts and restored after: Spark captures it into
+    * each query's offset-log metadata at first start, so the running
+    * query keeps it independent of later session-conf changes, and a
+    * restart from the same checkpoint re-reads it from the metadata.
     *
     * All-or-nothing: if a later sink's `start()` throws, the queries
     * that DID start are stopped before the failure propagates —
@@ -326,16 +367,24 @@ object PipelineCompiler {
     */
   def startStreaming(c: Compiled, checkpointRoot: String, availableNow: Boolean = true): Seq[StreamingQuery] = {
     val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
-    try {
-      c.sinks.toSeq.foreach { case (name, df) => started += startSink(c, name, df, checkpointRoot, availableNow) }
-      started.toSeq
-    } catch {
-      case e: Throwable =>
-        started.foreach { q =>
-          try q.stop()
-          catch { case e2: Exception => e.addSuppressed(e2) }
-        }
-        throw e
+    val spark = c.sinks.head._2.sparkSession
+    startLock.synchronized {
+      val prev = spark.conf.getOption(ProviderConf)
+      spark.conf.set(ProviderConf, providerFor(c.config))
+      try {
+        c.sinks.toSeq.foreach { case (name, df) => started += startSink(c, name, df, checkpointRoot, availableNow) }
+        started.toSeq
+      } catch {
+        case e: Throwable =>
+          started.foreach { q =>
+            try q.stop()
+            catch { case e2: Exception => e.addSuppressed(e2) }
+          }
+          throw e
+      } finally prev match {
+        case Some(p) => spark.conf.set(ProviderConf, p)
+        case None    => spark.conf.unset(ProviderConf)
+      }
     }
   }
 

@@ -40,7 +40,17 @@ final case class SourceConfig(
       * writing into `path`; without it, `path` replays a captured
       * spool — the same engine-side pipeline either way.
       */
-    wsUrl: Option[String] = None
+    wsUrl: Option[String] = None,
+    /** `max_files_per_trigger`: micro-batch size cap for streaming
+      * file-spool sources (File/CertStream/Kinesis replay) — Spark's
+      * maxFilesPerTrigger. The ingest throttle a served spool pipeline
+      * needs at scale: without it, AvailableNow over a deep backlog
+      * plans arbitrarily large batches (state updates, shuffles and
+      * sink commits sized by the whole backlog instead of a bounded
+      * window), and a restart replays its whole in-flight batch.
+      * None = Spark's default (unbounded under AvailableNow).
+      */
+    maxFilesPerTrigger: Option[Int] = None
 )
 
 final case class SinkConfig(
@@ -55,7 +65,17 @@ final case class PipelineConfig(
     rules: Map[String, RuleConfig],
     states: Map[String, StateConfig],
     sources: Map[String, SourceConfig],
-    sinks: Map[String, SinkConfig]
+    sinks: Map[String, SinkConfig],
+    /** Streaming state-store provider: "rocksdb" (default — state on
+      * executor local disk, key space bounded by disk not heap; the
+      * posture the reference's BoltDB substrate has, state/kv.go:16-80)
+      * or "hdfs" (Spark's heap-backed default provider, state bounded
+      * by executor memory — only for small-state pipelines or
+      * comparisons). Applied when the pipeline STARTS; a query
+      * restarted from an existing checkpoint keeps the provider it
+      * started under (Spark pins it in the offset-log metadata).
+      */
+    stateStore: Option[String] = None
 )
 
 object PipelineConfig {
@@ -102,6 +122,11 @@ object PipelineConfig {
           case JDouble(n) if n > 0 => Some(n.toInt)
           case _                   => None
         }
+        val maxFiles = o.getOrElse("max_files_per_trigger", JNothing) match {
+          case JInt(v) if v > 0    => Some(v.toInt)
+          case JDouble(v) if v > 0 => Some(v.toInt)
+          case _                   => None
+        }
         name -> SourceConfig(
           `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
           path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing))),
@@ -111,7 +136,8 @@ object PipelineConfig {
           kafkaPartitions = kafkaParts,
           wsUrl = str(
             objMap(o.getOrElse("certstream_config", JNothing)).getOrElse("url", JNothing))
-            .filter(_.nonEmpty)
+            .filter(_.nonEmpty),
+          maxFilesPerTrigger = maxFiles
         )
       }
       val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>
@@ -135,7 +161,8 @@ object PipelineConfig {
           rules = rules,
           states = states,
           sources = sources,
-          sinks = sinks
+          sinks = sinks,
+          stateStore = str(root.getOrElse("stateStore", JNothing)).map(_.toLowerCase).filter(_.nonEmpty)
         )
       )
     } catch {
@@ -148,6 +175,10 @@ object PipelineConfig {
     * plugin must exist in the registry (replacing the .so stat check).
     */
   def validate(c: PipelineConfig, ruleRegistry: Set[String]): Either[String, PipelineConfig] = {
+    c.stateStore.foreach { s =>
+      if (s != "rocksdb" && s != "hdfs")
+        return Left(s"Invalid stateStore: $s (expected rocksdb or hdfs)")
+    }
     val stateUsage = scala.collection.mutable.Map.empty[String, Int]
     for ((ruleName, rule) <- c.rules) {
       if (!c.sources.contains(rule.source) && !c.rules.contains(rule.source))

@@ -432,6 +432,86 @@ class PipelineCompilerSpec extends SparkSpec {
     r.getAs[Long]("Occurrences") shouldBe 1L
   }
 
+  test("max_files_per_trigger bounds streaming micro-batches (spool ingest throttle)") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_throttle")
+    Files.createDirectories(Paths.get(s"$dir/input"))
+    (0 until 4).foreach { i =>
+      Files.write(Paths.get(s"$dir/input", f"f$i%02d.txt"), s"line-$i".getBytes("UTF-8"))
+    }
+    val config =
+      s"""{
+         |  "eventFolder": "builtin",
+         |  "rules": {"len": {"source": "in", "plugin": "lengthRule", "sink": "out"}},
+         |  "states": {},
+         |  "sources": {"in": {"type": "File", "path": "$dir/input", "max_files_per_trigger": 1}},
+         |  "sinks": {"out": {"type": "File", "path": "$dir/output"}}
+         |}""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+    compiled.config.sources("in").maxFilesPerTrigger shouldBe Some(1)
+    PipelineCompiler.startStreaming(compiled, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+    // 4 files at 1 file/trigger → 4 committed batches, and every record
+    // still arrives exactly once
+    val commits = new java.io.File(s"$dir/ckpt/out/commits").list().count(!_.startsWith("."))
+    commits shouldBe 4
+    spark.read.json(s"$dir/output").select(col("result")).count() shouldBe 4
+  }
+
+  test("stateStore knob: s2s golden is provider-parity; rocksdb is the default, hdfs opts out") {
+    // Spark pins the provider into each query's offset-log metadata at
+    // first start — the conf map inside offsets/0 is the evidence of
+    // which provider the query ACTUALLY ran state on.
+    def pinnedProvider(ckpt: String, sink: String): String = {
+      val f = Paths.get(ckpt, sink, "offsets", "0")
+      new String(Files.readAllBytes(f), "UTF-8")
+    }
+    def runOnce(dir: String, knob: String): String = {
+      writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent, Fixtures.createUserEvent))
+      val config =
+        s"""{
+           |  "eventFolder": "builtin", $knob
+           |  "rules": {
+           |    "s2sRule": {"source": "ctInput", "plugin": "cloudTrailS2SJoin", "state": "kv", "sink": "fileOut"}
+           |  },
+           |  "states": {"kv": {"type": "KV"}},
+           |  "sources": {"ctInput": {"type": "File", "path": "$dir/input"}},
+           |  "sinks": {"fileOut": {"type": "File", "path": "$dir/output"}}
+           |}""".stripMargin
+      val compiled = PipelineCompiler.compile(spark, config, streaming = true).toOption.get
+      PipelineCompiler.startStreaming(compiled, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+      val out = spark.read.json(s"$dir/output")
+      out.count() shouldBe 1
+      val r = out.head()
+      r.getAs[String]("Entity") shouldBe "user/Bob"
+      r.getAs[String]("EventType") shouldBe "UserCreated"
+      pinnedProvider(s"$dir/ckpt", "fileOut")
+    }
+
+    // default: RocksDB (disk-bounded state — the 100 TB posture)
+    runOnce(tmpDir("graft_ss_default"), "") should include("RocksDBStateStoreProvider")
+    // explicit opt-out: heap-backed provider, byte-same golden output
+    runOnce(tmpDir("graft_ss_hdfs"), "\"stateStore\": \"hdfs\",") should
+      include("HDFSBackedStateStoreProvider")
+    // explicit rocksdb spelling accepted too
+    runOnce(tmpDir("graft_ss_rocks"), "\"stateStore\": \"rocksdb\",") should
+      include("RocksDBStateStoreProvider")
+    // the session conf is restored after the start — the knob is
+    // per-pipeline, not a sticky session mutation
+    spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .getOrElse("") should include("RocksDB")
+
+    // invalid values are config errors (Left), not runtime surprises
+    PipelineCompiler.compile(
+      spark,
+      s"""{
+         |  "eventFolder": "builtin", "stateStore": "bolt",
+         |  "rules": {},
+         |  "states": {}, "sources": {}, "sinks": {}
+         |}""".stripMargin,
+      streaming = true
+    ).left.toOption.getOrElse("") should include("Invalid stateStore")
+  }
+
   test("state survives a pipeline restart (checkpointed KV persistence, SURVEY §7.4.5)") {
     val dir = tmpDir("graft_restart")
     writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent))
