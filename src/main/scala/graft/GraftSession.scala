@@ -32,7 +32,7 @@ object GraftSession {
       // checkpoint keeps whatever provider it started under.
       .config(
         "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        pipeline.PipelineCompiler.RocksDbProvider)
       .config("spark.ui.enabled", "false")
 
   /** Local session with `n` executor threads. */

@@ -195,6 +195,12 @@ object StreamBench {
       val dt = (System.nanoTime() - t0) / 1e9
       qs.foreach(q => try q.stop() catch { case _: Exception => () })
       qs.foreach { q =>
+        // progress events arrive on the ASYNC listener bus: a query can
+        // flip inactive (AvailableNow termination) before its final
+        // batch's event is processed, so drain briefly before judging
+        // the count — the wait loop above may have exited on !isActive
+        val drain = System.nanoTime() + 15L * 1000000000L
+        while (ingested(q) < expected && System.nanoTime() < drain) Thread.sleep(10)
         require(ingested(q) >= expected, s"$name: ingested ${ingested(q)} of $expected events")
       }
       hygiene(c)
@@ -266,6 +272,20 @@ object StreamBench {
         Thread.sleep(5)
       q1.foreach(q => try q.stop() catch { case _: Exception => () })
       val p1 = (System.nanoTime() - t0) / 1e9
+      // the scenario's PRECONDITION must hold or the ratio measures
+      // nothing: the stop has to land mid-spool (some batches
+      // committed, some files still unread). Drain the async listener
+      // first so the count is settled, then fail loudly on degenerate
+      // runs (host too fast → raise the throttle granularity).
+      val settle = System.nanoTime() + 10L * 1000000000L
+      while (q1.exists(q => ingested(q) == 0L) && System.nanoTime() < settle) Thread.sleep(10)
+      Thread.sleep(2000) // let any final in-flight progress event land
+      val atStop = q1.map(ingested).sum
+      require(
+        atStop > 0L && atStop < expected,
+        s"restart: stop landed at $atStop of $expected ingested — not mid-spool, " +
+          "the interrupted run would degenerate into an uninterrupted one")
+      System.err.println(f"STREAMBENCH restart stop point: $atStop of $expected ingested")
       hygiene(c1)
       val c2 = pipeline.PipelineCompiler
         .compile(

@@ -121,6 +121,26 @@ final class ApiServer(
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** Tear down ONE pipeline's server-tracked resources: close its
+    * websocket spool bridges and release its pin scope, deregistering
+    * both from the server sets. The shared tail of the failed-start
+    * and stop-race cleanups (stop() drains the whole sets instead).
+    */
+  private def releasePipeline(compiled: graft.pipeline.PipelineCompiler.Compiled, context: String): Unit = {
+    compiled.spools.values.foreach { h =>
+      try h.close()
+      catch {
+        case e: Exception => System.err.println(s"[api] closing spool $context: ${e.getMessage}")
+      } finally spools.remove(h)
+    }
+    compiled.pins.foreach { s =>
+      try { s.release(blocking = false); () }
+      catch {
+        case e: Exception => System.err.println(s"[api] releasing pins $context: ${e.getMessage}")
+      } finally pinScopes.remove(s)
+    }
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.sendResponseHeaders(code, bytes.length)
@@ -159,47 +179,20 @@ final class ApiServer(
                         catch { case e: Exception => System.err.println(s"[api] stopping query: ${e.getMessage}") }
                       }
                       // stop() may already have drained spools/pinScopes
-                      // before this compile finished registering — mirror
-                      // the failed-start cleanup here or this pipeline's
+                      // before this compile finished registering — same
+                      // cleanup as a failed start or this pipeline's
                       // bridges re-dial and its pins hold executor blocks
                       // for the JVM lifetime (round-11 ADVICE #3)
-                      compiled.spools.values.foreach { h =>
-                        try h.close()
-                        catch {
-                          case e2: Exception =>
-                            System.err.println(s"[api] closing spool after stop race: ${e2.getMessage}")
-                        } finally spools.remove(h)
-                      }
-                      compiled.pins.foreach { s =>
-                        try { s.release(blocking = false); () }
-                        catch {
-                          case e2: Exception =>
-                            System.err.println(s"[api] releasing pins after stop race: ${e2.getMessage}")
-                        } finally pinScopes.remove(s)
-                      }
+                      releasePipeline(compiled, "after stop race")
                     } else qs.foreach(started.add)
                   }
                 } catch {
                   case e: Exception =>
                     System.err.println(s"[api] pipeline $id failed: ${e.getMessage}")
                     // a failed start must not leave websocket bridges
-                    // re-dialing and spooling for the server's lifetime —
-                    // close this pipeline's handles now instead of at stop()
-                    compiled.spools.values.foreach { h =>
-                      try h.close()
-                      catch {
-                        case e2: Exception =>
-                          System.err.println(s"[api] closing spool after failed start: ${e2.getMessage}")
-                      } finally spools.remove(h)
-                    }
-                    // ... nor its compile-time pins outlive it
-                    compiled.pins.foreach { s =>
-                      try { s.release(blocking = false); () }
-                      catch {
-                        case e2: Exception =>
-                          System.err.println(s"[api] releasing pins after failed start: ${e2.getMessage}")
-                      } finally pinScopes.remove(s)
-                    }
+                    // re-dialing and spooling for the server's lifetime,
+                    // nor its compile-time pins outliving it
+                    releasePipeline(compiled, "after failed start")
                 }
               ).start()
               respond(ex, 201, id)

@@ -68,11 +68,12 @@ object Ivfadc {
     * (idCol, embCol) frame the index was [[fit]] on.
     *
     * The baseline is stamped with [[modelId]] and, when `fitVectors`
-    * is None, any EXISTING `$dir/staleness` is deleted — so re-saving
-    * a refit index over an old dir can never leave a previous
-    * quantizer's baseline in place for [[driftCheck]] to silently
-    * gauge against (it either finds no baseline, or a stamped one it
-    * verifies).
+    * is None, an existing `$dir/staleness` is KEPT only if its stamp
+    * matches this index's model (a same-model re-persist, e.g. after
+    * [[append]]) and deleted otherwise — so re-saving a refit index
+    * over an old dir can never leave a previous quantizer's baseline
+    * in place for [[driftCheck]] to silently gauge against (it either
+    * finds no baseline, or a stamped one it verifies).
     */
   def save(
       index: Index,
@@ -93,9 +94,27 @@ object Ivfadc {
           .withColumn("model_id", lit(modelId(index)))
           .write.mode("overwrite").parquet(s"$dir/staleness")
       case None =>
+        // Delete a staged baseline ONLY if it is not verifiably this
+        // model's: a routine re-persist of the SAME model (e.g. after
+        // append()) must not destroy its own valid baseline, but a
+        // REFIT saved over an old dir must not leave the previous
+        // quantizer's in place. Unstamped or unreadable baselines are
+        // deleted too — a loud missing-baseline beats a wrong verdict.
         val p = new org.apache.hadoop.fs.Path(s"$dir/staleness")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) { fs.delete(p, true); () }
+        if (fs.exists(p)) {
+          val sameModel =
+            try {
+              val baseline = spark.read.parquet(s"$dir/staleness")
+              baseline.columns.contains("model_id") && {
+                val expected = modelId(index)
+                val found =
+                  baseline.select(col("model_id")).distinct().collect().map(_.getString(0))
+                found.nonEmpty && found.forall(_ == expected)
+              }
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (!sameModel) { fs.delete(p, true); () }
+        }
     }
   }
 

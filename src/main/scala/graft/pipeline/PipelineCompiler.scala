@@ -366,6 +366,7 @@ object PipelineCompiler {
     * handles on a failed start).
     */
   def startStreaming(c: Compiled, checkpointRoot: String, availableNow: Boolean = true): Seq[StreamingQuery] = {
+    if (c.sinks.isEmpty) return Seq.empty // nothing to start (sink-less pipeline)
     val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
     val spark = c.sinks.head._2.sparkSession
     startLock.synchronized {

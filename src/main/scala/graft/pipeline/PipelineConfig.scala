@@ -122,10 +122,16 @@ object PipelineConfig {
           case JDouble(n) if n > 0 => Some(n.toInt)
           case _                   => None
         }
+        // present-but-invalid is a CONFIG ERROR, not a silent fallback
+        // to unthrottled batches (the exact failure the knob prevents)
         val maxFiles = o.getOrElse("max_files_per_trigger", JNothing) match {
-          case JInt(v) if v > 0    => Some(v.toInt)
-          case JDouble(v) if v > 0 => Some(v.toInt)
-          case _                   => None
+          case JNothing                                              => None
+          case JInt(v) if v > 0                                      => Some(v.toInt)
+          case JDouble(v) if v > 0 && v == math.floor(v)             => Some(v.toInt)
+          case bad =>
+            throw new IllegalArgumentException(
+              s"source $name: max_files_per_trigger must be a positive integer, got " +
+                JsonMethods.compact(JsonMethods.render(bad)))
         }
         name -> SourceConfig(
           `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),

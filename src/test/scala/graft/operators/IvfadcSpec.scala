@@ -272,10 +272,17 @@ class IvfadcSpec extends SparkSpec {
       clustered, "id", "emb", coarseK = 4, coarseIters = 3, m = 4, pqK = 8, pqIters = 2)
     Ivfadc.modelId(refit) should not be Ivfadc.modelId(index)
 
-    // re-saving the refit index over the same dir WITHOUT fitVectors
-    // must remove the old model's baseline — driftCheck then finds no
-    // baseline at all rather than silently gauging against the wrong
-    // quantizer (the ADVICE-r11 hazard)
+    // a SAME-model re-persist without fitVectors (the append()-then-
+    // save maintenance path) keeps its own valid baseline…
+    Ivfadc.save(index, dir)
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "staleness")) shouldBe true
+    Ivfadc.driftCheck(Ivfadc.load(spark, dir), dir, clustered, "id", "emb")
+      .filter(col("cell").isNull).head().getAs[Boolean]("drifted") shouldBe false
+
+    // …but re-saving the REFIT index over the same dir WITHOUT
+    // fitVectors must remove the old model's baseline — driftCheck
+    // then finds no baseline at all rather than silently gauging
+    // against the wrong quantizer (the ADVICE-r11 hazard)
     Ivfadc.save(refit, dir)
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "staleness")) shouldBe false
     val loadedRefit = Ivfadc.load(spark, dir)

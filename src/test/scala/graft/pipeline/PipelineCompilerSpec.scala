@@ -455,6 +455,15 @@ class PipelineCompilerSpec extends SparkSpec {
     val commits = new java.io.File(s"$dir/ckpt/out/commits").list().count(!_.startsWith("."))
     commits shouldBe 4
     spark.read.json(s"$dir/output").select(col("result")).count() shouldBe 4
+
+    // present-but-invalid must be a config error (Left), never a
+    // silent fall-back to unthrottled batches
+    for (bad <- Seq("0", "-3", "\"4\"", "2.5")) {
+      val msg = PipelineCompiler
+        .compile(spark, config.replace("\"max_files_per_trigger\": 1", s""""max_files_per_trigger": $bad"""), streaming = true)
+        .left.toOption.getOrElse("")
+      withClue(s"value $bad: ") { msg should include("max_files_per_trigger") }
+    }
   }
 
   test("stateStore knob: s2s golden is provider-parity; rocksdb is the default, hdfs opts out") {
