@@ -115,7 +115,11 @@ object StreamBench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_N", "100000").toInt
-    val keys = math.max(1, n / 10)
+    // key cardinality defaults to n/10; override to push STATE SCALE
+    // independently of event volume (provider-divergence experiments)
+    val keys = math.max(
+      1,
+      sys.env.get("SPARK_GRAFT_STREAMBENCH_KEYS").map(_.toInt).getOrElse(n / 10))
     val root = Files.createTempDirectory("graft_streambench").toString
 
     // Cumulative numInputRows per query run, fed by a listener: the

@@ -29,7 +29,7 @@ class StreamBenchDocSpec extends AnyFunSuite with Matchers {
       .iterator()
       .asScala
       .map(_.getFileName.toString)
-      .filter(_.matches("STREAMBENCH_r\\d+\\.json"))
+      .filter(_.matches("STREAMBENCH_r\\d+(_[a-z_]+)?\\.json"))
       .toSeq
       .sorted
     artifacts should not be empty

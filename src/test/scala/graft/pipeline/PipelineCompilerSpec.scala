@@ -521,6 +521,52 @@ class PipelineCompilerSpec extends SparkSpec {
     ).left.toOption.getOrElse("") should include("Invalid stateStore")
   }
 
+  test("a restart keeps its ORIGINAL state-store provider, whatever the config now says") {
+    // The docs (PipelineConfig.stateStore, BASELINE round-12) promise:
+    // a query restarted from an existing checkpoint keeps the provider
+    // it FIRST started under — Spark re-applies the offset-log's
+    // pinned conf over the session's. Pin that: start under the
+    // rocksdb default, restart the same checkpoint with an explicit
+    // "stateStore": "hdfs", and the state must still resolve (a
+    // provider flip would read an empty/incompatible store).
+    val dir = tmpDir("graft_ss_sticky")
+    writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent))
+    def config(knob: String) =
+      s"""{
+         |  "eventFolder": "builtin", $knob
+         |  "rules": {
+         |    "s2sRule": {"source": "ctInput", "plugin": "cloudTrailS2SJoin", "state": "kv", "sink": "fileOut"}
+         |  },
+         |  "states": {"kv": {"type": "KV"}},
+         |  "sources": {"ctInput": {"type": "File", "path": "$dir/input"}},
+         |  "sinks": {"fileOut": {"type": "File", "path": "$dir/output"}}
+         |}""".stripMargin
+    // run 1 (rocksdb default): AssumeRole builds state, no output
+    val c1 = PipelineCompiler.compile(spark, config(""), streaming = true).toOption.get
+    PipelineCompiler.startStreaming(c1, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+    // run 2 (config now says hdfs, same checkpoint): the probe must
+    // resolve through run 1's ROCKSDB state — proof the pinned
+    // provider won, since an HDFS store at this checkpoint would be
+    // empty (or fail to read RocksDB files)
+    Files.write(
+      java.nio.file.Paths.get(s"$dir/input", "later.txt"),
+      Fixtures.createUserEvent.getBytes("UTF-8"))
+    val c2 = PipelineCompiler
+      .compile(spark, config("\"stateStore\": \"hdfs\","), streaming = true).toOption.get
+    PipelineCompiler.startStreaming(c2, s"$dir/ckpt").foreach(_.awaitTermination(120000))
+    val out = spark.read.json(s"$dir/output")
+      .filter(org.apache.spark.sql.functions.col("Entity").isNotNull)
+    out.count() shouldBe 1
+    out.head().getAs[String]("Entity") shouldBe "user/Bob"
+    // and the state dir is RocksDB-shaped (sst/changelog files, not
+    // the HDFS provider's plain delta/snapshot layout)
+    val stateRoot = java.nio.file.Paths.get(s"$dir/ckpt/fileOut/state/0/0")
+    val entries = Option(stateRoot.toFile.list()).map(_.toSeq).getOrElse(Nil)
+    withClue(s"state dir entries: $entries ") {
+      entries.exists(e => e.endsWith(".changelog") || e.endsWith(".zip") || e == "SSTs") shouldBe true
+    }
+  }
+
   test("state survives a pipeline restart (checkpointed KV persistence, SURVEY §7.4.5)") {
     val dir = tmpDir("graft_restart")
     writeLines(s"$dir/input", Seq(Fixtures.assumeRoleEvent))
