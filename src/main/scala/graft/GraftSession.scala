@@ -33,6 +33,13 @@ object GraftSession {
       .config(
         "spark.sql.streaming.stateStore.providerClass",
         pipeline.PipelineCompiler.RocksDbProvider)
+      // RocksDB changelog checkpointing stays at Spark's default (off):
+      // measured at 1M keys it read the flagship s2s shape 35% SLOWER
+      // (13.3-14.2 s vs 9.3-10.0 s) — under few large AvailableNow
+      // batches the per-batch changelog write is pure overhead on top
+      // of the snapshot. A high-frequency small-batch deployment should
+      // re-measure with spark.sql.streaming.stateStore.rocksdb
+      // .changelogCheckpointing.enabled=true (SCALE.md round-12).
       .config("spark.ui.enabled", "false")
 
   /** Local session with `n` executor threads. */
