@@ -10,6 +10,44 @@ import graft.Fixtures
   */
 class PipelineConfigSpec extends AnyFunSuite with Matchers {
 
+  test("parse NEVER throws: arbitrary junk comes back as Left or a parsed config (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // config input is API-facing (the ApiServer maps Left to a 400) —
+    // an escaping exception would 500. Shapes: random text, random
+    // JSON scalars/arrays where objects are expected, wrong-typed
+    // knobs (the round-12 max_files_per_trigger hardening must throw
+    // INSIDE parse's try, not past it).
+    val scalar = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s""""$s""""),
+      Gen.choose(-5, 5).map(_.toString),
+      Gen.oneOf("null", "true", "false", "2.5", "-1", "0", "[]", "{}"))
+    val sourceObj = scalar.flatMap(v =>
+      Gen.oneOf(
+        s"""{"type": "File", "path": "/x", "max_files_per_trigger": $v}""",
+        s"""{"type": $v}""",
+        v))
+    val cfg = for {
+      src <- sourceObj
+      ss <- scalar
+      junk <- Gen.alphaNumStr
+    } yield Gen.oneOf(
+      s"""{"eventFolder": "builtin", "stateStore": $ss, "rules": $junk,
+         | "sources": {"s": $src}, "sinks": [], "states": 7}""".stripMargin,
+      s"""{"sources": {"s": $src}}""",
+      junk,
+      s"[$ss, $ss"
+    )
+    val prop = forAll(cfg.flatMap(identity)) { raw =>
+      PipelineConfig.parse(raw) match {
+        case Left(msg) => msg.nonEmpty
+        case Right(c)  => PipelineConfig.validate(c, Set("aRule")).isLeft || true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    withClue(res.status) { res.passed shouldBe true }
+  }
+
   private val registry = Set("aRule", "lengthRule", "cloudTrailS2SJoin")
 
   test("parses the golden config shape") {
