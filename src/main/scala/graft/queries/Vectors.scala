@@ -1070,23 +1070,33 @@ object Vectors {
         transform(col("embedding"), v => floor(v.cast("double") * lit(1000.0)).cast("long"))
           .as("xq"))
       .pinned
+    // Upper triangle only (C is symmetric — halves the explode), and
+    // LONG sums: |x̂ᵢx̂ⱼ| ≤ 10⁶ so |Σ| ≤ n·10⁶ — exact in a long until
+    // n ≈ 9·10¹² rows, far beyond any SF here, and ~an order cheaper
+    // than decimal aggregation on the d²n/2 exploded rows. The integer
+    // matrix is BIT-IDENTICAL to the old decimal form (both exact), so
+    // the oracle contract is untouched.
     val pairs = q
       .select(col("xq"), posexplode(col("xq")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
+      .select(
+        col("i"),
+        col("xi"),
+        posexplode(slice(col("xq"), col("i") + lit(1), lit(d) - col("i"))).as(Seq("dj", "xj")))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+      .agg(sum(col("xi") * col("xj")).as("sxx"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2))
+      .map(r => (r.getInt(0), r.getInt(1)) -> java.math.BigDecimal.valueOf(r.getLong(2)))
       .toMap
     val sumRows = q
       .select(posexplode(col("xq")).as(Seq("i", "xi")))
       .groupBy(col("i"))
-      .agg(sum(col("xi").cast("decimal(38,0)")).as("si"), count(lit(1)).as("n"))
+      .agg(sum(col("xi")).as("si"), count(lit(1)).as("n"))
       .collect()
-    val si = sumRows.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val si = sumRows.map(r => r.getInt(0) -> java.math.BigDecimal.valueOf(r.getLong(1))).toMap
     val n = java.math.BigDecimal.valueOf(sumRows.head.getLong(2))
     val m = Array.tabulate(d, d) { (i, j) =>
-      n.multiply(pairs((i, j))).subtract(si(i).multiply(si(j))).doubleValue()
+      val sxx = pairs(if (i <= j) (i, j) else (j, i))
+      n.multiply(sxx).subtract(si(i).multiply(si(j))).doubleValue()
     }
     val (v, eig) = graft.operators.PowerIteration.topComponent(m, piIters)
     (0 until d)
