@@ -121,6 +121,11 @@ object PipelineCompiler {
     *     consuming EXACTLY partitions 0..N-1 (kafka.go:34-43) — an
     *     explicit `assign` list, not a parallelism hint; without it
     *     the whole topic is `subscribe`d;
+    *   - `max_offsets_per_trigger` ↔ Spark's maxOffsetsPerTrigger —
+    *     the Kafka analogue of the file-spool max_files_per_trigger
+    *     cap (SourceConfig scaladoc has the scale rationale); absent
+    *     means unbounded micro-batches, present-but-invalid already
+    *     failed in PipelineConfig.parse/validate;
     *   - `path` stays a topic fallback for the graft-native flat form.
     */
   def kafkaSourceOptions(name: String, sc: SourceConfig): Map[String, String] = {
@@ -134,7 +139,8 @@ object PipelineCompiler {
         "assign" -> s"""{"$topic":[${(0 until n).mkString(",")}]}"""
       case None => "subscribe" -> topic
     }
-    Map("kafka.bootstrap.servers" -> broker, "startingOffsets" -> "latest", selection)
+    Map("kafka.bootstrap.servers" -> broker, "startingOffsets" -> "latest", selection) ++
+      sc.maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
   }
 
   private def compileValidated(

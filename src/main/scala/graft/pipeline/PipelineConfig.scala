@@ -50,7 +50,16 @@ final case class SourceConfig(
       * window), and a restart replays its whole in-flight batch.
       * None = Spark's default (unbounded under AvailableNow).
       */
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    /** `max_offsets_per_trigger`: the Kafka-source analogue of
+      * `max_files_per_trigger` — Spark's maxOffsetsPerTrigger, a cap
+      * on the total offsets consumed per micro-batch (spread across
+      * the topic's partitions). The first scale knob a real broker
+      * deployment needs: a freshly subscribed pipeline behind a deep
+      * topic, or one restarted after downtime, otherwise plans its
+      * whole backlog as ONE batch. None = unbounded (Spark default).
+      */
+    maxOffsetsPerTrigger: Option[Long] = None
 )
 
 final case class SinkConfig(
@@ -117,22 +126,34 @@ object PipelineConfig {
         // consumes EXACTLY partitions 0..N-1, so it maps to an explicit
         // `assign` list (PipelineCompiler.kafkaSourceOptions).
         val kafka = objMap(o.getOrElse("kafka_config", JNothing))
-        val kafkaParts = kafka.getOrElse("partitions", JNothing) match {
-          case JInt(n) if n > 0    => Some(n.toInt)
-          case JDouble(n) if n > 0 => Some(n.toInt)
-          case _                   => None
-        }
         // present-but-invalid is a CONFIG ERROR, not a silent fallback
-        // to unthrottled batches (the exact failure the knob prevents)
-        val maxFiles = o.getOrElse("max_files_per_trigger", JNothing) match {
-          case JNothing                                              => None
-          case JInt(v) if v > 0                                      => Some(v.toInt)
-          case JDouble(v) if v > 0 && v == math.floor(v)             => Some(v.toInt)
+        // (for the trigger caps, to unthrottled batches — the exact
+        // failure the knobs prevent; for partitions, to whole-topic
+        // subscribe). isValidInt/isValidLong guards: a JSON integer
+        // past the target width must land in the error arm, not wrap
+        // through BigInt.toInt (2^31 -> negative, 2^32+1 -> 1).
+        def posIntegral(field: String, v: JValue, max: BigInt): Option[Long] = v match {
+          case JNothing                                  => None
+          case JInt(n) if n > 0 && n <= max              => Some(n.toLong)
+          case JDouble(n) if n > 0 && n == math.floor(n) && BigDecimal(n) <= BigDecimal(max) =>
+            Some(n.toLong)
           case bad =>
             throw new IllegalArgumentException(
-              s"source $name: max_files_per_trigger must be a positive integer, got " +
+              s"source $name: $field must be a positive integer (<= $max), got " +
                 JsonMethods.compact(JsonMethods.render(bad)))
         }
+        val kafkaParts = kafka.getOrElse("partitions", JNothing) match {
+          // 0 stays the documented whole-topic-subscribe form (absent
+          // partition list), not an error
+          case JInt(n) if n == 0    => None
+          case JDouble(n) if n == 0 => None
+          case v                    => posIntegral("kafka_config.partitions", v, Int.MaxValue).map(_.toInt)
+        }
+        val maxFiles =
+          posIntegral("max_files_per_trigger", o.getOrElse("max_files_per_trigger", JNothing), Int.MaxValue)
+            .map(_.toInt)
+        val maxOffsets =
+          posIntegral("max_offsets_per_trigger", o.getOrElse("max_offsets_per_trigger", JNothing), Long.MaxValue)
         name -> SourceConfig(
           `type` = str(o.getOrElse("type", JNothing)).getOrElse(""),
           path = str(o.getOrElse("path", JNothing)).orElse(str(nested.getOrElse("path", JNothing))),
@@ -143,7 +164,8 @@ object PipelineConfig {
           wsUrl = str(
             objMap(o.getOrElse("certstream_config", JNothing)).getOrElse("url", JNothing))
             .filter(_.nonEmpty),
-          maxFilesPerTrigger = maxFiles
+          maxFilesPerTrigger = maxFiles,
+          maxOffsetsPerTrigger = maxOffsets
         )
       }
       val sinks = objMap(root.getOrElse("sinks", JObject())).map { case (name, sv) =>
@@ -184,6 +206,19 @@ object PipelineConfig {
     c.stateStore.foreach { s =>
       if (s != "rocksdb" && s != "hdfs")
         return Left(s"Invalid stateStore: $s (expected rocksdb or hdfs)")
+    }
+    // A trigger cap on a source type that can't honor it would be
+    // silently ignored by the compiler — the silent-unthrottled
+    // fallback both knobs exist to prevent, so it's a config error.
+    for ((name, src) <- c.sources) {
+      if (src.maxOffsetsPerTrigger.isDefined && src.`type` != "Kafka")
+        return Left(
+          s"Invalid source $name: max_offsets_per_trigger applies only to Kafka sources " +
+            s"(use max_files_per_trigger for ${src.`type`})")
+      if (src.maxFilesPerTrigger.isDefined && src.`type` == "Kafka")
+        return Left(
+          s"Invalid source $name: max_files_per_trigger applies only to file-spool sources " +
+            "(use max_offsets_per_trigger for Kafka)")
     }
     val stateUsage = scala.collection.mutable.Map.empty[String, Int]
     for ((ruleName, rule) <- c.rules) {

@@ -329,6 +329,35 @@ class PipelineCompilerSpec extends SparkSpec {
     opts should not contain key("subscribe")
   }
 
+  test("Kafka option contract: max_offsets_per_trigger maps to maxOffsetsPerTrigger") {
+    // the file-spool max_files_per_trigger's exact Kafka analogue: the
+    // per-micro-batch offset cap a deep-topic subscribe or a restart
+    // after downtime needs so the backlog is not planned as ONE batch.
+    val parsed = PipelineConfig
+      .parse(
+        """{"sources": {"in": {"type": "Kafka", "max_offsets_per_trigger": 50000,
+          |  "kafka_config": {"broker": "b:9092", "topic": "t"}}}}""".stripMargin)
+      .toOption.get
+    parsed.sources("in").maxOffsetsPerTrigger shouldBe Some(50000L)
+    val opts = PipelineCompiler.kafkaSourceOptions("in", parsed.sources("in"))
+    opts("maxOffsetsPerTrigger") shouldBe "50000"
+    // absent knob -> no option row (Spark default: unbounded)
+    val bare = PipelineConfig
+      .parse("""{"sources": {"in": {"type": "Kafka",
+               |  "kafka_config": {"broker": "b:9092", "topic": "t"}}}}""".stripMargin)
+      .toOption.get
+    PipelineCompiler.kafkaSourceOptions("in", bare.sources("in")) should not contain key(
+      "maxOffsetsPerTrigger")
+    // offset counts are per-topic totals, not file counts: values past
+    // Int.MaxValue are legitimate and must survive as longs
+    val big = PipelineConfig
+      .parse(s"""{"sources": {"in": {"type": "Kafka", "max_offsets_per_trigger": ${1L << 33},
+                |  "kafka_config": {"broker": "b:9092", "topic": "t"}}}}""".stripMargin)
+      .toOption.get
+    PipelineCompiler.kafkaSourceOptions("in", big.sources("in"))("maxOffsetsPerTrigger") shouldBe
+      (1L << 33).toString
+  }
+
   test("Kafka option contract: flat `path` is a topic fallback; missing broker fails loudly") {
     val flat = PipelineConfig
       .parse("""{"sources": {"in": {"type": "Kafka", "path": "fallback-topic",

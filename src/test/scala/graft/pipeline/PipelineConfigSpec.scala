@@ -21,10 +21,17 @@ class PipelineConfigSpec extends AnyFunSuite with Matchers {
     val scalar = Gen.oneOf(
       Gen.alphaNumStr.map(s => s""""$s""""),
       Gen.choose(-5, 5).map(_.toString),
+      // width-overflow class (ADVICE r12): integers past the knob's
+      // target width must land in parse's error arm, not wrap through
+      // BigInt.toInt — generate across int/long boundaries too
+      Gen.oneOf(1L << 31, (1L << 32) + 1, Long.MaxValue).map(_.toString),
+      Gen.const("92233720368547758080"), // past Long.MaxValue
       Gen.oneOf("null", "true", "false", "2.5", "-1", "0", "[]", "{}"))
     val sourceObj = scalar.flatMap(v =>
       Gen.oneOf(
         s"""{"type": "File", "path": "/x", "max_files_per_trigger": $v}""",
+        s"""{"type": "Kafka", "max_offsets_per_trigger": $v,
+           |  "kafka_config": {"broker": "b:9092", "topic": "t", "partitions": $v}}""".stripMargin,
         s"""{"type": $v}""",
         v))
     val cfg = for {
@@ -136,6 +143,56 @@ class PipelineConfigSpec extends AnyFunSuite with Matchers {
       .toOption
       .get
     PipelineConfig.validate(c, registry).left.toOption.get should include("cycle")
+  }
+
+  test("trigger caps: present-but-invalid is a config error, including integer overflow") {
+    def src(knob: String): String =
+      s"""{"sources": {"s": {"type": "File", "path": "/x", $knob}}}"""
+    // the ADVICE-flagged wrap class: BigInt.toInt truncates, so 2^31
+    // must be rejected (it would wrap negative) and 2^32+1 must be
+    // rejected (it would wrap to 1 == a near-stalled pipeline), not
+    // silently accepted
+    for (bad <- Seq(s"${1L << 31}", s"${(1L << 32) + 1}", "0", "-3", "2.5", "\"ten\"", "[]"))
+      withClue(s"max_files_per_trigger: $bad") {
+        PipelineConfig.parse(src(s""""max_files_per_trigger": $bad""")).left.toOption.get should
+          include("max_files_per_trigger")
+      }
+    // the Kafka cap is a LONG (offset totals legitimately exceed
+    // Int.MaxValue); past Long.MaxValue or non-integral is the error
+    for (bad <- Seq("92233720368547758080", "0", "-1", "1.5", "\"many\""))
+      withClue(s"max_offsets_per_trigger: $bad") {
+        PipelineConfig
+          .parse("""{"sources": {"k": {"type": "Kafka", "max_offsets_per_trigger": BAD,
+                   |  "kafka_config": {"broker": "b:9092", "topic": "t"}}}}""".stripMargin
+            .replace("BAD", bad))
+          .left.toOption.get should include("max_offsets_per_trigger")
+      }
+    // kafka partitions: same wrap guard; 0 stays the documented
+    // whole-topic-subscribe form
+    PipelineConfig
+      .parse(s"""{"sources": {"k": {"type": "Kafka",
+                |  "kafka_config": {"broker": "b:9092", "topic": "t", "partitions": ${1L << 31}}}}}""".stripMargin)
+      .left.toOption.get should include("partitions")
+    PipelineConfig
+      .parse("""{"sources": {"k": {"type": "Kafka",
+               |  "kafka_config": {"broker": "b:9092", "topic": "t", "partitions": 0}}}}""".stripMargin)
+      .toOption.get.sources("k").kafkaPartitions shouldBe None
+  }
+
+  test("a trigger cap on the wrong source type fails validation, not silently ignored") {
+    val filesOnKafka = PipelineConfig
+      .parse("""{"rules": {}, "states": {}, "sinks": {},
+               | "sources": {"k": {"type": "Kafka", "max_files_per_trigger": 4,
+               |   "kafka_config": {"broker": "b:9092", "topic": "t"}}}}""".stripMargin)
+      .toOption.get
+    PipelineConfig.validate(filesOnKafka, registry).left.toOption.get should
+      include("max_files_per_trigger")
+    val offsetsOnFile = PipelineConfig
+      .parse("""{"rules": {}, "states": {}, "sinks": {},
+               | "sources": {"s": {"type": "File", "path": "/x", "max_offsets_per_trigger": 4}}}""".stripMargin)
+      .toOption.get
+    PipelineConfig.validate(offsetsOnFile, registry).left.toOption.get should
+      include("max_offsets_per_trigger")
   }
 
   test("kafka_config block parses broker and topic (input/kafka.go parity)") {
