@@ -129,7 +129,11 @@ object StreamBench {
     // wait loop to its deadline — the listener sees every progress
     // event exactly once.
     val ingestedRows = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    // held in a val and removed before stop: a registered listener plus
+    // never-evicted per-runId entries are harmless at one bench's scale
+    // but an unbounded map in a long sweep (ADVICE r12) — runOnce also
+    // drops each run's entries once its count has been judged
+    val ingestListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
@@ -139,7 +143,8 @@ object StreamBench {
       }
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
+    }
+    spark.streams.addListener(ingestListener)
     def ingested(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       Option(ingestedRows.get(q.runId)).map(_.longValue()).getOrElse(0L)
 
@@ -207,6 +212,9 @@ object StreamBench {
         while (ingested(q) < expected && System.nanoTime() < drain) Thread.sleep(10)
         require(ingested(q) >= expected, s"$name: ingested ${ingested(q)} of $expected events")
       }
+      // counts judged — drop this run's entries (bounded map even in a
+      // long sweep; stopped queries emit no further progress events)
+      qs.foreach(q => ingestedRows.remove(q.runId))
       hygiene(c)
       dt
     }
@@ -360,6 +368,7 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench_last.json"))
     Option(out.getParent).foreach(Files.createDirectories(_))
     Files.write(out, (json + "\n").getBytes(StandardCharsets.UTF_8))
+    spark.streams.removeListener(ingestListener)
     spark.stop()
   }
 }

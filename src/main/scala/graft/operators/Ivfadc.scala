@@ -163,23 +163,27 @@ object Ivfadc {
       ratioThreshold: Double = 2.0): DataFrame = {
     val spark = index.enc.sparkSession
     val baseline = spark.read.parquet(s"$dir/staleness")
-    // A stamped baseline must be THIS model's: a refit index re-saved
-    // over an old dir without fitVectors deletes the stale baseline
-    // (save's None arm), but a baseline staged by some other writer /
-    // an older copy restored into the dir would gauge drift against a
-    // different quantizer — fail loudly instead of verdicting wrong.
-    // (Pre-stamp baselines lack the column; their blind spot is
-    // documented on save.)
-    if (baseline.columns.contains("model_id")) {
-      val expected = modelId(index)
-      // sketch-sized read: the baseline is ≤ cells+1 rows
-      val found = baseline.select(col("model_id")).distinct().collect().map(_.getString(0))
-      require(
-        found.forall(_ == expected),
-        s"staleness baseline at $dir/staleness was written by a different model " +
-          s"(baseline model_id ${found.mkString(",")}, loaded index $expected) — " +
-          "refit and re-save with fitVectors to restage it")
-    }
+    // The baseline must be verifiably THIS model's: a refit index
+    // re-saved over an old dir without fitVectors deletes the stale
+    // baseline (save's None arm), but a baseline staged by some other
+    // writer / an older copy restored into the dir would gauge drift
+    // against a different quantizer — fail loudly instead of
+    // verdicting wrong. Since round 12 save() always stamps, so an
+    // UNSTAMPED baseline is itself a foreign artifact (pre-stamp era
+    // or hand-staged) and is rejected the same way, closing the
+    // silent pre-stamp blind spot (round-12 verdict #6).
+    require(
+      baseline.columns.contains("model_id"),
+      s"staleness baseline at $dir/staleness has no model_id stamp (pre-stamp era or " +
+        "staged outside save()) — refit and re-save with fitVectors to restage it")
+    val expected = modelId(index)
+    // sketch-sized read: the baseline is ≤ cells+1 rows
+    val found = baseline.select(col("model_id")).distinct().collect().map(_.getString(0))
+    require(
+      found.forall(_ == expected),
+      s"staleness baseline at $dir/staleness was written by a different model " +
+        s"(baseline model_id ${found.mkString(",")}, loaded index $expected) — " +
+        "refit and re-save with fitVectors to restage it")
     driftJoin(
       baseline.drop("model_id"),
       stalenessReport(index, batch, idCol, embCol),

@@ -234,14 +234,33 @@ object Pinned {
     * [[Scope.releaseExcept]]: a runner keeping some frames live (e.g.
     * Memory-sink temp views) computes the union of their pinIds and
     * releases everything else.
+    *
+    * Reachability must ALSO walk each matched leaf's RDD dependency
+    * graph: a pin built over another pin (Dedup's incremental path
+    * layers one) shows only the OUTER LogicalRDD in an unexecuted
+    * frame's plan, while its lazy checkpoint RDD still computes
+    * through the inner pin's RDD at first materialization. Plan-only
+    * reachability would let releaseExcept free that inner pin — a
+    * later execution of the kept view then throws (inner already
+    * materialized, lineage truncated) or silently recomputes it
+    * (inner still lazy), both breaking the caller-owns-the-view
+    * contract. Driver-side metadata walk, no jobs.
     */
   def pinIds(ds: Dataset[_]): Set[Int] = {
     val set = ids(ds.sparkSession.sparkContext)
-    ds.queryExecution.analyzed
-      .collectWithSubqueries {
-        case l: LogicalRDD if set.contains(Integer.valueOf(l.rdd.id)) => l.rdd.id
+    val roots = ds.queryExecution.analyzed.collectWithSubqueries { case l: LogicalRDD => l.rdd }
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val found = scala.collection.mutable.Set.empty[Int]
+    val stack = scala.collection.mutable.Stack[org.apache.spark.rdd.RDD[_]]()
+    roots.foreach(stack.push)
+    while (stack.nonEmpty) {
+      val r = stack.pop()
+      if (seen.add(r.id)) {
+        if (set.contains(Integer.valueOf(r.id))) found += r.id
+        r.dependencies.foreach(d => stack.push(d.rdd))
       }
-      .toSet
+    }
+    found.toSet
   }
 
   /** Pins recorded for this context that still hold storage (blocks

@@ -1043,23 +1043,28 @@ object Vectors {
   // Distributed PCA the deterministic way: the covariance matrix is
   // computed EXACTLY over milli-unit-quantized vectors (x̂ = ⌊v·1e3⌋,
   // the q66 fixed-point pattern) — C′_ij = n·Σx̂ᵢx̂ⱼ − Σx̂ᵢ·Σx̂ⱼ in
-  // unbounded integer arithmetic (Spark: decimal sums + driver
-  // BigDecimal; DuckDB: HUGEINT), so the matrix is bit-identical in
-  // both engines before a single float op. The unit is MILLI (not
-  // micro) deliberately: with |v| < 1 and n ≤ ~10⁵ every C′ entry
-  // stays below 2^53, so the integer→double cast is EXACT everywhere —
-  // at micro-units the sf1 entries passed 2^53 and DuckDB's
-  // HUGEINT→DOUBLE double-rounds the last ULP where BigDecimal
-  // rounds correctly, a real cross-engine divergence the soak caught.
-  // (Larger corpora shrink the unit or pre-divide n out — the
-  // quantization is part of the operator contract either way.) Power iteration (6 steps,
+  // exact integer arithmetic, over the UPPER TRIANGLE only (C is
+  // symmetric, halving the explode) with plain LONG sums: |x̂ᵢx̂ⱼ| ≤
+  // 10⁶ keeps Σx̂ᵢx̂ⱼ exact in a long until n ≈ 9·10¹² rows (DuckDB
+  // mirrors in HUGEINT — equal integers either way), so the matrix is
+  // bit-identical in both engines before a single float op. The unit
+  // is MILLI (not micro) deliberately: with |v| < 1 and n ≤ ~10⁵
+  // every C′ entry stays below 2^53, so the integer→double cast is
+  // EXACT everywhere — at micro-units the sf1 entries passed 2^53 and
+  // DuckDB's HUGEINT→DOUBLE double-rounds the last ULP where
+  // BigDecimal rounds correctly, a real cross-engine divergence the
+  // soak caught. (Larger corpora shrink the unit or pre-divide n out —
+  // the quantization is part of the operator contract either way;
+  // past ~9·10¹² rows the long sums would need the decimal form this
+  // replaced.) Power iteration (6 steps,
   // all-ones init) then runs on the d×d matrix — 4096 doubles, the
   // q52 bounded-collect contract — with every dot product and norm
   // folded in ascending-index order, mirrored exactly by the oracle's
   // list_reduce chains, so loadings and the Rayleigh eigenvalue
-  // hash-gate bit-for-bit. The heavy half (the d² covariance sums) is
-  // one explode + one 4096-group aggregation — fully distributed; the
-  // d×d iteration is driver-side by design, like k-means centroids.
+  // hash-gate bit-for-bit. The heavy half (the d²/2 covariance sums)
+  // is one explode + one triangle-cell aggregation — fully
+  // distributed; the d×d iteration is driver-side by design, like
+  // k-means centroids.
   private val piIters = 6
 
   def q118PowerIteration(s: SparkSession, dir: String): DataFrame = {

@@ -304,6 +304,20 @@ class IvfadcSpec extends SparkSpec {
     err.getMessage should include("different model")
   }
 
+  test("an UNSTAMPED baseline is rejected loudly, not silently gauged against (r12 verdict #6)") {
+    // save() has stamped every baseline since round 12, so a baseline
+    // without model_id can only be a pre-stamp artifact or one staged
+    // outside save() — both foreign to the loaded model's evidence.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_unstamped").toString
+    Ivfadc.save(index, dir, Some(rows.toDF("id", "emb")), "id", "emb")
+    val stripped = spark.read.parquet(s"$dir/staleness").drop("model_id").localCheckpoint(true)
+    stripped.write.mode("overwrite").parquet(s"$dir/staleness")
+    val err = intercept[IllegalArgumentException] {
+      Ivfadc.driftCheck(Ivfadc.load(spark, dir), dir, clustered, "id", "emb")
+    }
+    err.getMessage should include("no model_id stamp")
+  }
+
   test("append ingests a new batch frozen-model: byte-identical to fit-encode, searches see both") {
     // fit on the first 7 coarse clusters only; cluster 7 is the "new
     // crawl batch" ingested by append against the frozen model

@@ -280,6 +280,40 @@ class PinnedSessionSpec extends SparkSpec {
     Pinned.pinnedCount(spark) shouldBe 0
   }
 
+  test("pinIds reaches a pin NESTED behind another pin's checkpoint lineage (pin-of-pin)") {
+    spark.catalog.clearCache()
+    Pinned.release(spark, blocking = true)
+
+    // The ADVICE-r12 scenario: inner pin materialized (lineage
+    // truncated to its checkpoint blocks), outer pin built OVER it and
+    // handed out unexecuted — the Memory-sink view shape. The outer
+    // frame's analyzed plan shows only the outer LogicalRDD; the inner
+    // pin is visible only through the RDD dependency graph.
+    val ((inner, outer), scope) = Pinned.collecting(spark) {
+      val i = Pinned.pin(corpus.select(col("doc_id"), expr("length(text)").as("len")))
+      i.collect() // materialize: lineage truncates to the checkpoint
+      val o = Pinned.pin(i.filter(col("len") > 0).select(col("doc_id"), (col("len") * 2).as("l2")))
+      (i, o) // o is NOT executed — a live view the caller still owns
+    }
+    scope.size shouldBe 2
+
+    val keep = Pinned.pinIds(outer)
+    // plan-only reachability sees 1 (the outer leaf); the dependency
+    // walk must find the inner pin too
+    keep.size shouldBe 2
+
+    // the per-frame carve-out must therefore free NOTHING here...
+    scope.releaseExcept(keep, blocking = true) shouldBe 0
+    // ...and the kept view still executes through both checkpoints
+    outer.collect().length shouldBe 6
+
+    scope.release(blocking = true)
+    Pinned.pinnedCount(spark) shouldBe 0
+    // regression shape check: without the walk, releaseExcept would
+    // have dropped `inner`'s blocks and this collect would throw
+    intercept[Exception](inner.collect())
+  }
+
   test("a released frame fails loudly on re-execution, never recomputes") {
     val p = Pinned.pin(corpus.select(col("doc_id"), expr("length(text)").as("len")))
     p.collect().length shouldBe 6
