@@ -185,17 +185,25 @@ object StreamBench {
       * cumulative numInputRows reaching the spool size is). Queries
       * are stopped right after the stamp.
       */
+    val ChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     def runOnce(
         name: String,
         input: String,
         rule: (String, String),
         stateful: Boolean,
         expected: Long,
-        provider: String): Double = {
+        provider: String,
+        maxFiles: Option[Int] = None,
+        changelog: Boolean = false): Double = {
       val runDir = Files.createTempDirectory(s"graft_sb_$name").toString
       val c = pipeline.PipelineCompiler
-        .compile(spark, config(input, rule, stateful, s"$runDir/sink", provider), streaming = true)
+        .compile(spark, config(input, rule, stateful, s"$runDir/sink", provider, maxFiles), streaming = true)
         .fold(err => sys.error(s"$name: $err"), identity)
+      // Changelog checkpointing is a session conf read at query start;
+      // every run here uses a FRESH checkpoint so flipping it between
+      // runs is safe (an existing checkpoint pins its own setting).
+      spark.conf.set(ChangelogKey, changelog.toString)
       val t0 = System.nanoTime()
       val qs = pipeline.PipelineCompiler.startStreaming(c, s"$runDir/ckpt", availableNow = true)
       val deadline = t0 + 600L * 1000000000L
@@ -225,9 +233,12 @@ object StreamBench {
         rule: (String, String),
         stateful: Boolean,
         events: Int,
-        provider: String): (String, Int, Seq[Double]) = {
-      runOnce(name, input, rule, stateful, events.toLong, provider) // warmup, discarded
-      val runs = (1 to 3).map(_ => runOnce(name, input, rule, stateful, events.toLong, provider))
+        provider: String,
+        maxFiles: Option[Int] = None,
+        changelog: Boolean = false): (String, Int, Seq[Double]) = {
+      runOnce(name, input, rule, stateful, events.toLong, provider, maxFiles, changelog) // warmup, discarded
+      val runs =
+        (1 to 3).map(_ => runOnce(name, input, rule, stateful, events.toLong, provider, maxFiles, changelog))
       System.err.println(f"STREAMBENCH $name%-22s runs=${runs.map(r => f"$r%.2f").mkString(",")}")
       (name, events, runs)
     }
@@ -249,6 +260,7 @@ object StreamBench {
       */
     def runRestart(input: String, expected: Long, provider: String): (Double, Double) = {
       val throttle = Some(2)
+      spark.conf.set(ChangelogKey, "false") // product default, explicit
       def timedToTermination(runDir: String): Double = {
         val c = pipeline.PipelineCompiler
           .compile(
@@ -336,14 +348,35 @@ object StreamBench {
     // heap-backed ("hdfs") — the r11-comparable rows — and the
     // `_rocksdb` rows measure the product DEFAULT since round 12
     // (state on executor local disk, key space disk-bounded).
-    val results = Seq(
-      scenario("stateless_decode", rawSpool, ("len", "lengthRule"), stateful = false, n, "rocksdb"),
-      scenario("stateful_agg", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "hdfs"),
-      scenario("stateful_agg_rocksdb", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "rocksdb"),
-      scenario("stateful_s2s", s2sSpool, ("s2s", "cloudTrailS2SJoin"), stateful = true, n + keys, "hdfs"),
-      scenario("stateful_s2s_rocksdb", s2sSpool, ("s2s", "cloudTrailS2SJoin"), stateful = true, n + keys, "rocksdb")
-    )
-    val (restartU, restartI) = runRestart(s2sSpool, (n + keys).toLong, "rocksdb")
+    //
+    // MODE=changelog (round-12 verdict #4) isolates the regime changelog
+    // checkpointing exists for: the same s2s shape but throttled to
+    // max_files_per_trigger=2 (32-file spool → 16+ micro-batches, each
+    // batch's state delta ≪ total state), changelog off vs on. Round
+    // 12's measurement — 35% slower — used a handful of LARGE
+    // AvailableNow batches, where the per-batch changelog write is pure
+    // overhead on top of the snapshot; this mode produces the
+    // many-small-batches evidence without disturbing the comparable
+    // full-protocol rows.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_MODE", "full")
+    val s2s = ("s2s", "cloudTrailS2SJoin")
+    val results =
+      if (mode == "changelog") Seq(
+        scenario("s2s_throttled_snapshot", s2sSpool, s2s, stateful = true, n + keys, "rocksdb",
+          maxFiles = Some(2), changelog = false),
+        scenario("s2s_throttled_changelog", s2sSpool, s2s, stateful = true, n + keys, "rocksdb",
+          maxFiles = Some(2), changelog = true)
+      )
+      else Seq(
+        scenario("stateless_decode", rawSpool, ("len", "lengthRule"), stateful = false, n, "rocksdb"),
+        scenario("stateful_agg", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "hdfs"),
+        scenario("stateful_agg_rocksdb", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "rocksdb"),
+        scenario("stateful_s2s", s2sSpool, s2s, stateful = true, n + keys, "hdfs"),
+        scenario("stateful_s2s_rocksdb", s2sSpool, s2s, stateful = true, n + keys, "rocksdb")
+      )
+    val restart =
+      if (mode == "changelog") None
+      else Some(runRestart(s2sSpool, (n + keys).toLong, "rocksdb"))
 
     def eps(events: Int, sec: Double): Double = math.round(events / sec).toDouble
     val scenarioJson = results.map { case (name, events, runs) =>
@@ -351,18 +384,27 @@ object StreamBench {
       s""""$name":{"events":$events,"runs_sec":[${runs.map(r => f"$r%.3f").mkString(",")}],""" +
         s""""events_per_sec":${eps(events, sorted(1))},"events_per_sec_max":${eps(events, sorted.head)}}"""
     }.mkString("{", ",", "}")
-    val restartJson =
-      f""""stateful_s2s_restart":{"events":${n + keys},"uninterrupted_sec":$restartU%.3f,""" +
-        f""""interrupted_sec":$restartI%.3f,"overhead_ratio":${restartI / restartU}%.3f}"""
+    val restartJson = restart.map { case (restartU, restartI) =>
+      f""""restart":{"stateful_s2s_restart":{"events":${n + keys},"uninterrupted_sec":$restartU%.3f,""" +
+        f""""interrupted_sec":$restartI%.3f,"overhead_ratio":${restartI / restartU}%.3f}},"""
+    }.getOrElse {
+      // changelog mode: the headline comparison as a typed ratio leaf
+      // (doc-gate pool), changelog-on seconds over snapshot-only
+      val med = results.map { case (name, _, runs) => name -> runs.sorted.apply(1) }.toMap
+      f""""changelog":{"snapshot_sec":${med("s2s_throttled_snapshot")}%.3f,""" +
+        f""""changelog_sec":${med("s2s_throttled_changelog")}%.3f,""" +
+        f""""changelog_over_snapshot_ratio":${med("s2s_throttled_changelog") / med("s2s_throttled_snapshot")}%.3f},"""
+    }
     // headline = the flagship stateful shape (s2s enrichment) on the
     // product-default RocksDB provider, median
     val headline = {
-      val (_, events, runs) = results.find(_._1 == "stateful_s2s_rocksdb").get
+      val key = if (mode == "changelog") "s2s_throttled_snapshot" else "stateful_s2s_rocksdb"
+      val (_, events, runs) = results.find(_._1 == key).get
       eps(events, runs.sorted.apply(1))
     }
     val json =
       s"""{"metric":"events_per_sec","value":$headline,"unit":"events/sec","scenarios":$scenarioJson,""" +
-        s""""restart":{$restartJson},"n":$n,"keys":$keys,"cpus":$cpus}"""
+        s"""$restartJson"n":$n,"keys":$keys,"cpus":$cpus}"""
     println(json)
     val out = Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench_last.json"))
