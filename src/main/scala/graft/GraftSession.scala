@@ -37,9 +37,11 @@ object GraftSession {
       // measured at 1M keys it read the flagship s2s shape 35% SLOWER
       // (13.3-14.2 s vs 9.3-10.0 s) — under few large AvailableNow
       // batches the per-batch changelog write is pure overhead on top
-      // of the snapshot. A high-frequency small-batch deployment should
-      // re-measure with spark.sql.streaming.stateStore.rocksdb
-      // .changelogCheckpointing.enabled=true (SCALE.md round-12).
+      // of the snapshot. Re-measured round 13 in its own regime (16+
+      // small batches via max_files_per_trigger): parity, 0.979x —
+      // still no measured win, so off stays. A deployment with much
+      // larger total state under high-frequency triggers re-measures
+      // with SPARK_GRAFT_STREAMBENCH_MODE=changelog (SCALE.md r13).
       .config("spark.ui.enabled", "false")
 
   /** Local session with `n` executor threads. */
