@@ -2273,7 +2273,142 @@ object Documents {
       |HAVING COUNT(*) >= 2
       |ORDER BY chunk_hash""".stripMargin
 
+  // ---- q129: distributed least-squares GD (linear scorer training) --------
+  // The engine-side "fit a cheap linear scorer" primitive a curation
+  // pipeline uses to distill an expensive teacher signal onto cheap
+  // surface features (fastText-style quality filters are exactly such
+  // linear models). Demonstrable target here: calibrate the corpus's
+  // chars↔tokens relation — predict n_chars/1000 from
+  // (1, n_tok/100, distinct-ratio, stopword-ratio), centered so plain
+  // GD is well-conditioned (lr 0.85 sits under the 2/λmax ≈ 1.0
+  // stability bound of the centered second-moment matrix; MSE drops
+  // 0.108 → 0.004 over the 8 rounds at sf0.01 — the trajectory is part
+  // of the output and the oracle).
+  //
+  // Scale shape: each GD round is ONE map-side pass over the corpus —
+  // a broadcast of the 1-row weight frame (BNLJ with a single-row
+  // build side, PLANS.md-adjudicated), partial aggregation of the d+2
+  // gradient/loss sums, no driver collect anywhere: the next round's
+  // weights are a 1-row frame DERIVED from the previous aggregate, so
+  // the whole T-round chain is a single declarative plan. Gradient and
+  // loss sums go through Num.dsum (exact decimal) — bit-stable under
+  // any partitioning and engine, which makes the TRAINED WEIGHTS
+  // hash-comparable, not just the losses. Rounds unroll in the oracle
+  // as CTEs (q111/q118 pattern).
+  private val gdLr = 0.85
+  private val gdRounds = 8
+
+  def q129LinregGd(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val toks = split(trim(col("text")), "\\s+")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, w => w.isInCollection(stopwords)))
+    // The ratio features are pre-rounded to 4 decimals via integer-
+    // scaled round(): raw quotients like 27/32 terminate at 5 decimals,
+    // exactly on the DECIMAL(18,4) cast's tie boundary, where Spark
+    // (shortest-string BigDecimal) and DuckDB (binary value) can round
+    // apart. round()'s own ties (exact k.5 doubles) round half-away-
+    // from-zero in BOTH engines, so the quantized ratio is bit-stable,
+    // and every downstream dec() cast then sits far from a boundary.
+    def ratio4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(num.cast("double") * lit(10000.0) / den) / lit(10000.0)
+    val feats = docs(s, dir)
+      .select(
+        lit(1.0).as("x0"),
+        (nTok.cast("double") / lit(100.0) - lit(0.55)).as("x1"),
+        (ratio4(size(array_distinct(toks)), nTok) - lit(0.46)).as("x2"),
+        (lit(10.0) * ratio4(nStop, nTok) - lit(0.61)).as("x3"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("y"))
+      .pinned
+    val js = 0 to 3
+    def zOf = js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _)
+    var wPrev = s.range(1).select(js.map(j => lit(0.0).as(s"w$j")): _*)
+    var parts = List.empty[DataFrame]
+    for (t <- 1 to gdRounds) {
+      val joined = feats.crossJoin(broadcast(wPrev)).withColumn("r", zOf - col("y"))
+      // dsumProduct, NOT dsum of the double product: the factors are
+      // exactly representable at 4 decimals (or messy doubles far from
+      // rounding boundaries), but their DOUBLE product can land exactly
+      // on a .00005 tie, where Spark (shortest-string BigDecimal) and
+      // DuckDB (binary-value) round differently. Quantizing the factors
+      // and multiplying in decimal keeps the whole sum exact.
+      val aggCols =
+        js.map(j => max(col(s"w$j")).as(s"pw$j")) ++
+          js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
+          Num.dsumProduct(col("r"), col("r")).as("ssq") :+ count(lit(1)).as("n")
+      val agg = joined.agg(aggCols.head, aggCols.tail: _*)
+      val wNext = agg
+        .select(
+          js.map(j =>
+            (col(s"pw$j") - lit(gdLr) * (lit(2.0) * (col(s"g$j") / col("n")))).as(s"w$j")) :+
+            (col("ssq") / col("n")).as("mse_prev"): _*)
+        .pinned
+      val weightRows = wNext.select(explode(array(
+        js.map(j =>
+          struct(lit(t).as("round"), lit(s"w$j").as("item"), col(s"w$j").as("value"))): _*)).as("kv"))
+        .select(col("kv.round"), col("kv.item"), col("kv.value"))
+      val mseRow = wNext.select(
+        lit(t - 1).as("round"), lit("mse").as("item"), col("mse_prev").as("value"))
+      parts :+= weightRows
+      parts :+= mseRow
+      wPrev = wNext.select(js.map(j => col(s"w$j")): _*)
+    }
+    // the trained model's own loss: one more corpus pass under w_T
+    val finalMse = feats
+      .crossJoin(broadcast(wPrev))
+      .withColumn("r", zOf - col("y"))
+      .agg((Num.dsumProduct(col("r"), col("r")) / count(lit(1))).as("v"))
+      .select(lit(gdRounds).as("round"), lit("mse").as("item"), col("v").as("value"))
+    (parts :+ finalMse).reduce(_.unionByName(_)).orderBy("round", "item")
+  }
+
+  val q129Sql: String = {
+    val js = 0 to 3
+    def dsumP(a: String, b: String) =
+      s"CAST(CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+    val rounds = (1 to gdRounds).map { t =>
+      val p = s"w${t - 1}"
+      s"""st$t AS (
+         |  SELECT f.*, (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y AS r
+         |  FROM feats f CROSS JOIN $p w),
+         |g$t AS (
+         |  SELECT ${js.map(j => s"${dsumP("r", s"x$j")} AS g$j").mkString(", ")},
+         |         ${dsumP("r", "r")} AS ssq, COUNT(*) AS n
+         |  FROM st$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT ${js.map(j => s"w.w$j - $gdLr * (2.0 * (g.g$j / g.n)) AS w$j").mkString(", ")},
+         |         g.ssq / g.n AS mse_prev
+         |  FROM $p w CROSS JOIN g$t g)""".stripMargin
+    }.mkString(",\n")
+    val outRows = (1 to gdRounds).flatMap { t =>
+      js.map(j =>
+        s"SELECT $t AS round, 'w$j' AS item, w$j AS value FROM w$t") :+
+        s"SELECT ${t - 1} AS round, 'mse' AS item, mse_prev AS value FROM w$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tk AS (
+       |  SELECT n_chars, regexp_split_to_array(TRIM(text), '\\s+') AS toks FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT 1.0 AS x0,
+       |    CAST(LEN(toks) AS DOUBLE) / 100.0 - 0.55 AS x1,
+       |    ROUND(CAST(LEN(list_distinct(toks)) AS DOUBLE) * 10000.0 / LEN(toks)) / 10000.0 - 0.46 AS x2,
+       |    10.0 * (ROUND(CAST(LEN(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) * 10000.0 / LEN(toks)) / 10000.0) - 0.61 AS x3,
+       |    CAST(n_chars AS DOUBLE) / 1000.0 AS y
+       |  FROM tk),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$rounds,
+       |stF AS (
+       |  SELECT f.*, (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y AS r
+       |  FROM feats f CROSS JOIN w$gdRounds w),
+       |gF AS (SELECT ${dsumP("r", "r")} AS ssq, COUNT(*) AS n FROM stF),
+       |rows AS (
+       |  $outRows
+       |  UNION ALL SELECT $gdRounds AS round, 'mse' AS item, ssq / n AS value FROM gF)
+       |SELECT CAST(round AS INTEGER) AS round, item, value FROM rows
+       |ORDER BY round, item""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_linreg_gd" -> (q129LinregGd _),
     "q108_cdc_chunks" -> (q108CdcChunks _),
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q123_temperature_mix" -> (q123TemperatureMix _),
@@ -2315,6 +2450,7 @@ object Documents {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_linreg_gd" -> q129Sql,
     "q108_cdc_chunks" -> q108Sql,
     "q106_unimax_alloc" -> q106Sql,
     "q123_temperature_mix" -> q123Sql,

@@ -1399,7 +1399,139 @@ object Vectors {
        |ORDER BY cell NULLS FIRST""".stripMargin
   }
 
+  // ---- q128: MMR diversified re-rank (maximal marginal relevance) ----------
+  // Carbonell & Goldstein 1998 — the standard diversification pass a
+  // retrieval pipeline runs over a shortlist: greedily select k items
+  // maximizing  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)  so near-
+  // duplicate hits don't crowd the result page / training batch.
+  // Query set = vec_id < 8 (q40's), shortlist = top-20 by cosine,
+  // λ = 0.7, k = 5.
+  //
+  // Scale shape: after the shortlist, EVERYTHING is keyed by qid with
+  // bounded per-qid group sizes — 20 candidates, 20·19 pairwise sims,
+  // and k−1 greedy steps each a bounded join + windowed argmax,
+  // shuffle-partitioned on qid. One million concurrent queries
+  // distribute across executors; no step moves data to the driver.
+  // The brute-force shortlist here is the correctness baseline (q40's
+  // posture) — at corpus scale the same greedy consumes any ANN
+  // shortlist (q42 IVF / q102 IVFADC) unchanged. cands/sims and each
+  // step's selection are pinned: every greedy step re-reads them, and
+  // without the pin the plan re-derives the whole shortlist per step
+  // (3^k subtree blowup). The oracle unrolls the k−1 steps as CTEs
+  // (the q111/q118 unrolled-rounds pattern); scores stay bit-exact
+  // across engines because cosine uses the sequential fold both
+  // engines share and the MMR combine is plain IEEE arithmetic.
+  private val mmrPool = 20
+  private val mmrK = 5
+
+  def q128MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val c = e.select(col("vec_id").as("nid"), col("emb").as("nemb"))
+    val rel = c
+      .join(broadcast(q), col("nid") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        col("nemb"),
+        (dot(col("qemb"), col("nemb")) /
+          (sqrt(dot(col("qemb"), col("qemb"))) * sqrt(dot(col("nemb"), col("nemb"))))).as("rel"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+    val cands = rel
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= mmrPool)
+      .select("qid", "nid", "nemb", "rel")
+      .pinned
+    val aSide = cands.select(col("qid"), col("nid").as("a"), col("nemb").as("aemb"))
+    val bSide = cands.select(col("qid"), col("nid").as("b"), col("nemb").as("bemb"))
+    val sims = aSide
+      .join(bSide, Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(
+        col("qid"),
+        col("a"),
+        col("b"),
+        (dot(col("aemb"), col("bemb")) /
+          (sqrt(dot(col("aemb"), col("aemb"))) * sqrt(dot(col("bemb"), col("bemb"))))).as("sim"))
+      .pinned
+    val base = cands.select(col("qid"), col("nid"), col("rel"))
+    var selected = base
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("rel"), col("rel").as("score"), lit(1).as("step"))
+      .pinned
+    for (t <- 2 to mmrK) {
+      val ms = sims
+        .join(selected.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("a", "nid")
+      val wPick = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      val pick = base
+        .join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+        .join(ms, Seq("qid", "nid"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("rel"), col("score"), lit(t).as("step"))
+      // steps 1..k-1 are re-read 3× by the NEXT step (ms join, anti-
+      // join, union) → pinned; the final union is consumed exactly once
+      // by the output sort and stays UNpinned so the last greedy step's
+      // join/agg/window shape remains visible to the plan audit.
+      val u = selected.unionByName(pick)
+      selected = if (t < mmrK) u.pinned else u
+    }
+    selected.orderBy("qid", "step")
+  }
+
+  val q128Sql: String = {
+    val cosine = (x: String, y: String) =>
+      s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (u, v) -> u + v)
+         |      / (sqrt(list_reduce(list_transform(list_zip($x, $x), p -> p[1] * p[2]), (u, v) -> u + v))
+         |       * sqrt(list_reduce(list_transform(list_zip($y, $y), p -> p[1] * p[2]), (u, v) -> u + v)))""".stripMargin
+    val steps = (2 to mmrK).map { t =>
+      val prev = s"sel${t - 1}"
+      s"""ms$t AS (
+         |  SELECT s.qid, s.a AS nid, MAX(s.sim) AS maxsim
+         |  FROM sims s JOIN $prev p ON s.qid = p.qid AND s.b = p.nid
+         |  GROUP BY s.qid, s.a),
+         |sc$t AS (
+         |  SELECT c.qid, c.nid, c.rel, 0.7 * c.rel - 0.3 * m.maxsim AS score
+         |  FROM cands c JOIN ms$t m ON c.qid = m.qid AND c.nid = m.nid
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev p WHERE p.qid = c.qid AND p.nid = c.nid)),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT qid, nid, rel, score, $t AS step FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM sc$t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 8),
+       |rel AS (
+       |  SELECT qid, e.vec_id AS nid, e.emb AS nemb,
+       |    ${cosine("qemb", "emb")} AS rel
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+       |cands AS MATERIALIZED (
+       |  SELECT qid, nid, nemb, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM rel)
+       |  WHERE rn <= $mmrPool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.qid, a.nid AS a, b.nid AS b,
+       |    ${cosine("a.nemb", "b.nemb")} AS sim
+       |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid),
+       |sel1 AS MATERIALIZED (
+       |  SELECT qid, nid, rel, rel AS score, 1 AS step FROM (
+       |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+       |    FROM cands)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT qid, CAST(step AS INTEGER) AS step, nid, rel, score FROM sel$mmrK
+       |ORDER BY qid, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_mmr_rerank" -> (q128MmrRerank _),
     "q127_index_drift" -> (q127IndexDrift _),
     "q116_random_projection" -> (q116RandomProjection _),
     "q117_hybrid_rrf" -> (q117HybridRrf _),
@@ -1422,6 +1554,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_mmr_rerank" -> q128Sql,
     "q127_index_drift" -> q127Sql,
     "q116_random_projection" -> q116Sql,
     "q117_hybrid_rrf" -> q117Sql,
