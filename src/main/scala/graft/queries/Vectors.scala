@@ -700,7 +700,11 @@ object Vectors {
     graft.operators.Ivfadc.search(idx, qs, nprobe = 2, k = 5).orderBy("qid", "rank")
   }
 
-  val q102Sql: String = {
+  /** The full IVFADC replay through the probed ADC `ranked` CTE —
+    * shared by q102 (rank ≤ 5 contract) and q130 (rank ≤ mmrPool
+    * shortlist for the MMR re-rank).
+    */
+  private val ivfadcRankedSql: String = {
     val resChains = (0 until 4)
       .map(x => pqChainSql(x, subDims = 16, k = 4, iters = 2, src = "res", prefix = "r"))
       .mkString(",\n")
@@ -742,10 +746,13 @@ object Vectors {
        |ranked AS (
        |  SELECT qid, nid, cell, adc_dist,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS INTEGER) AS rank
-       |  FROM adist)
+       |  FROM adist)""".stripMargin
+  }
+
+  val q102Sql: String =
+    s"""$ivfadcRankedSql
        |SELECT qid, rank, nid, cell, adc_dist FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
-  }
 
   // ---- q107: hard-negative / hard-positive mining (contrastive training) -------
   // The standard contrastive-pair miner over a labeled embedding
@@ -1442,6 +1449,17 @@ object Vectors {
       .filter(col("rn") <= mmrPool)
       .select("qid", "nid", "nemb", "rel")
       .pinned
+    mmrGreedy(cands, mmrK).orderBy("qid", "step")
+  }
+
+  /** The shared MMR greedy: `cands` = (qid, nid, nemb, rel) — a
+    * bounded per-qid shortlist from ANY retrieval leg (q128 feeds the
+    * brute-force cosine top-k, q130 the probed IVFADC ranking).
+    * Diversity sims are cosines over the candidates' TRUE embeddings;
+    * k−1 steps of bounded join + windowed argmax per qid. Returns
+    * (qid, nid, rel, score, step), unordered.
+    */
+  private def mmrGreedy(cands: DataFrame, k: Int): DataFrame = {
     val aSide = cands.select(col("qid"), col("nid").as("a"), col("nemb").as("aemb"))
     val bSide = cands.select(col("qid"), col("nid").as("b"), col("nemb").as("bemb"))
     val sims = aSide
@@ -1454,13 +1472,14 @@ object Vectors {
         (dot(col("aemb"), col("bemb")) /
           (sqrt(dot(col("aemb"), col("aemb"))) * sqrt(dot(col("bemb"), col("bemb"))))).as("sim"))
       .pinned
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
     val base = cands.select(col("qid"), col("nid"), col("rel"))
     var selected = base
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") === 1)
       .select(col("qid"), col("nid"), col("rel"), col("rel").as("score"), lit(1).as("step"))
       .pinned
-    for (t <- 2 to mmrK) {
+    for (t <- 2 to k) {
       val ms = sims
         .join(selected.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
         .groupBy(col("qid"), col("a"))
@@ -1479,17 +1498,22 @@ object Vectors {
       // by the output sort and stays UNpinned so the last greedy step's
       // join/agg/window shape remains visible to the plan audit.
       val u = selected.unionByName(pick)
-      selected = if (t < mmrK) u.pinned else u
+      selected = if (t < k) u.pinned else u
     }
-    selected.orderBy("qid", "step")
+    selected
   }
 
-  val q128Sql: String = {
-    val cosine = (x: String, y: String) =>
-      s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (u, v) -> u + v)
-         |      / (sqrt(list_reduce(list_transform(list_zip($x, $x), p -> p[1] * p[2]), (u, v) -> u + v))
-         |       * sqrt(list_reduce(list_transform(list_zip($y, $y), p -> p[1] * p[2]), (u, v) -> u + v)))""".stripMargin
-    val steps = (2 to mmrK).map { t =>
+  private def cosineSql(x: String, y: String): String =
+    s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (u, v) -> u + v)
+       |      / (sqrt(list_reduce(list_transform(list_zip($x, $x), p -> p[1] * p[2]), (u, v) -> u + v))
+       |       * sqrt(list_reduce(list_transform(list_zip($y, $y), p -> p[1] * p[2]), (u, v) -> u + v)))""".stripMargin
+
+  /** The shared MMR-tail CTEs + final SELECT: expects a prior
+    * `cands(qid, nid, nemb, rel)` CTE (any retrieval leg). Mirrors
+    * [[mmrGreedy]] step for step.
+    */
+  private def mmrTailSql(k: Int): String = {
+    val steps = (2 to k).map { t =>
       val prev = s"sel${t - 1}"
       s"""ms$t AS (
          |  SELECT s.qid, s.a AS nid, MAX(s.sim) AS maxsim
@@ -1506,19 +1530,9 @@ object Vectors {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM sc$t)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 8),
-       |rel AS (
-       |  SELECT qid, e.vec_id AS nid, e.emb AS nemb,
-       |    ${cosine("qemb", "emb")} AS rel
-       |  FROM e CROSS JOIN q WHERE e.vec_id <> qid),
-       |cands AS MATERIALIZED (
-       |  SELECT qid, nid, nemb, rel FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM rel)
-       |  WHERE rn <= $mmrPool),
-       |sims AS MATERIALIZED (
+    s"""sims AS MATERIALIZED (
        |  SELECT a.qid, a.nid AS a, b.nid AS b,
-       |    ${cosine("a.nemb", "b.nemb")} AS sim
+       |    ${cosineSql("a.nemb", "b.nemb")} AS sim
        |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid),
        |sel1 AS MATERIALIZED (
        |  SELECT qid, nid, rel, rel AS score, 1 AS step FROM (
@@ -1526,11 +1540,69 @@ object Vectors {
        |    FROM cands)
        |  WHERE rn = 1),
        |$steps
-       |SELECT qid, CAST(step AS INTEGER) AS step, nid, rel, score FROM sel$mmrK
+       |SELECT qid, CAST(step AS INTEGER) AS step, nid, rel, score FROM sel$k
        |ORDER BY qid, step""".stripMargin
   }
 
+  val q128Sql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 8),
+       |rel AS (
+       |  SELECT qid, e.vec_id AS nid, e.emb AS nemb,
+       |    ${cosineSql("qemb", "emb")} AS rel
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+       |cands AS MATERIALIZED (
+       |  SELECT qid, nid, nemb, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM rel)
+       |  WHERE rn <= $mmrPool),
+       |${mmrTailSql(mmrK)}""".stripMargin
+
+  // ---- q130: MMR over the probed IVFADC shortlist (ANN + diversify) --------
+  // The production composition q128's header promises: the SAME greedy
+  // (mmrGreedy, shared code path) consuming the probed IVFADC ranking
+  // (q102's index, k = 20) instead of the brute-force scan. Relevance
+  // is the reciprocal ADC rank (exact rational — ADC distances and
+  // cosines live on different scales, so rank-based relevance keeps
+  // the λ-mix meaningful and the arithmetic engine-exact); diversity
+  // sims are cosines over the candidates' TRUE embeddings, read once
+  // for the ≤ 20·|Q| shortlist rows — the index is still never
+  // re-scanned. At 100 TB this is the serving-path shape: probed
+  // search touches nprobe cells, the re-rank touches k·|Q| rows.
+  // Oracle = the full q102 index replay (shared ivfadcRankedSql)
+  // composed with the shared MMR tail.
+  def q130MmrIvfadc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"),
+      graft.operators.Similarity.asDouble(col("embedding")).as("e")
+    )
+    val idx = graft.operators.Ivfadc.fit(
+      e, idCol = "vec_id", embCol = "e",
+      coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
+    val qs = e
+      .filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+      .toSeq
+    val shortlist = graft.operators.Ivfadc.search(idx, qs, nprobe = 2, k = mmrPool)
+    val cands = shortlist
+      .select(col("qid"), col("nid"), (lit(1.0) / col("rank")).as("rel"))
+      .join(e.select(col("vec_id").as("nid"), col("e").as("nemb")), Seq("nid"))
+      .select("qid", "nid", "nemb", "rel")
+      .pinned
+    mmrGreedy(cands, mmrK).orderBy("qid", "step")
+  }
+
+  val q130Sql: String =
+    s"""$ivfadcRankedSql,
+       |cands AS MATERIALIZED (
+       |  SELECT r.qid, r.nid, e.emb AS nemb, CAST(1 AS DOUBLE) / r.rank AS rel
+       |  FROM ranked r JOIN e ON e.vec_id = r.nid
+       |  WHERE r.rank <= $mmrPool),
+       |${mmrTailSql(mmrK)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_mmr_ivfadc" -> (q130MmrIvfadc _),
     "q128_mmr_rerank" -> (q128MmrRerank _),
     "q127_index_drift" -> (q127IndexDrift _),
     "q116_random_projection" -> (q116RandomProjection _),
@@ -1554,6 +1626,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_mmr_ivfadc" -> q130Sql,
     "q128_mmr_rerank" -> q128Sql,
     "q127_index_drift" -> q127Sql,
     "q116_random_projection" -> q116Sql,
