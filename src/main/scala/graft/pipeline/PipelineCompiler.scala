@@ -37,7 +37,8 @@ object PipelineCompiler {
     ExampleLengthRule,
     DomainCertIssuedRule,
     CloudTrailS2SJoinRule,
-    CloudTrailNoMfaAggRule
+    CloudTrailNoMfaAggRule,
+    TrendingEventsRule
   ) ++ CorpusRules.all).map(r => r.name -> r).toMap
 
   final case class Compiled(

@@ -317,3 +317,42 @@ object CloudTrailNoMfaAggRule extends Rule {
       )
   }
 }
+
+/** Trending event names per event-time window — the monitoring
+  * "what is hot right now" report as a built-in rule: a 10-minute
+  * tumbling-window SpaceSaving top-5 over the decoded CloudTrail
+  * feed's eventName ([[graft.streaming.Trending]]). State per window
+  * pane is O(capacity=64) in the map-side buffers, the shuffle AND the
+  * streaming state store — never one entry per distinct key, which is
+  * the scale posture a 100 TB firehose needs. The record type changes
+  * downstream (the aRule precedent): one row per closed window and
+  * rank, (WindowStart, WindowEnd, Rank, Item, Cnt, MaxErr).
+  *
+  * Batch and streaming share the SAME declarative plan — the sketch is
+  * a first-class Catalyst TypedImperativeAggregate, so Structured
+  * Streaming checkpoints its buffers like any windowed aggregation and
+  * append mode emits each pane once, finalized, when the watermark
+  * passes (no flatMapGroupsWithState needed).
+  */
+object TrendingEventsRule extends Rule {
+  val name = "trendingEvents"
+  override val eventType: Option[String] = Some("CloudTrail")
+
+  def apply(ct: DataFrame): DataFrame = {
+    val report = graft.streaming.Trending.topKByWindow(
+      ct, tsCol = "eventTime", keyCol = "eventName",
+      windowDur = "10 minutes", watermark = "5 minutes", k = 5, capacity = 64)
+    report.select(
+      col("window_start").as("WindowStart"),
+      col("window_end").as("WindowEnd"),
+      posexplode(col("topk")).as(Seq("_pos", "_e"))
+    ).select(
+      col("WindowStart"),
+      col("WindowEnd"),
+      (col("_pos") + 1).cast("int").as("Rank"),
+      col("_e.item").as("Item"),
+      col("_e.cnt").as("Cnt"),
+      col("_e.max_err").as("MaxErr")
+    )
+  }
+}
