@@ -288,24 +288,38 @@ object Ivfadc {
     *              new (exact-dedup upstream); same dims as the index
     */
   def append(index: Index, batch: DataFrame, idCol: String, embCol: String): Index = {
+    val (cells, encWithCell) = encodeBatch(index, batch, idCol, embCol)
+    // match the index's enc shape: a loaded enc carries its cell
+    // partition column, so the appended rows attach theirs too; a
+    // fit-produced enc is (id, sub, code) and the cell drops
+    val enc =
+      if (index.enc.columns.contains("cell")) encWithCell
+      else encWithCell.select(col("id"), col("sub"), col("code"))
+    index.copy(
+      cells = index.cells.unionByName(cells),
+      enc = index.enc.unionByName(enc))
+  }
+
+  /** The frozen-model encoding of a new batch — exactly the rows
+    * [[append]] unions in, exposed for ingest paths that PERSIST them
+    * (the staged/streaming delta form) instead of holding them in
+    * memory. Returns (cells = (id, cell), enc = (id, sub, code, cell));
+    * the cell attach is a batch-sized join, never corpus-sized.
+    */
+  def encodeBatch(
+      index: Index,
+      batch: DataFrame,
+      idCol: String,
+      embCol: String): (DataFrame, DataFrame) = {
     val res = residuals(index, batch, idCol, embCol)
     val cells = res.select(col("id"), col("cell"))
-    val encPlain = ProductQuant
+    val enc = ProductQuant
       .encode(res.select(col("id"), col("e")), idCol = "id", embCol = "e",
         codebooks = index.codebooks)
       .select(col("id"), col("sub"), col("code"))
-    // match the index's enc shape: a loaded enc carries its cell
-    // partition column, so the appended rows attach theirs too (the
-    // batch's own cell table — batch-sized join, never corpus-sized)
-    val enc =
-      if (index.enc.columns.contains("cell"))
-        encPlain
-          .join(cells.select(col("id"), col("cell")), "id")
-          .select(col("id"), col("sub"), col("code"), col("cell"))
-      else encPlain
-    index.copy(
-      cells = index.cells.unionByName(cells.select(col("id"), col("cell"))),
-      enc = index.enc.unionByName(enc))
+      .join(cells, "id")
+      .select(col("id"), col("sub"), col("code"), col("cell"))
+    (cells, enc)
   }
 
   /** Drop deleted ids from both staged halves — the delete side of the
