@@ -359,6 +359,11 @@ object StreamBench {
     // many-small-batches evidence without disturbing the comparable
     // full-protocol rows.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_MODE", "full")
+    // present-but-invalid is an ERROR, not a silent full-protocol run
+    // (the PipelineConfig knob posture): a typo'd mode would otherwise
+    // overwrite the requested artifact with the wrong experiment
+    require(mode == "full" || mode == "changelog",
+      s"SPARK_GRAFT_STREAMBENCH_MODE=$mode — known modes: full, changelog")
     val s2s = ("s2s", "cloudTrailS2SJoin")
     val results =
       if (mode == "changelog") Seq(

@@ -288,13 +288,14 @@ object Ivfadc {
     *              new (exact-dedup upstream); same dims as the index
     */
   def append(index: Index, batch: DataFrame, idCol: String, embCol: String): Index = {
-    val (cells, encWithCell) = encodeBatch(index, batch, idCol, embCol)
+    val (cells, encPlain) = encodeBatchPlain(index, batch, idCol, embCol)
     // match the index's enc shape: a loaded enc carries its cell
-    // partition column, so the appended rows attach theirs too; a
-    // fit-produced enc is (id, sub, code) and the cell drops
+    // partition column, so the appended rows attach theirs too (the
+    // batch's own cell table — batch-sized join, never corpus-sized);
+    // a fit-produced enc is (id, sub, code) and skips the join
     val enc =
-      if (index.enc.columns.contains("cell")) encWithCell
-      else encWithCell.select(col("id"), col("sub"), col("code"))
+      if (index.enc.columns.contains("cell")) attachCell(encPlain, cells)
+      else encPlain
     index.copy(
       cells = index.cells.unionByName(cells),
       enc = index.enc.unionByName(enc))
@@ -311,16 +312,26 @@ object Ivfadc {
       batch: DataFrame,
       idCol: String,
       embCol: String): (DataFrame, DataFrame) = {
+    val (cells, encPlain) = encodeBatchPlain(index, batch, idCol, embCol)
+    (cells, attachCell(encPlain, cells))
+  }
+
+  private def encodeBatchPlain(
+      index: Index,
+      batch: DataFrame,
+      idCol: String,
+      embCol: String): (DataFrame, DataFrame) = {
     val res = residuals(index, batch, idCol, embCol)
     val cells = res.select(col("id"), col("cell"))
-    val enc = ProductQuant
+    val encPlain = ProductQuant
       .encode(res.select(col("id"), col("e")), idCol = "id", embCol = "e",
         codebooks = index.codebooks)
       .select(col("id"), col("sub"), col("code"))
-      .join(cells, "id")
-      .select(col("id"), col("sub"), col("code"), col("cell"))
-    (cells, enc)
+    (cells, encPlain)
   }
+
+  private def attachCell(encPlain: DataFrame, cells: DataFrame): DataFrame =
+    encPlain.join(cells, "id").select(col("id"), col("sub"), col("code"), col("cell"))
 
   /** Drop deleted ids from both staged halves — the delete side of the
     * maintenance loop ([[append]] is the insert side). The model is

@@ -2282,7 +2282,7 @@ object Documents {
   // (1, n_tok/100, distinct-ratio, stopword-ratio), centered so plain
   // GD is well-conditioned (lr 0.85 sits under the 2/λmax ≈ 1.0
   // stability bound of the centered second-moment matrix; MSE drops
-  // 0.108 → 0.004 over the 8 rounds at sf0.01 — the trajectory is part
+  // 0.108 → 0.0021 over the 8 rounds at sf0.01 — the trajectory is part
   // of the output and the oracle).
   //
   // Scale shape: each GD round is ONE map-side pass over the corpus —

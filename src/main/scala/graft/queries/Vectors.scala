@@ -678,16 +678,24 @@ object Vectors {
   // (elementwise residual subtraction, decimal fits, fixed-order
   // sums), so the full probed ranking hash-compares against a DuckDB
   // replay of the whole index build.
-  def q102Ivfadc(s: SparkSession, dir: String): DataFrame = {
+  /** The q102 index (coarse 8×3 Lloyd, m=4, pqK=4×2 over residuals)
+    * plus its q40-style 8-query contract set. The fit parameters are
+    * MIRRORED literally by [[ivfadcRankedSql]]'s unrolled replay —
+    * q102 and q130 both build through THIS helper so a parameter tune
+    * can never drift the Spark side away from the shared oracle.
+    */
+  private def q102IndexAndQueries(
+      s: SparkSession,
+      dir: String): (graft.operators.Ivfadc.Index, Seq[(Long, Seq[Double])]) = {
     val e = emb(s, dir).select(
       col("vec_id"),
       graft.operators.Similarity.asDouble(col("embedding")).as("e")
     )
     // the whole index + probed-search pipeline lives in operators.Ivfadc
     // (fit: coarse cells -> localCheckpoint'd residuals -> per-subspace
-    // PQ; search: driver tables for this q40-style 8-query contract —
-    // searchDf is the many-query form). The refactor is hash-invariant:
-    // the operator keeps the exact arithmetic this query always had.
+    // PQ; search: driver tables for the 8-query contract — searchDf is
+    // the many-query form). The operator keeps the exact arithmetic
+    // this query always had (hash-invariant refactor lineage).
     val idx = graft.operators.Ivfadc.fit(
       e, idCol = "vec_id", embCol = "e",
       coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
@@ -697,6 +705,11 @@ object Vectors {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
       .toSeq
+    (idx, qs)
+  }
+
+  def q102Ivfadc(s: SparkSession, dir: String): DataFrame = {
+    val (idx, qs) = q102IndexAndQueries(s, dir)
     graft.operators.Ivfadc.search(idx, qs, nprobe = 2, k = 5).orderBy("qid", "rank")
   }
 
@@ -1571,19 +1584,11 @@ object Vectors {
   // Oracle = the full q102 index replay (shared ivfadcRankedSql)
   // composed with the shared MMR tail.
   def q130MmrIvfadc(s: SparkSession, dir: String): DataFrame = {
+    val (idx, qs) = q102IndexAndQueries(s, dir)
     val e = emb(s, dir).select(
       col("vec_id"),
       graft.operators.Similarity.asDouble(col("embedding")).as("e")
     )
-    val idx = graft.operators.Ivfadc.fit(
-      e, idCol = "vec_id", embCol = "e",
-      coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
-    val qs = e
-      .filter(col("vec_id") < 8)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1)
-      .toSeq
     val shortlist = graft.operators.Ivfadc.search(idx, qs, nprobe = 2, k = mmrPool)
     val cands = shortlist
       .select(col("qid"), col("nid"), (lit(1.0) / col("rank")).as("rel"))

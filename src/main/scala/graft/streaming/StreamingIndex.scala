@@ -20,7 +20,10 @@ import graft.operators.Ivfadc
   *      to the staged index (`$dir/delta/{cells,enc}/batch_id=N`,
   *      OVERWRITE mode — a batch replayed after a crash overwrites
   *      exactly its own output, so ingest is replay-idempotent without
-  *      a transactional sink),
+  *      a transactional sink) and become VISIBLE only when the batch's
+  *      commit marker lands (created last, dropped first on replay —
+  *      a crash or concurrent read mid-write can never observe a
+  *      half-written batch),
   *   3. the batch is drift-checked against the index's staged
   *      fit-time baseline (when one exists) and the per-cell decision
   *      report lands under `$dir/delta/drift/batch_id=N` — drifted
@@ -55,9 +58,16 @@ object StreamingIndex {
     val spark = batch.sparkSession
     val index = Ivfadc.load(spark, dir)
     val (cells, enc) = Ivfadc.encodeBatch(index, batch, idCol, embCol)
-    // enc first, cells last: loadWithDeltas unions on cells' batch ids,
-    // so a crash between the two writes leaves the batch invisible (it
-    // replays wholesale) rather than half-visible
+    // Commit protocol: the batch is visible IFF its marker file exists.
+    // The marker is dropped first (a replay makes the batch invisible
+    // for its duration instead of serving a half-overwritten mix),
+    // re-created last with an atomic create — so a crash or a
+    // concurrent read at ANY point between sees either the complete
+    // previous version of the batch (marker still absent: nothing) or
+    // the complete new one, never partial part-file listings.
+    val fs = fileSystem(spark, dir)
+    val marker = new HPath(commitMarker(dir, batchId))
+    if (fs.exists(marker)) fs.delete(marker, false)
     enc.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=$batchId")
     cells.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=$batchId")
     if (exists(spark, s"$dir/staleness")) {
@@ -65,6 +75,24 @@ object StreamingIndex {
         .driftCheck(index, dir, batch, idCol, embCol, ratioThreshold)
         .write.mode("overwrite").parquet(s"$dir/delta/drift/batch_id=$batchId")
     }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  private def commitMarker(dir: String, batchId: Long): String =
+    s"$dir/delta/commits/batch_$batchId"
+
+  /** Batch ids whose commit marker exists — the only batches the
+    * served view admits.
+    */
+  private def committedIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new HPath(s"$dir/delta/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
   }
 
   /** Start the streaming ingest: (idCol, embCol) rows → the index
@@ -92,17 +120,15 @@ object StreamingIndex {
     */
   def loadWithDeltas(spark: SparkSession, dir: String): Ivfadc.Index = {
     val base = Ivfadc.load(spark, dir)
-    if (!exists(spark, s"$dir/delta/cells")) base
+    val committed = committedIds(spark, dir)
+    if (committed.isEmpty) base
     else {
-      // the cells write COMMITS a batch (ingestBatch writes enc first,
-      // cells last), so enc deltas are served only for batch ids whose
-      // cells partition exists — a crash between the two writes leaves
-      // the batch invisible until its replay, never half-visible
-      val cellsD = spark.read.parquet(s"$dir/delta/cells")
-      val committed = cellsD.select(col("batch_id")).distinct()
-      val encD = spark.read
-        .parquet(s"$dir/delta/enc")
-        .join(broadcast(committed), "batch_id")
+      // only marker-committed batches are served (ingestBatch's commit
+      // protocol), on BOTH halves — a crashed or in-replay batch is
+      // wholly invisible, never a complete enc against partial cells
+      val ok = col("batch_id").cast("long").isin(committed: _*)
+      val cellsD = spark.read.parquet(s"$dir/delta/cells").filter(ok)
+      val encD = spark.read.parquet(s"$dir/delta/enc").filter(ok)
       base.copy(
         cells = base.cells.unionByName(cellsD.select(col("id"), col("cell").cast("int"))),
         enc = base.enc.unionByName(
@@ -131,4 +157,7 @@ object StreamingIndex {
     val p = new HPath(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  private def fileSystem(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

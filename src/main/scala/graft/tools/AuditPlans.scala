@@ -87,10 +87,14 @@ object AuditPlans {
     @volatile var jobSentinelSeen = false
     val jobListener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-        if (desc.contains(SentinelDesc)) jobSentinelSeen = true
-        else jobs.incrementAndGet()
+        val prop = (k: String) =>
+          Option(js.properties).flatMap(p => Option(p.getProperty(k)))
+        if (prop("spark.job.description").contains(SentinelDesc)) jobSentinelSeen = true
+        // count only jobs that BYPASS the SQL layer (no execution id):
+        // jobs belonging to SQL executions are already audited via
+        // their captured plans, and counting them here would make the
+        // raw-jobs column indistinguishable from ordinary SQL noise
+        else if (prop("spark.sql.execution.id").isEmpty) jobs.incrementAndGet()
       }
     }
     spark.listenerManager.register(qeListener)

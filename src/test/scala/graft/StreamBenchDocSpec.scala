@@ -170,6 +170,13 @@ class StreamBenchDocSpec extends AnyFunSuite with Matchers {
       .asScala
       .map(_.getFileName.toString)
       .filter(_.matches("STREAMBENCH_r\\d+(_[a-z_]+)?\\.json"))
+      // regime EXPERIMENTS (deliberately throttled runs — the
+      // changelog on/off comparison) are excluded from the throughput
+      // pool: their events_per_sec leaves are not legitimate protocol
+      // rates, and admitting them would let a stale full-protocol
+      // claim pass by colliding with a throttled number. Their typed
+      // *_sec/*_ratio leaves remain gated by the ratio/seconds test.
+      .filterNot(_.contains("_changelog"))
       .toSeq
       .sorted
     artifacts should not be empty

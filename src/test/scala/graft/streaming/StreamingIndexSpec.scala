@@ -65,16 +65,17 @@ class StreamingIndexSpec extends SparkSpec {
     assert(counts(StreamingIndex.loadWithDeltas(spark, dir)) == counts(inMem))
   }
 
-  test("a crash between the enc and cells writes leaves the batch invisible, replay completes it") {
+  test("an uncommitted batch (crash before the marker) is invisible; replay completes it") {
     val (dir, loaded) = freshIndexDir()
     val b = emb.filter(col("id") >= 40 && col("id") < 45)
-    // simulate the crash: enc delta written (first), cells (the commit
-    // mark, written last) missing
-    val (_, enc) = Ivfadc.encodeBatch(loaded, b, "id", "e")
+    // simulate the worst crash: BOTH delta halves fully written, the
+    // commit marker (created last) missing
+    val (cells, enc) = Ivfadc.encodeBatch(loaded, b, "id", "e")
     enc.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=9")
+    cells.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=9")
     val (c0, e0) = counts(Ivfadc.load(spark, dir))
     assert(counts(StreamingIndex.loadWithDeltas(spark, dir)) == ((c0, e0)),
-      "half-written batch must not be served")
+      "uncommitted batch must not be served")
     StreamingIndex.ingestBatch(b, 9L, dir, "id", "e")
     assert(counts(StreamingIndex.loadWithDeltas(spark, dir)) == ((c0 + 5, e0 + 5 * 4)))
   }

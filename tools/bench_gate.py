@@ -126,6 +126,9 @@ def main():
         except FileNotFoundError:
             derived = {}
         derived.setdefault("pairs", {})[args.pair_name] = headline
+        # StreamBenchDocSpec requires a history array; a from-scratch
+        # regeneration must not produce a file the suite hard-fails on
+        derived.setdefault("history", [])
         with open(args.derived, "w") as f:
             json.dump(derived, f, indent=1, sort_keys=True)
             f.write("\n")
