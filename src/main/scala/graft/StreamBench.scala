@@ -40,6 +40,10 @@ import java.nio.file.{Files, Paths}
   *     uninterrupted start→termination run — the recovery-overhead
   *     ratio, with exactly-once delivery verified on the split run's
   *     sink output.
+  *   - `trending`: CloudTrail decode → trendingEvents (event-time
+  *     windowed SpaceSaving top-k, capacity 64) over `keys` distinct
+  *     eventNames across six 10-minute panes — the O(capacity)-state
+  *     streaming row (round-13 verdict #5).
   *
   * One JSON line on stdout; full artifact also written to
   * SPARK_GRAFT_STREAMBENCH_OUT (default target/streambench_last.json).
@@ -108,6 +112,22 @@ object StreamBench {
       assumeRoleTemplate
         .replace("dEXAMPLE-ac7f-466c-a608-4ac8dEXAMPLE", f"ar-$k%08d")
         .replace("Bob-EC2-dev", s"user-$k")
+    }
+
+  /** The trending scenario's feed: `keys` distinct eventNames (far
+    * past the rule's capacity=64, so the SpaceSaving overflow path is
+    * what gets measured, not the exact small-cardinality case) spread
+    * over a one-hour span of eventTimes — six 10-minute panes, five of
+    * them watermark-closed by the end of the spool.
+    */
+  private def trendingFeedEvents(n: Int, keys: Int): IndexedSeq[String] =
+    (0 until n).map { i =>
+      val k = i % keys
+      val minute = (i.toLong * 60L / math.max(1, n)).toInt // 0..59 across the spool
+      createUserTemplate
+        .replace("dEXAMPLE-265a-41e0-9352-4401bEXAMPLE", f"evt-$i%08d")
+        .replace("\"eventName\": \"CreateUser\"", s""""eventName": "name-$k"""")
+        .replace("2016-11-14T17:25:45Z", f"2016-11-14T17:$minute%02d:00Z")
     }
 
   def main(args: Array[String]): Unit = {
@@ -343,6 +363,8 @@ object StreamBench {
     writeSpool(s2sSpool, assumeRoleEvents(keys) ++ createUserEvents(n, keys), files = 32)
     val rawSpool = s"$root/raw"
     writeSpool(rawSpool, (0 until n).map(i => "x" * (i % 5 + 1)), files = 32)
+    val trendSpool = s"$root/trend"
+    writeSpool(trendSpool, trendingFeedEvents(n, keys), files = 32)
 
     // Stateful scenarios run under BOTH providers: the bare names stay
     // heap-backed ("hdfs") — the r11-comparable rows — and the
@@ -377,7 +399,12 @@ object StreamBench {
         scenario("stateful_agg", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "hdfs"),
         scenario("stateful_agg_rocksdb", ctSpool, ("agg", "cloudTrailNoMfaAgg"), stateful = true, n, "rocksdb"),
         scenario("stateful_s2s", s2sSpool, s2s, stateful = true, n + keys, "hdfs"),
-        scenario("stateful_s2s_rocksdb", s2sSpool, s2s, stateful = true, n + keys, "rocksdb")
+        scenario("stateful_s2s_rocksdb", s2sSpool, s2s, stateful = true, n + keys, "rocksdb"),
+        // the O(capacity)-state claim, measured: decode → windowed
+        // SpaceSaving top-k (trendingEvents, capacity 64) over `keys`
+        // distinct names — state per pane stays 64 slots no matter the
+        // key cardinality (declarative agg, no "kv" declaration needed)
+        scenario("trending", trendSpool, ("trend", "trendingEvents"), stateful = false, n, "rocksdb")
       )
     val restart =
       if (mode == "changelog") None

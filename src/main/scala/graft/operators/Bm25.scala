@@ -154,6 +154,30 @@ object Bm25 {
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Per-(qid, doc) raw BM25 scores over every document containing at
+    * least one query term — the pair-FEATURE form of [[topK]] (no
+    * top-k window): (qid, doc_id, score, hit_terms), `hit_terms` =
+    * how many of the query's slots matched the doc. Docs matching no
+    * term have no row — a downstream left join reads them as 0.0 / 0.
+    * Same slot-ordered pivot sum as [[topK]], so scores hash-replay.
+    */
+  def pairScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    validate(queries)
+    val maxTerms = queries.map(_._2.size).max
+    val qpost = queryPostings(docs, idCol, textCol, queries, k1, b)
+    val hit = (0 until maxTerms).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(s"_s$i").isNotNull, 1).otherwise(0)
+    }
+    pivotScore(qpost, maxTerms)
+      .select(col("qid"), col("doc_id"), col("score"), hit.as("hit_terms"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 recipe:
     * Lavrenko & Croft 2001 relevance models, the Jelinek-Mercer-mixed
     * "RM3" variant in its standard rational simplification):

@@ -2325,13 +2325,26 @@ object Documents {
     var wPrev = s.range(1).select(js.map(j => lit(0.0).as(s"w$j")): _*)
     var parts = List.empty[DataFrame]
     for (t <- 1 to gdRounds) {
-      val joined = feats.crossJoin(broadcast(wPrev)).withColumn("r", zOf - col("y"))
+      // The residual is quantized to 4 decimals the same way the ratio
+      // features are (integer-scaled round, identical half-away-from-
+      // zero ties in both engines): a RAW double residual entering the
+      // DECIMAL(18,4) cast would rest its cross-engine stability on no
+      // residual ever having a shortest-string form terminating on a
+      // .00005 boundary — true for this corpus but data-dependent
+      // (round 1's r = -y is a short 3-decimal value, exactly the
+      // class where ties occur). Quantizing first makes the cast exact
+      // BY CONSTRUCTION; both engines apply the identical perturbation
+      // (≤5e-5 per residual), so the trajectory stays hash-comparable.
+      val joined = feats.crossJoin(broadcast(wPrev))
+        .withColumn("r", round((zOf - col("y")) * lit(10000.0)) / lit(10000.0))
       // dsumProduct, NOT dsum of the double product: the factors are
-      // exactly representable at 4 decimals (or messy doubles far from
-      // rounding boundaries), but their DOUBLE product can land exactly
-      // on a .00005 tie, where Spark (shortest-string BigDecimal) and
-      // DuckDB (binary-value) round differently. Quantizing the factors
-      // and multiplying in decimal keeps the whole sum exact.
+      // exactly representable at 4 decimals by construction (r and the
+      // ratio features quantized above; x1/y terminate at ≤4 decimals'
+      // scale or sit far from boundaries), but their DOUBLE product
+      // can land exactly on a .00005 tie, where Spark (shortest-string
+      // BigDecimal) and DuckDB (binary-value) round differently.
+      // Quantizing the factors and multiplying in decimal keeps the
+      // whole sum exact.
       val aggCols =
         js.map(j => max(col(s"w$j")).as(s"pw$j")) ++
           js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
@@ -2356,7 +2369,7 @@ object Documents {
     // the trained model's own loss: one more corpus pass under w_T
     val finalMse = feats
       .crossJoin(broadcast(wPrev))
-      .withColumn("r", zOf - col("y"))
+      .withColumn("r", round((zOf - col("y")) * lit(10000.0)) / lit(10000.0))
       .agg((Num.dsumProduct(col("r"), col("r")) / count(lit(1))).as("v"))
       .select(lit(gdRounds).as("round"), lit("mse").as("item"), col("v").as("value"))
     (parts :+ finalMse).reduce(_.unionByName(_)).orderBy("round", "item")
@@ -2369,7 +2382,7 @@ object Documents {
     val rounds = (1 to gdRounds).map { t =>
       val p = s"w${t - 1}"
       s"""st$t AS (
-         |  SELECT f.*, (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y AS r
+         |  SELECT f.*, ROUND(((w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y) * 10000.0) / 10000.0 AS r
          |  FROM feats f CROSS JOIN $p w),
          |g$t AS (
          |  SELECT ${js.map(j => s"${dsumP("r", s"x$j")} AS g$j").mkString(", ")},
@@ -2397,7 +2410,7 @@ object Documents {
        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
        |$rounds,
        |stF AS (
-       |  SELECT f.*, (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y AS r
+       |  SELECT f.*, ROUND(((w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) - f.y) * 10000.0) / 10000.0 AS r
        |  FROM feats f CROSS JOIN w$gdRounds w),
        |gF AS (SELECT ${dsumP("r", "r")} AS ssq, COUNT(*) AS n FROM stF),
        |rows AS (

@@ -684,6 +684,18 @@ object Vectors {
     * q102 and q130 both build through THIS helper so a parameter tune
     * can never drift the Spark side away from the shared oracle.
     */
+  /** The 8-query contract set (vec_id < 8) as driver tuples — shared
+    * by the fit-inclusive queries and the serving-path entry points.
+    */
+  private def contractQueries(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    emb(s, dir)
+      .select(col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("e"))
+      .filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+      .toSeq
+
   private def q102IndexAndQueries(
       s: SparkSession,
       dir: String): (graft.operators.Ivfadc.Index, Seq[(Long, Seq[Double])]) = {
@@ -699,13 +711,7 @@ object Vectors {
     val idx = graft.operators.Ivfadc.fit(
       e, idCol = "vec_id", embCol = "e",
       coarseK = 8, coarseIters = 3, m = 4, pqK = 4, pqIters = 2)
-    val qs = e
-      .filter(col("vec_id") < 8)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1)
-      .toSeq
-    (idx, qs)
+    (idx, contractQueries(s, dir))
   }
 
   def q102Ivfadc(s: SparkSession, dir: String): DataFrame = {
@@ -992,7 +998,26 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
-  val q117Sql: String = {
+  /** Slot-ordered per-(qid, doc) BM25 sum over the pivoted s0..s_{m-1}
+    * slots — shared by q117's sparse leg and q131's pair feature.
+    */
+  private val hybridScoreExpr: String = {
+    val maxTerms = hybridQueries.map(_._2.size).max
+    (0 until maxTerms).foldLeft("0.0") { (acc, i) => s"($acc + COALESCE(s$i, 0.0))" }
+  }
+
+  private def hybridDotSql(a: String, b: String): String =
+    (0 until jlD).foldLeft("0.0") { (acc, i) =>
+      s"($acc + CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE))"
+    }
+
+  /** The hybrid-retrieval CTE chain through `fused` — q117's whole
+    * oracle body, shared verbatim with q131 (which re-scores the
+    * fused shortlist) so the two can never drift. `per` (pair BM25
+    * slots) and `dense0` (pair cosines) are MATERIALIZED: q131
+    * references each twice (ranking leg + feature leg).
+    */
+  private val hybridFusedSql: String = {
     val qtRows = hybridQueries
       .flatMap { case (qid, ts, _) => ts.zipWithIndex.map { case (t, i) => s"($qid,$i,'$t')" } }
       .mkString(",")
@@ -1002,13 +1027,7 @@ object Vectors {
     val slotCols = (0 until maxTerms)
       .map(i => s"MAX(CASE WHEN slot = $i THEN s END) AS s$i")
       .mkString(", ")
-    val scoreExpr = (0 until maxTerms).foldLeft("0.0") { (acc, i) =>
-      s"($acc + COALESCE(s$i, 0.0))"
-    }
-    def dotSql(a: String, b: String) = (0 until jlD).foldLeft("0.0") { (acc, i) =>
-      s"($acc + CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE))"
-    }
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+    s"""t AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
        |           FROM documents),
        |base AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
@@ -1028,18 +1047,18 @@ object Vectors {
        |                  / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS s
        |       FROM wdf CROSS JOIN stats),
        |qt(qid, slot, term) AS (VALUES $qtRows),
-       |per AS (SELECT qid, doc_id, $slotCols
+       |per AS MATERIALIZED (SELECT qid, doc_id, $slotCols
        |        FROM sc JOIN qt USING (term) GROUP BY qid, doc_id),
        |sparse AS (SELECT qid, doc_id,
        |             CAST(ROW_NUMBER() OVER (PARTITION BY qid
-       |               ORDER BY $scoreExpr DESC, doc_id) AS INTEGER) AS rank_sparse
+       |               ORDER BY $hybridScoreExpr DESC, doc_id) AS INTEGER) AS rank_sparse
        |           FROM per QUALIFY rank_sparse <= 20),
        |qv AS (SELECT qid, embedding AS qe
        |       FROM (VALUES $qvRows) q(qid, qvid)
        |       JOIN embeddings ON vec_id = qvid),
-       |dense0 AS (SELECT qid, vec_id AS doc_id,
-       |             ${dotSql("qe", "embedding")} /
-       |             (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("embedding", "embedding")})) AS sim
+       |dense0 AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
+       |             ${hybridDotSql("qe", "embedding")} /
+       |             (sqrt(${hybridDotSql("qe", "qe")}) * sqrt(${hybridDotSql("embedding", "embedding")})) AS sim
        |           FROM embeddings CROSS JOIN qv),
        |dense AS (SELECT qid, doc_id,
        |            CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -1050,14 +1069,17 @@ object Vectors {
        |            (COALESCE(1.0 / (60.0 + rank_sparse), 0.0) +
        |             COALESCE(1.0 / (60.0 + rank_dense), 0.0)) AS rrf
        |          FROM sparse s FULL OUTER JOIN dense d
-       |            ON s.qid = d.qid AND s.doc_id = d.doc_id)
+       |            ON s.qid = d.qid AND s.doc_id = d.doc_id)""".stripMargin
+  }
+
+  val q117Sql: String =
+    s"""WITH $hybridFusedSql
        |SELECT CAST(qid AS INTEGER) AS qid,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
        |  doc_id, rrf
        |FROM fused
        |QUALIFY rank <= 10
        |ORDER BY qid, rank""".stripMargin
-  }
 
   // ---- q118: top principal component via power iteration ---------------------
   // Distributed PCA the deterministic way: the covariance matrix is
@@ -1606,7 +1628,208 @@ object Vectors {
        |  WHERE r.rank <= $mmrPool),
        |${mmrTailSql(mmrK)}""".stripMargin
 
+  // ---- Serving-path entry points (graft.ServingBench) ----------------------
+  // q102/q120/q130's bench rows are FIT-dominated by construction and
+  // adjudicated as offline-amortized — these entry points put the
+  // amortized claim on the record: fit + save once (untimed offline
+  // half), then time ONLY load + probed search (+ MMR re-rank) from
+  // the staged, cell-partitioned index. That load-and-serve number —
+  // not the fit-inclusive one — is the 100×-scale serving cost: a
+  // probe touches nprobe cells' files (partition-pruned, per the
+  // IvfadcSpec files-read assert), never the corpus.
+
+  /** The offline half: q102's exact fit, staged to `idxDir` with its
+    * fit-time drift baseline (a full production index dir).
+    */
+  def q102FitAndSave(s: SparkSession, dir: String, idxDir: String): Unit = {
+    val (idx, _) = q102IndexAndQueries(s, dir)
+    val base = emb(s, dir)
+      .select(col("vec_id").as("id"), graft.operators.Similarity.asDouble(col("embedding")).as("e"))
+    graft.operators.Ivfadc.save(idx, idxDir, Some(base))
+  }
+
+  /** q102's serving leg from an already-staged index: the probed ADC
+    * search alone, byte-identical to q102Ivfadc's ranking (save/load
+    * round-trips bit-exactly, spec-pinned).
+    */
+  def q102Serve(s: SparkSession, dir: String, idx: graft.operators.Ivfadc.Index): DataFrame =
+    graft.operators.Ivfadc.search(idx, contractQueries(s, dir), nprobe = 2, k = 5)
+      .orderBy("qid", "rank")
+
+  /** q130's serving leg from an already-staged index: probed shortlist
+    * → reciprocal-rank MMR — exactly q130MmrIvfadc minus the fit.
+    */
+  def q130Serve(s: SparkSession, dir: String, idx: graft.operators.Ivfadc.Index): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("e"))
+    val shortlist =
+      graft.operators.Ivfadc.search(idx, contractQueries(s, dir), nprobe = 2, k = mmrPool)
+    val cands = shortlist
+      .select(col("qid"), col("nid"), (lit(1.0) / col("rank")).as("rel"))
+      .join(e.select(col("vec_id").as("nid"), col("e").as("nemb")), Seq("nid"))
+      .select("qid", "nid", "nemb", "rel")
+      .pinned
+    mmrGreedy(cands, mmrK).orderBy("qid", "step")
+  }
+
+  /** The many-query serving throughput shape: EVERY corpus vector
+    * queries the staged index ([[graft.operators.Ivfadc.searchDf]],
+    * tables built in executors, enc scan statically pruned to the
+    * probed cells). This is the row that scales with |Q| — the batch
+    * re-embedding / nearest-neighbor-sweep deployment shape.
+    */
+  def ivfadcServeAll(
+      s: SparkSession, dir: String, idx: graft.operators.Ivfadc.Index, k: Int = 5): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("e"))
+    graft.operators.Ivfadc.searchDf(idx, e, "vec_id", "e", nprobe = 2, k = k)
+  }
+
+  // ---- q131: trained pair-feature re-scoring (the cross-encoder slot) ------
+  // The one standard LLM-retrieval primitive the stack lacked (round-13
+  // verdict #8): a TRAINED re-scorer over query-doc pair features —
+  // the role a cross-encoder plays in a production pipeline, here in
+  // its distillation form (teach a cheap student from an expensive
+  // teacher signal). Candidates = q117's fused RRF top-10 per query;
+  // teacher y = the pair's dense cosine (the "expensive" leg);
+  // student features are CHEAP pair surface stats: squashed
+  // rational-idf BM25 (Bm25.pairScores), query-term overlap fraction,
+  // doc token diversity and length (q129's centered forms). Training
+  // is q129's distributed-GD machinery verbatim — each round ONE
+  // map-side pass over the pair rows (1-row weight broadcast,
+  // dsumProduct decimal gradient sums over 4-decimal-quantized factors
+  // AND residuals, tie-proof across engines) — then the trained scorer
+  // re-ranks the shortlist. At 100 TB: |Q| scales freely — features,
+  // training and re-ranking are joins + partial aggs over
+  // |Q|·shortlist PAIR rows (never corpus-pairwise), and the teacher
+  // column is whatever logged expensive signal a deployment distills.
+  // lr: x0/x1/x2 are near-1 CORRELATED features (intercept, squashed
+  // BM25, overlap — the shortlist is mostly term-matching docs), so
+  // λmax(XᵀX/n) approaches the ~3 of three aligned unit features;
+  // stability needs lr < 1/λmax under the w − lr·2·∇ update. lr=0.2
+  // at 12 rounds converges (LinregRescoreSpec pins model-beats-null);
+  // lr=0.5 oscillated — found the hard way, kept documented.
+  private val rescoreLr = 0.2
+  private val rescoreRounds = 12
+
+  def q131TrainedRescore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Num
+    val shortlist = q117HybridRrf(s, dir).select(col("qid"), col("doc_id"))
+    val pairBm = graft.operators.Bm25.pairScores(
+      Tables.documents(s, dir), "doc_id", col("text"), hybridQueries.map(q => (q._1, q._2)))
+    // doc surface features on the SAME lowered tokenization the BM25
+    // side uses (the oracle's shared `t` CTE)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val surf = Tables.documents(s, dir).select(
+      col("doc_id"), size(toks).as("n_tok"), size(array_distinct(toks)).as("n_distinct"))
+    val qv = broadcast(
+      hybridQueries.map(q => (q._1, q._3)).toDF("qid", "qvid")
+        .join(emb(s, dir).select(col("vec_id").as("qvid"), col("embedding").as("qe")), "qvid")
+        .select(col("qid"), col("qe")))
+    def edot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
+      }
+    val sc = coalesce(col("score"), lit(0.0))
+    val feats = shortlist
+      .join(pairBm, Seq("qid", "doc_id"), "left")
+      .join(surf, Seq("doc_id"))
+      .join(emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding").as("de")), Seq("doc_id"))
+      .join(qv, Seq("qid"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        lit(1.0).as("x0"),
+        // squash the unbounded BM25 into [0,1) then quantize — the
+        // residual-quantization rationale (q129) applies to every factor
+        (round((sc / (lit(1.0) + sc)) * lit(10000.0)) / lit(10000.0)).as("x1"),
+        (coalesce(col("hit_terms"), lit(0)).cast("double") / lit(2.0)).as("x2"),
+        (round(col("n_distinct").cast("double") * lit(10000.0) / col("n_tok")) / lit(10000.0)
+          - lit(0.46)).as("x3"),
+        (col("n_tok").cast("double") / lit(100.0) - lit(0.55)).as("x4"),
+        (edot(col("qe"), col("de")) /
+          (sqrt(edot(col("qe"), col("qe"))) * sqrt(edot(col("de"), col("de"))))).as("y"))
+      .pinned
+    val js = 0 to 4
+    def zOf = js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _)
+    var wPrev = s.range(1).select(js.map(j => lit(0.0).as(s"w$j")): _*)
+    for (_ <- 1 to rescoreRounds) {
+      val joined = feats.crossJoin(broadcast(wPrev))
+        .withColumn("r", round((zOf - col("y")) * lit(10000.0)) / lit(10000.0))
+      val aggCols =
+        js.map(j => max(col(s"w$j")).as(s"pw$j")) ++
+          js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
+          count(lit(1)).as("n")
+      val agg = joined.agg(aggCols.head, aggCols.tail: _*)
+      wPrev = agg
+        .select(js.map(j =>
+          (col(s"pw$j") - lit(rescoreLr) * (lit(2.0) * (col(s"g$j") / col("n")))).as(s"w$j")): _*)
+        .pinned
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    feats.crossJoin(broadcast(wPrev))
+      .select(col("qid"), col("doc_id"), zOf.as("score"), col("y").as("teacher"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"), col("teacher"))
+      .orderBy("qid", "rank")
+  }
+
+  val q131Sql: String = {
+    val js = 0 to 4
+    val maxTerms = hybridQueries.map(_._2.size).max
+    val hitExpr = (0 until maxTerms)
+      .map(i => s"(CASE WHEN s$i IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def dsumP(a: String, b: String) =
+      s"CAST(CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+    def z(w: String, f: String) = js.map(j => s"$w.w$j * $f.x$j").mkString(" + ")
+    val rounds = (1 to rescoreRounds).map { t =>
+      val p = s"w${t - 1}"
+      s"""st$t AS (
+         |  SELECT f.*, ROUND(((${z("w", "f")}) - f.y) * 10000.0) / 10000.0 AS r
+         |  FROM feats f CROSS JOIN $p w),
+         |g$t AS (
+         |  SELECT ${js.map(j => s"${dsumP("r", s"x$j")} AS g$j").mkString(", ")},
+         |         COUNT(*) AS n
+         |  FROM st$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT ${js.map(j => s"w.w$j - $rescoreLr * (2.0 * (g.g$j / g.n)) AS w$j").mkString(", ")}
+         |  FROM $p w CROSS JOIN g$t g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $hybridFusedSql,
+       |sl AS MATERIALIZED (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+       |    FROM fused) WHERE rk <= 10),
+       |pairbm AS (SELECT qid, doc_id, $hybridScoreExpr AS bscore, $hitExpr AS hit FROM per),
+       |feats AS MATERIALIZED (
+       |  SELECT sl.qid, sl.doc_id,
+       |    1.0 AS x0,
+       |    ROUND((COALESCE(pb.bscore, 0.0) / (1.0 + COALESCE(pb.bscore, 0.0))) * 10000.0) / 10000.0 AS x1,
+       |    CAST(COALESCE(pb.hit, 0) AS DOUBLE) / 2.0 AS x2,
+       |    ROUND(CAST(LEN(list_distinct(t.toks)) AS DOUBLE) * 10000.0 / LEN(t.toks)) / 10000.0 - 0.46 AS x3,
+       |    CAST(LEN(t.toks) AS DOUBLE) / 100.0 - 0.55 AS x4,
+       |    d0.sim AS y
+       |  FROM sl
+       |  LEFT JOIN pairbm pb ON pb.qid = sl.qid AND pb.doc_id = sl.doc_id
+       |  JOIN t ON t.doc_id = sl.doc_id
+       |  JOIN dense0 d0 ON d0.qid = sl.qid AND d0.doc_id = sl.doc_id),
+       |w0 AS (SELECT ${js.map(j => s"0.0 AS w$j").mkString(", ")}),
+       |$rounds,
+       |rescored AS (
+       |  SELECT f.qid, f.doc_id, (${z("w", "f")}) AS score, f.y AS teacher
+       |  FROM feats f CROSS JOIN w$rescoreRounds w)
+       |SELECT CAST(qid AS INTEGER) AS qid,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, score, teacher
+       |FROM rescored
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_trained_rescore" -> (q131TrainedRescore _),
     "q130_mmr_ivfadc" -> (q130MmrIvfadc _),
     "q128_mmr_rerank" -> (q128MmrRerank _),
     "q127_index_drift" -> (q127IndexDrift _),
@@ -1631,6 +1854,7 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_trained_rescore" -> q131Sql,
     "q130_mmr_ivfadc" -> q130Sql,
     "q128_mmr_rerank" -> q128Sql,
     "q127_index_drift" -> q127Sql,

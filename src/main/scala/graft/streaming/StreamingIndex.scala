@@ -15,15 +15,19 @@ import graft.operators.Ivfadc
   *   1. each batch is encoded under the FROZEN model
   *      ([[Ivfadc.encodeBatch]] — the quantizer never moves between
   *      refits, so appended codes are exactly what a refit-free
-  *      [[Ivfadc.append]] would hold in memory),
+  *      [[Ivfadc.append]] would hold in memory); [[ingest]] loads the
+  *      model ONCE per query and fails loudly if the on-disk model is
+  *      swapped under a running ingest (a silent mid-stream swap would
+  *      mix encodings from two quantizers inside one delta tree),
   *   2. the encoded halves land as `batch_id=N` delta partitions next
   *      to the staged index (`$dir/delta/{cells,enc}/batch_id=N`,
   *      OVERWRITE mode — a batch replayed after a crash overwrites
   *      exactly its own output, so ingest is replay-idempotent without
   *      a transactional sink) and become VISIBLE only when the batch's
   *      commit marker lands (created last, dropped first on replay —
-  *      a crash or concurrent read mid-write can never observe a
-  *      half-written batch),
+  *      readers that go through [[loadWithDeltas]] list only committed
+  *      batch directories, so a crashed or in-replay batch is wholly
+  *      invisible to them),
   *   3. the batch is drift-checked against the index's staged
   *      fit-time baseline (when one exists) and the per-cell decision
   *      report lands under `$dir/delta/drift/batch_id=N` — drifted
@@ -31,20 +35,27 @@ import graft.operators.Ivfadc
   *      REFIT, they do not block writes; a gap in the index is worse
   *      than a slightly stale quantization).
   *
-  * [[loadWithDeltas]] serves the union (base + all deltas) through
-  * the same probed search path; [[foldDeltas]] is the compaction
-  * cadence — rewrite base+deltas as a fresh index dir (index dirs are
-  * versioned, the caller swaps serving to the new version and drops
-  * the old; in-place swap would need [[StreamingDedup]]'s
-  * swap-recovery machinery for no serving benefit).
+  * [[loadWithDeltas]] serves the union (base + committed deltas)
+  * through the same probed search path; [[foldDeltas]] is the
+  * compaction cadence — it snapshots the committed-batch set ONCE,
+  * rewrites base + exactly that snapshot as a fresh index dir, and
+  * records the snapshot under `$outDir/folded_batches` so batches
+  * committed after the snapshot are detectable (diff against
+  * [[foldedBatches]]) and replayable into the new version. Index dirs
+  * are versioned: the caller swaps serving to the new version and
+  * drops the old; folding INTO an existing dir (or into the ingest
+  * dir itself) is refused loudly — an in-place rewrite would race the
+  * old version's readers and ingest for no serving benefit.
   *
   * Ids must be unique across the whole stream (exact-dedup upstream),
   * the [[Ivfadc.append]] contract.
   */
 object StreamingIndex {
 
-  /** One micro-batch of the ingest — the `foreachBatch` body, exposed
-    * for batch-mode reuse and direct testing.
+  /** One micro-batch of the ingest, batch-mode / test entry point:
+    * loads the model itself. The streaming path ([[ingest]]) uses the
+    * caller-held-model overload so the model parquet/JSON reads and
+    * plan construction happen once per query, not once per trigger.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -55,28 +66,55 @@ object StreamingIndex {
       ratioThreshold: Double = 2.0
   ): Unit = {
     if (batch.isEmpty) return
+    ingestBatch(batch, batchId, dir, idCol, embCol, ratioThreshold,
+      Ivfadc.load(batch.sparkSession, dir))
+  }
+
+  /** The `foreachBatch` body with a caller-held frozen model. */
+  def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      dir: String,
+      idCol: String,
+      embCol: String,
+      ratioThreshold: Double,
+      index: Ivfadc.Index
+  ): Unit = {
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val index = Ivfadc.load(spark, dir)
-    val (cells, enc) = Ivfadc.encodeBatch(index, batch, idCol, embCol)
-    // Commit protocol: the batch is visible IFF its marker file exists.
-    // The marker is dropped first (a replay makes the batch invisible
-    // for its duration instead of serving a half-overwritten mix),
-    // re-created last with an atomic create — so a crash or a
-    // concurrent read at ANY point between sees either the complete
-    // previous version of the batch (marker still absent: nothing) or
-    // the complete new one, never partial part-file listings.
-    val fs = fileSystem(spark, dir)
-    val marker = new HPath(commitMarker(dir, batchId))
-    if (fs.exists(marker)) fs.delete(marker, false)
-    enc.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=$batchId")
-    cells.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=$batchId")
-    if (exists(spark, s"$dir/staleness")) {
-      Ivfadc
-        .driftCheck(index, dir, batch, idCol, embCol, ratioThreshold)
-        .write.mode("overwrite").parquet(s"$dir/delta/drift/batch_id=$batchId")
-    }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
+    // The residual-assignment prefix (nearest-cell + residual, the
+    // expensive map-side stage) is shared by all three consumers below
+    // — the enc write, the cells write, and driftCheck's staleness
+    // encode. Persist it for the batch's duration so the lineage runs
+    // once, not three times (the CacheManager substitutes the cached
+    // plan into each consumer's identical residual sub-plan).
+    val res = Ivfadc.residuals(index, batch, idCol, embCol)
+    res.persist()
+    try {
+      val (cells, enc) = Ivfadc.encodeBatch(index, batch, idCol, embCol)
+      // Commit protocol: the batch is visible IFF its marker file
+      // exists. The marker is dropped first (a replay makes the batch
+      // invisible for its duration instead of serving a half-
+      // overwritten mix), re-created last — so readers that resolve
+      // visibility through the markers ([[committedIds]] /
+      // [[loadWithDeltas]], which list and read ONLY committed batch
+      // directories) see either the complete previous version of the
+      // batch or the complete new one, never a half-written mix. A
+      // reader that lists the delta tree directly, outside that
+      // protocol, gets no such isolation.
+      val fs = fileSystem(spark, dir)
+      val marker = new HPath(commitMarker(dir, batchId))
+      if (fs.exists(marker)) fs.delete(marker, false)
+      enc.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=$batchId")
+      cells.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=$batchId")
+      if (exists(spark, s"$dir/staleness")) {
+        Ivfadc
+          .driftCheck(index, dir, batch, idCol, embCol, ratioThreshold)
+          .write.mode("overwrite").parquet(s"$dir/delta/drift/batch_id=$batchId")
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    } finally res.unpersist(blocking = false)
   }
 
   private def commitMarker(dir: String, batchId: Long): String =
@@ -95,8 +133,37 @@ object StreamingIndex {
         .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
   }
 
+  /** Byte fingerprint of the staged model files — the mid-stream
+    * model-swap guard. Pure filesystem reads (the model JSON is one
+    * small file), no Spark job, so checking it per trigger is cheap.
+    * A byte-identical rewrite fingerprints the same (same model, no
+    * false alarm); any refit changes the serialized doubles.
+    */
+  private def modelFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new HPath(s"$dir/model")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .foreach { s =>
+        val in = fs.open(s.getPath)
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Start the streaming ingest: (idCol, embCol) rows → the index
-    * dir's delta partitions, exactly-once per micro-batch.
+    * dir's delta partitions, exactly-once per micro-batch. The model
+    * is loaded ONCE here (frozen-model contract — between refits the
+    * quantizer never moves, so reloading per trigger is pure overhead)
+    * and its on-disk fingerprint is re-checked each trigger: a model
+    * swapped under a running ingest fails the query loudly instead of
+    * silently re-encoding later batches under a different quantizer.
     */
   def ingest(
       stream: DataFrame,
@@ -105,34 +172,54 @@ object StreamingIndex {
       embCol: String,
       checkpoint: String,
       ratioThreshold: Double = 2.0
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    val spark = stream.sparkSession
+    val index = Ivfadc.load(spark, dir)
+    val frozen = modelFingerprint(spark, dir)
     stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, id, dir, idCol, embCol, ratioThreshold)
+        val now = modelFingerprint(b.sparkSession, dir)
+        if (now != frozen)
+          throw new IllegalStateException(
+            s"IVFADC model at $dir/model changed under a running ingest " +
+              s"(fingerprint $frozen at start, $now now) — the frozen-model contract " +
+              "forbids mid-stream refits: stop the ingest, refit + re-save (or fold into " +
+              "a fresh versioned dir), and restart the ingest against the new version")
+        ingestBatch(b, id, dir, idCol, embCol, ratioThreshold, index)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
-  /** The served view: base index + every ingested delta, probed-search
-    * ready (both halves keep their cell columns, so the partition-
-    * pruning contract of a loaded index holds for the base scan; delta
-    * scans are batch-sized).
+  /** The served view: base index + every committed delta, probed-
+    * search ready (both halves keep their cell columns, so the
+    * partition-pruning contract of a loaded index holds for the base
+    * scan; delta scans are batch-sized).
     */
-  def loadWithDeltas(spark: SparkSession, dir: String): Ivfadc.Index = {
+  def loadWithDeltas(spark: SparkSession, dir: String): Ivfadc.Index =
+    loadWithDeltas(spark, dir, committedIds(spark, dir))
+
+  /** The served view over an explicit committed-batch snapshot —
+    * [[foldDeltas]] pins its snapshot through this. Only the named
+    * batch directories are listed and footer-read (explicit paths +
+    * basePath, never a whole-tree listing), so an uncommitted or
+    * in-replay batch directory is never touched by the read at all —
+    * no transient FileNotFound from a concurrent overwrite.
+    */
+  private def loadWithDeltas(
+      spark: SparkSession, dir: String, committed: Seq[Long]): Ivfadc.Index = {
     val base = Ivfadc.load(spark, dir)
-    val committed = committedIds(spark, dir)
     if (committed.isEmpty) base
     else {
-      // only marker-committed batches are served (ingestBatch's commit
-      // protocol), on BOTH halves — a crashed or in-replay batch is
-      // wholly invisible, never a complete enc against partial cells
-      val ok = col("batch_id").cast("long").isin(committed: _*)
-      val cellsD = spark.read.parquet(s"$dir/delta/cells").filter(ok)
-      val encD = spark.read.parquet(s"$dir/delta/enc").filter(ok)
+      def half(name: String): DataFrame =
+        spark.read
+          .option("basePath", s"$dir/delta/$name")
+          .parquet(committed.map(id => s"$dir/delta/$name/batch_id=$id"): _*)
       base.copy(
-        cells = base.cells.unionByName(cellsD.select(col("id"), col("cell").cast("int"))),
+        cells = base.cells.unionByName(
+          half("cells").select(col("id"), col("cell").cast("int"))),
         enc = base.enc.unionByName(
-          encD.select(col("id"), col("sub"), col("code"), col("cell").cast("int"))))
+          half("enc").select(col("id"), col("sub"), col("code"), col("cell").cast("int"))))
     }
   }
 
@@ -143,15 +230,60 @@ object StreamingIndex {
     if (exists(spark, s"$dir/delta/drift")) Some(spark.read.parquet(s"$dir/delta/drift"))
     else None
 
-  /** Compaction: rewrite base + deltas as a fresh index dir (model
-    * unchanged — the stamp carries over, so the staged fit-time
+  /** Compaction: rewrite base + committed deltas as a fresh index dir
+    * (model unchanged — the stamp carries over, so the staged fit-time
     * baseline stays valid and is copied along with it).
+    *
+    * Fold-under-ingest safety: the committed-batch set is snapshotted
+    * ONCE and the rewrite reads exactly that snapshot (explicit batch
+    * paths — a batch committing concurrently is neither listed nor
+    * half-read), and the snapshot is recorded under
+    * `$outDir/folded_batches`. A caller swapping serving to the new
+    * dir diffs the live dir's commits against [[foldedBatches]] to
+    * find batches that landed after the snapshot and replays them into
+    * the new version. The target must be a FRESH dir: folding into an
+    * existing dir — above all the ingest dir itself — is refused,
+    * because rewriting a live dir would race its readers and its
+    * ingest (the caller-swaps versioning contract, now enforced).
     */
   def foldDeltas(spark: SparkSession, dir: String, outDir: String): Unit = {
-    Ivfadc.save(loadWithDeltas(spark, dir), outDir)
+    val fs = fileSystem(spark, outDir)
+    val out = fs.makeQualified(new HPath(outDir))
+    val in = fileSystem(spark, dir).makeQualified(new HPath(dir))
+    require(out != in,
+      s"foldDeltas target equals the source dir ($in) — compaction writes a FRESH " +
+        "versioned dir and the caller swaps serving to it; an in-place rewrite would " +
+        "race the dir's own readers and ingest")
+    require(!fs.exists(out),
+      s"foldDeltas target $out already exists — refusing to compact into a live dir " +
+        "(fold writes a fresh version; swap serving to it, then drop the old)")
+    val committed = committedIds(spark, dir).sorted
+    Ivfadc.save(loadWithDeltas(spark, dir, committed), outDir)
     if (exists(spark, s"$dir/staleness"))
       spark.read.parquet(s"$dir/staleness").write.mode("overwrite").parquet(s"$outDir/staleness")
+    import spark.implicits._
+    committed.toDF("batch_id").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$outDir/folded_batches")
   }
+
+  /** The committed-batch snapshot a [[foldDeltas]] run folded — diff
+    * the source dir's live commit set against this to find batches
+    * that landed after the snapshot (they need a replay into the new
+    * version before the old dir is dropped). Empty for a dir that was
+    * never produced by foldDeltas.
+    */
+  def foldedBatches(spark: SparkSession, dir: String): Seq[Long] =
+    if (!exists(spark, s"$dir/folded_batches")) Seq.empty
+    else
+      spark.read.parquet(s"$dir/folded_batches")
+        .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Batches committed in `dir` but absent from `newDir`'s folded
+    * snapshot — the replay set a caller must ingest into `newDir`
+    * before dropping `dir`.
+    */
+  def unfoldedBatches(spark: SparkSession, dir: String, newDir: String): Seq[Long] =
+    (committedIds(spark, dir).toSet -- foldedBatches(spark, newDir).toSet).toSeq.sorted
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new HPath(path)

@@ -14,9 +14,12 @@ class LinregGdSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def run() =
-    graft.SparkEntry.queries("q129_linreg_gd")(spark, dir)
+    // release the query's pinned intermediates once collected — each
+    // invocation pins ~10 frames and the suite runs the query thrice
+    try graft.SparkEntry.queries("q129_linreg_gd")(spark, dir)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    finally graft.operators.Pinned.release(spark, blocking = true)
 
   test("MSE descends strictly every round (lr under the stability bound)") {
     val mses = run().filter(_._2 == "mse").sortBy(_._1).map(_._3)
@@ -31,12 +34,19 @@ class LinregGdSpec extends SparkSpec {
   test("the trajectory is invariant under input re-partitioning (decimal gradient sums)") {
     val base = run().toSeq
     val conf = spark.conf
-    val prev = conf.get("spark.sql.shuffle.partitions")
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val prevSplit = conf.get("spark.sql.files.maxPartitionBytes")
     try {
       conf.set("spark.sql.shuffle.partitions", "3")
-      // also force a different scan parallelism for the map-side pass
+      // and genuinely different scan parallelism for the map-side
+      // passes: a 64 KiB split cap fragments the parquet scan into
+      // many more input partitions than the default 128 MiB
+      conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       val again = run().toSeq
       assert(again == base, "weights/losses changed under re-partitioning")
-    } finally conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    }
   }
 }

@@ -11,8 +11,10 @@ import graft.operators.Ivfadc
 
 /** Streaming index ingest: delta exactly-once (replay overwrites its
   * own partitions), served-view equality with the in-memory append
-  * path, crash half-visibility (enc-before-cells commit order), drift
-  * logging, compaction, and the foreachBatch wrapper end-to-end.
+  * path, crash invisibility (per-batch commit marker: created last,
+  * dropped first), drift logging, compaction with the fold-under-
+  * ingest fence + snapshot record, the frozen-model swap guard, and
+  * the foreachBatch wrapper end-to-end.
   */
 class StreamingIndexSpec extends SparkSpec {
 
@@ -107,6 +109,96 @@ class StreamingIndexSpec extends SparkSpec {
     // driftCheck against the folded dir verifies the copied stamp
     val report = Ivfadc.driftCheck(folded, out, b, "id", "e")
     assert(report.count() > 0)
+  }
+
+  test("foldDeltas refuses the source dir and any existing dir as target") {
+    val (dir, _) = freshIndexDir()
+    StreamingIndex.ingestBatch(emb.filter(col("id") >= 40 && col("id") < 45), 0L, dir, "id", "e")
+    val selfErr = intercept[IllegalArgumentException] {
+      StreamingIndex.foldDeltas(spark, dir, dir)
+    }
+    assert(selfErr.getMessage.contains("FRESH"), selfErr.getMessage)
+    val existing = Files.createTempDirectory("graft_sidx_live").toString
+    val liveErr = intercept[IllegalArgumentException] {
+      StreamingIndex.foldDeltas(spark, dir, existing)
+    }
+    assert(liveErr.getMessage.contains("already exists"), liveErr.getMessage)
+  }
+
+  test("fold under ingest: snapshot folds only committed batches, records them, replay closes the gap") {
+    val (dir, loaded) = freshIndexDir()
+    val b1 = emb.filter(col("id") >= 40 && col("id") < 45)
+    val b2 = emb.filter(col("id") >= 45 && col("id") < 50)
+    val b3 = emb.filter(col("id") >= 50 && col("id") < 55)
+    StreamingIndex.ingestBatch(b1, 0L, dir, "id", "e")
+    StreamingIndex.ingestBatch(b2, 1L, dir, "id", "e")
+    // batch 2 is mid-write when the fold starts: both halves landed,
+    // marker (created last) not yet — the fold's snapshot must neither
+    // list nor read it
+    val (cells3, enc3) = Ivfadc.encodeBatch(loaded, b3, "id", "e")
+    enc3.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=2")
+    cells3.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=2")
+    val out = Files.createTempDirectory("graft_sidx_fence").toString + "/idx2"
+    StreamingIndex.foldDeltas(spark, dir, out)
+    assert(counts(Ivfadc.load(spark, out)) == ((40L + 10, (40L + 10) * 4)),
+      "fold must contain base + exactly the committed snapshot")
+    assert(StreamingIndex.foldedBatches(spark, out) == Seq(0L, 1L))
+    // the in-flight batch commits in the old dir after the snapshot;
+    // the recorded snapshot makes it detectable and replayable
+    StreamingIndex.ingestBatch(b3, 2L, dir, "id", "e")
+    assert(StreamingIndex.unfoldedBatches(spark, dir, out) == Seq(2L))
+    StreamingIndex.ingestBatch(b3, 2L, out, "id", "e")
+    assert(
+      counts(StreamingIndex.loadWithDeltas(spark, out)) ==
+        counts(StreamingIndex.loadWithDeltas(spark, dir)))
+    // out's own commit set is now {2}, its folded snapshot {0,1}: the
+    // replayed batch reads as post-snapshot there too, by construction
+    assert(StreamingIndex.unfoldedBatches(spark, out, out) == Seq(2L))
+  }
+
+  test("a model swapped under a running ingest fails the query loudly") {
+    val (dir, _) = freshIndexDir()
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingIndex.ingest(
+      in.toDF().toDF("id", "e"), dir, "id", "e",
+      Files.createTempDirectory("graft_sidx_swap_ckpt").toString)
+    def rows(lo: Long, hi: Long) = emb.filter(col("id") >= lo && col("id") < hi).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toIndexedSeq
+    try {
+      in.addData(rows(40, 43))
+      q.processAllAvailable()
+      // swap the model under the running query: rewrite the staged
+      // model file bytes (what a refit + re-save over the dir does)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val modelDir = new org.apache.hadoop.fs.Path(s"$dir/model")
+      val fs = modelDir.getFileSystem(conf)
+      val part = fs.listStatus(modelDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-")).head
+      val bytes = {
+        val inS = fs.open(part)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(inS, out, 8192, false)
+          out.toByteArray
+        } finally inS.close()
+      }
+      val outS = fs.create(part, true)
+      try { outS.write(bytes); outS.write('\n') } finally outS.close()
+      in.addData(rows(43, 46))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(err).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("frozen-model")), s"unexpected failure chain: $err")
+    } finally q.stop()
+    // the poisoned batch never committed: only batch 0 is served
+    assert(counts(StreamingIndex.loadWithDeltas(spark, dir))._1 == 40 + 3)
   }
 
   test("the foreachBatch wrapper ingests a live stream exactly once") {
