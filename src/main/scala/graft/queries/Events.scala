@@ -283,9 +283,20 @@ object Events {
   // configured accuracy (HLL rsd=1% checked at ±10%; quantile rank
   // error 1/10000 checked at ±5% of value + 0.001 absolute), so the
   // gate is deterministic-per-engine, not flaky: both engines either
-  // always pass at a given scale or fail loudly in dev. Portable,
-  // value-hashed sketch twins live in q79 (KMV), q105 (HLL), q109
-  // (priority sampling); exact counterparts in q15 and q26.
+  // always pass at a given scale or fail loudly in dev. The p99 check
+  // is a RANK band, not a value band (round 14): at n≈200 rows per
+  // group (sf0.001) the interpolated p99 sits between two tail order
+  // statistics that can be 28% of value apart, so Spark's GK sketch —
+  // which returns an ACTUAL element, never an interpolation — can be
+  // both rank-perfect and 25% off in value (DuckDB's t-digest read up
+  // to 13.9% off the same way). Rank error is what a quantile sketch
+  // actually bounds, so the gate asserts it: the approx p99 must land
+  // between the exact p97 and the max (±2 percentile ranks — vs the
+  // configured 1/2000 rank accuracy, generous but far from vacuous,
+  // and scale-free where any value band is either too tight at small
+  // n or vacuous at large n). Portable, value-hashed sketch twins
+  // live in q79 (KMV), q105 (HLL), q109 (priority sampling); exact
+  // counterparts in q15 and q26.
   def q45ApproxStats(s: SparkSession, dir: String): DataFrame = {
     // the distinct aggregate and the stats aggregate both scan the
     // fact table — pin the 3-column projection so it reads once
@@ -307,6 +318,8 @@ object Events {
         approx_count_distinct(col("user_id"), rsd = 0.01).as("_au"),
         expr("approx_percentile(value, array(0.5D, 0.99D), 2000)").as("_qs"),
         expr("percentile(value, array(0.5D, 0.99D))").as("_xs"),
+        expr("percentile(value, 0.97D)").as("_p97"),
+        max(col("value")).as("_vmax"),
         count(lit(1)).as("n")
       )
       .join(broadcast(dist), "event_type")
@@ -317,8 +330,8 @@ object Events {
         (abs(col("_au") - col("n_users")) <= col("n_users") * lit(0.1)).as("hll_ok"),
         (abs(col("_qs").getItem(0) - col("_xs").getItem(0)) <=
           abs(col("_xs").getItem(0)) * lit(0.05) + lit(0.001)).as("p50_ok"),
-        (abs(col("_qs").getItem(1) - col("_xs").getItem(1)) <=
-          abs(col("_xs").getItem(1)) * lit(0.05) + lit(0.001)).as("p99_ok")
+        (col("_qs").getItem(1) >= col("_p97") && col("_qs").getItem(1) <= col("_vmax"))
+          .as("p99_ok")
       )
       .orderBy("event_type")
   }
@@ -331,8 +344,8 @@ object Events {
       |    <= COUNT(DISTINCT user_id) * 0.1 AS hll_ok,
       |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
       |    <= abs(quantile_cont(value, 0.5)) * 0.05 + 0.001 AS p50_ok,
-      |  abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
-      |    <= abs(quantile_cont(value, 0.99)) * 0.05 + 0.001 AS p99_ok
+      |  approx_quantile(value, 0.99)
+      |    BETWEEN quantile_cont(value, 0.97) AND MAX(value) AS p99_ok
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
