@@ -174,8 +174,12 @@ object StreamingIndex {
       ratioThreshold: Double = 2.0
   ): StreamingQuery = {
     val spark = stream.sparkSession
-    val index = Ivfadc.load(spark, dir)
+    // fingerprint BEFORE load: if a refit lands between the two, the
+    // first trigger's re-check reads the new bytes against the old
+    // fingerprint and fails loudly — the reverse order would hold a
+    // stale in-memory model behind a matching fingerprint, silently
     val frozen = modelFingerprint(spark, dir)
+    val index = Ivfadc.load(spark, dir)
     stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         val now = modelFingerprint(b.sparkSession, dir)
