@@ -22,7 +22,13 @@ import org.apache.spark.sql.DataFrame
   *   - q130_serve: the same shortlist at k=20 + the bounded MMR
   *     greedy (q130's serving leg);
   *   - serve_allq:  EVERY corpus vector queries the index via
-  *     searchDf (the many-query sweep — the row that scales with |Q|).
+  *     searchDf (the many-query sweep — the row that scales with |Q|);
+  *   - postings_serve: BM25 from the STAGED sparse index (base built
+  *     offline by StreamingPostings fold — term-repartitioned, the
+  *     serving layout), load + search timed;
+  *   - bm25_scan: the same queries as a full corpus scan (tokenize +
+  *     filtered explode per request) — the self-baseline the staged
+  *     index amortizes away; postings_serve should sit below it.
   */
 object ServingBench {
   def main(args: Array[String]): Unit = {
@@ -31,9 +37,26 @@ object ServingBench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_serving").toString + "/idx"
+    val root = java.nio.file.Files.createTempDirectory("graft_serving").toString
+    val idxDir = s"$root/idx"
     // ---- offline half: fit + stage the q102 index (untimed) ----
     graft.queries.Vectors.q102FitAndSave(spark, sfDir, idxDir)
+    // ---- offline half, sparse: ingest documents as 8 postings
+    // micro-batches and fold to the term-partitioned serving base ----
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val postIngest = s"$root/postings_v1"
+    (0 until 8).foreach { i =>
+      graft.streaming.StreamingPostings.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(8)) === i), i.toLong, postIngest, "doc_id", "text")
+    }
+    val postBase = s"$root/postings_v2"
+    graft.streaming.StreamingPostings.foldDeltas(spark, postIngest, postBase)
+    val sparseQueries: Seq[(Int, Seq[String])] = Seq(
+      1 -> Seq("batch", "scan"),
+      2 -> Seq("customer", "stream", "query"),
+      3 -> Seq("vector", "join"),
+      4 -> Seq("data", "filter"))
     graft.operators.Pinned.release(spark, blocking = true)
     spark.catalog.clearCache()
 
@@ -54,9 +77,18 @@ object ServingBench {
       "q130_serve" -> (() =>
         graft.queries.Vectors.q130Serve(spark, sfDir, graft.operators.Ivfadc.load(spark, idxDir))),
       "serve_allq" -> (() =>
-        graft.queries.Vectors.ivfadcServeAll(spark, sfDir, graft.operators.Ivfadc.load(spark, idxDir)))
+        graft.queries.Vectors.ivfadcServeAll(spark, sfDir, graft.operators.Ivfadc.load(spark, idxDir))),
+      "postings_serve" -> (() =>
+        graft.streaming.StreamingPostings.search(
+          graft.streaming.StreamingPostings.load(spark, postBase), sparseQueries, k = 10)),
+      "bm25_scan" -> (() =>
+        graft.operators.Bm25.topK(docs, "doc_id", col("text"), sparseQueries, k = 10))
     )
-    runOne(rows.head._2) // warmup, discarded
+    // warmup EVERY row, discarded: rows don't share all their code
+    // paths (MMR greedy, searchDf's executor-built tables), so a
+    // single-row warmup would leave the others' first measured run
+    // carrying first-use codegen/classload cost (ADVICE r14)
+    rows.foreach { case (_, build) => runOne(build) }
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = rows.map { case (name, build) =>

@@ -71,6 +71,57 @@ object Bm25 {
         (tfc.cast("double") +
           lit(k1) * (lit(1.0) - lit(b) + (lit(b) * dlc.cast("double")) / avgdl)))
 
+  /** Full inverted-index build over EVERY token: (doc_id, dl, term,
+    * tf) — the persisted half of a staged sparse index (the "staged
+    * inverted index" the [[topK]] scaladoc promises at production
+    * scale; [[graft.streaming.StreamingPostings]] maintains it
+    * incrementally). One shuffle; same tokenization as every query
+    * path here, so index-served scores are bit-identical to the
+    * corpus-scan forms.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: Column): DataFrame =
+    base(docs, idCol, textCol)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The corpus-stats half of a staged sparse index: (doc_id, dl),
+    * one row per document — docs whose every term is absent from a
+    * query still count toward N and Σdl, so df/idf and avgdl need
+    * this table, not the postings' distinct doc set.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: Column): DataFrame =
+    base(docs, idCol, textCol).select(col("doc_id"), col("dl"))
+
+  /** Per-(qid, slot, doc) posting rows from a prebuilt (tf, stats)
+    * pair — the shared scoring substrate of the corpus-scan paths
+    * ([[topK]]/[[topKPruned]]/[[pairScores]]) and the index-served
+    * path ([[topKFromIndex]]): one expression tree, so the two are
+    * bit-identical by construction.
+    */
+  private def queryPostingsFrom(
+      tf: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double,
+      b: Double): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    // df = docs-per-term: one posting row per (doc, term), so a count
+    // over the term window IS the document frequency — and the window
+    // reuses the partitioning the posting build just established.
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("s", contribExpr(col("tf"), col("df"), col("dl"), col("avgdl"), k1, b))
+    val qterms = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }
+    val qdf = broadcast(qterms.toDF("qid", "slot", "term"))
+    scored.join(qdf, "term")
+  }
+
   /** Per-(qid, slot, doc) posting rows carrying the term's BM25
     * contribution `s` and the term's document frequency `df` — the
     * shared substrate of [[topK]] and [[topKPruned]].
@@ -82,8 +133,6 @@ object Bm25 {
       queries: Seq[(Int, Seq[String])],
       k1: Double,
       b: Double): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val corpus = base(docs, idCol, textCol)
     val allTerms = queries.flatMap(_._2).distinct
     // ONE aggregate for (N, Σdl); joined as a 1-row broadcast so avgdl
@@ -96,19 +145,40 @@ object Bm25 {
         explode(filter(col("toks"), t => t.isInCollection(allTerms))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df = docs-per-term: one posting row per (doc, term) after the
-    // groupBy, so a count over the term window IS the document
-    // frequency — and the window reuses the groupBy's partitioning.
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn("s", contribExpr(col("tf"), col("df"), col("dl"), col("avgdl"), k1, b))
-    val qterms = queries.flatMap { case (qid, ts) =>
-      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
-    }
-    val qdf = broadcast(qterms.toDF("qid", "slot", "term"))
-    scored.join(qdf, "term")
+    queryPostingsFrom(tf, stats, queries, k1, b)
+  }
+
+  /** [[topK]] served from a STAGED index — (postings, doclens) as
+    * built by [[buildPostings]]/[[docLengths]] (or their streaming
+    * base+delta union) — instead of a corpus scan. The postings scan
+    * filters to query terms (a pushed parquet filter on a staged
+    * table, so hot-term row groups are all that's read; at 100 TB the
+    * staged table is term-repartitioned so the filter prunes files,
+    * not just row groups), stats are ONE aggregate over the doclens
+    * table, and everything downstream is the corpus-scan paths'
+    * expression tree verbatim — served rankings are bit-identical to
+    * `topK(docs, …)` over the same corpus (spec-pinned).
+    */
+  def topKFromIndex(
+      postings: DataFrame,
+      doclens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    validate(queries)
+    val allTerms = queries.flatMap(_._2).distinct
+    val maxTerms = queries.map(_._2.size).max
+    val stats = doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = postings
+      .filter(col("term").isInCollection(allTerms))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val qpost = queryPostingsFrom(tf, stats, queries, k1, b)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    pivotScore(qpost, maxTerms)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
   }
 
   /** Per-(qid, doc) score from posting rows: fixed query-term slots

@@ -1515,6 +1515,51 @@ object Documents {
 
   val q104Sql: String = bm25Sql(bm25Queries)
 
+  // ---- q132: streaming sparse-index lifecycle, served vs full-corpus oracle --
+  // The sparse complement of q126/q127's dense index lifecycle (round-14
+  // verdict #5): documents ingested as THREE postings micro-batches
+  // (StreamingPostings.ingestBatch — commit markers, replay-idempotent
+  // overwrites), the first two folded into a fresh versioned base
+  // (term-repartitioned, the serving layout), the third carried over
+  // raw-free (carryUnfolded — committed tokenized partitions + marker,
+  // no re-tokenization), then BM25 served from base + carried delta
+  // (Bm25.topKFromIndex). The oracle is the ordinary FULL-CORPUS BM25
+  // relational form: index-served scores are bit-identical to a corpus
+  // scan by construction (one shared scoring expression tree), so the
+  // whole ingest→fold→carry→serve lifecycle is what the hash gate
+  // certifies. qid 3 includes a corpus-absent term (missing-slot
+  // coalesce under the index path). At 100 TB: each batch's postings
+  // build touches only that batch, the fold is one term-shuffle of
+  // index rows (never raw text), serving reads the queried terms' row
+  // groups from the term-sorted base.
+  private val q132Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "scan"),
+    2 -> Seq("filter", "agg", "stream"),
+    3 -> Seq("join", "perplexity")
+  )
+
+  def q132StreamingPostings(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingPostings
+    val root = java.nio.file.Files.createTempDirectory("graft_q132").toString
+    val v1 = s"$root/postings_v1"
+    val d = docs(s, dir)
+    (0 until 2).foreach { i =>
+      StreamingPostings.ingestBatch(
+        d.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong, v1, "doc_id", "text")
+    }
+    val v2 = s"$root/postings_v2"
+    StreamingPostings.foldDeltas(s, v1, v2)
+    // the late batch lands in the OLD dir after the fold's snapshot;
+    // close out into the new version without touching raw documents
+    StreamingPostings.ingestBatch(
+      d.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, v1, "doc_id", "text")
+    require(StreamingPostings.carryUnfolded(s, v1, v2) == Seq(2L))
+    StreamingPostings.search(StreamingPostings.load(s, v2), q132Queries, k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  val q132Sql: String = bm25Sql(q132Queries)
+
   // ---- q110: BM25 with WAND/max-score pruning --------------------------------
   // Same ranking as q104 but through Bm25.topKPruned: every (query,
   // term) posting list is impact-truncated to its top-`cap` entries
@@ -2426,6 +2471,7 @@ object Documents {
     "q106_unimax_alloc" -> (q106UnimaxAlloc _),
     "q123_temperature_mix" -> (q123TemperatureMix _),
     "q104_bm25" -> (q104Bm25 _),
+    "q132_streaming_postings" -> (q132StreamingPostings _),
     "q110_bm25_wand" -> (q110Bm25Wand _),
     "q122_rm3_expansion" -> (q122Rm3Expansion _),
     "q111_bpe_train" -> (q111BpeTrain _),
@@ -2468,6 +2514,7 @@ object Documents {
     "q106_unimax_alloc" -> q106Sql,
     "q123_temperature_mix" -> q123Sql,
     "q104_bm25" -> q104Sql,
+    "q132_streaming_postings" -> q132Sql,
     "q110_bm25_wand" -> q110Sql,
     "q122_rm3_expansion" -> q122Sql,
     "q111_bpe_train" -> q111Sql,

@@ -1703,13 +1703,22 @@ object Vectors {
   // training and re-ranking are joins + partial aggs over
   // |Q|·shortlist PAIR rows (never corpus-pairwise), and the teacher
   // column is whatever logged expensive signal a deployment distills.
-  // lr: x0/x1/x2 are near-1 CORRELATED features (intercept, squashed
-  // BM25, overlap — the shortlist is mostly term-matching docs), so
-  // λmax(XᵀX/n) approaches the ~3 of three aligned unit features;
-  // stability needs lr < 1/λmax under the w − lr·2·∇ update. lr=0.2
-  // at 12 rounds converges (LinregRescoreSpec pins model-beats-null);
-  // lr=0.5 oscillated — found the hard way, kept documented.
-  private val rescoreLr = 0.2
+  // Features are standardized with FIXED constants (offsets keep the
+  // quantized values on the 4-decimal grid; scales are ×4/×2 — exact
+  // powers of two — and ×10, one correctly-rounded IEEE op): the raw
+  // near-1 correlated features (intercept, squashed BM25, overlap)
+  // give XᵀX/n eigenvalues spanning 0.0009..1.9, and gradient descent
+  // contracts a direction by |1−2·lr·λ| per round — the INFORMATIVE
+  // small-λ directions moved so little in 12 rounds that the r14
+  // model measured ABOVE the null MSE at sf0.01 (0.1025 vs 0.1021,
+  // found by the round-15 ranking-anchor work). Standardized, the
+  // spectrum is 0.005..2.6 (measured at sf0.01) and 12 rounds land
+  // within ~15% of the exact least-squares MSE at both spec SFs.
+  // lr: stability needs lr < 1/λmax ≈ 0.39 under the w − lr·2·∇
+  // update; lr=0.3 converges (LinregRescoreSpec pins model-beats-null
+  // AND mean Spearman vs the teacher ranking); lr=0.5 oscillated on
+  // the unstandardized run — found the hard way, kept documented.
+  private val rescoreLr = 0.3
   private val rescoreRounds = 12
 
   def q131TrainedRescore(s: SparkSession, dir: String): DataFrame = {
@@ -1723,10 +1732,14 @@ object Vectors {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val surf = Tables.documents(s, dir).select(
       col("doc_id"), size(toks).as("n_tok"), size(array_distinct(toks)).as("n_distinct"))
+    // qid → (query embedding, term count): n_terms rides the same
+    // broadcast so x2 is a per-QUERY fraction, not a hardcoded /2.0 —
+    // a 3-term query added to hybridQueries keeps the documented
+    // "fraction of the query's terms matched" semantics (ADVICE r14)
     val qv = broadcast(
-      hybridQueries.map(q => (q._1, q._3)).toDF("qid", "qvid")
+      hybridQueries.map(q => (q._1, q._3, q._2.size)).toDF("qid", "qvid", "n_terms")
         .join(emb(s, dir).select(col("vec_id").as("qvid"), col("embedding").as("qe")), "qvid")
-        .select(col("qid"), col("qe")))
+        .select(col("qid"), col("qe"), col("n_terms")))
     def edot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
         acc + element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
@@ -1742,11 +1755,17 @@ object Vectors {
         col("doc_id"),
         lit(1.0).as("x0"),
         // squash the unbounded BM25 into [0,1) then quantize — the
-        // residual-quantization rationale (q129) applies to every factor
-        (round((sc / (lit(1.0) + sc)) * lit(10000.0)) / lit(10000.0)).as("x1"),
-        (coalesce(col("hit_terms"), lit(0)).cast("double") / lit(2.0)).as("x2"),
-        (round(col("n_distinct").cast("double") * lit(10000.0) / col("n_tok")) / lit(10000.0)
-          - lit(0.46)).as("x3"),
+        // residual-quantization rationale (q129) applies to every
+        // factor — then center+scale with fixed constants (see the
+        // standardization note above): offsets are 1–2-decimal
+        // constants so the ideal value stays on the 4-decimal grid
+        // (DECIMAL casts can't tie), ×4/×2 are exact
+        ((round((sc / (lit(1.0) + sc)) * lit(10000.0)) / lit(10000.0) - lit(0.4)) * lit(4.0))
+          .as("x1"),
+        ((round(coalesce(col("hit_terms"), lit(0)).cast("double") * lit(10000.0) /
+          col("n_terms")) / lit(10000.0) - lit(0.8)) * lit(2.0)).as("x2"),
+        ((round(col("n_distinct").cast("double") * lit(10000.0) / col("n_tok")) / lit(10000.0)
+          - lit(0.46)) * lit(10.0)).as("x3"),
         (col("n_tok").cast("double") / lit(100.0) - lit(0.55)).as("x4"),
         (edot(col("qe"), col("de")) /
           (sqrt(edot(col("qe"), col("qe"))) * sqrt(edot(col("de"), col("de"))))).as("y"))
@@ -1804,16 +1823,18 @@ object Vectors {
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
        |    FROM fused) WHERE rk <= 10),
        |pairbm AS (SELECT qid, doc_id, $hybridScoreExpr AS bscore, $hitExpr AS hit FROM per),
+       |qn(qid, n_terms) AS (VALUES ${hybridQueries.map(q => s"(${q._1},${q._2.size})").mkString(",")}),
        |feats AS MATERIALIZED (
        |  SELECT sl.qid, sl.doc_id,
        |    1.0 AS x0,
-       |    ROUND((COALESCE(pb.bscore, 0.0) / (1.0 + COALESCE(pb.bscore, 0.0))) * 10000.0) / 10000.0 AS x1,
-       |    CAST(COALESCE(pb.hit, 0) AS DOUBLE) / 2.0 AS x2,
-       |    ROUND(CAST(LEN(list_distinct(t.toks)) AS DOUBLE) * 10000.0 / LEN(t.toks)) / 10000.0 - 0.46 AS x3,
+       |    (ROUND((COALESCE(pb.bscore, 0.0) / (1.0 + COALESCE(pb.bscore, 0.0))) * 10000.0) / 10000.0 - 0.4) * 4.0 AS x1,
+       |    (ROUND(CAST(COALESCE(pb.hit, 0) AS DOUBLE) * 10000.0 / qn.n_terms) / 10000.0 - 0.8) * 2.0 AS x2,
+       |    (ROUND(CAST(LEN(list_distinct(t.toks)) AS DOUBLE) * 10000.0 / LEN(t.toks)) / 10000.0 - 0.46) * 10.0 AS x3,
        |    CAST(LEN(t.toks) AS DOUBLE) / 100.0 - 0.55 AS x4,
        |    d0.sim AS y
        |  FROM sl
        |  LEFT JOIN pairbm pb ON pb.qid = sl.qid AND pb.doc_id = sl.doc_id
+       |  JOIN qn ON qn.qid = sl.qid
        |  JOIN t ON t.doc_id = sl.doc_id
        |  JOIN dense0 d0 ON d0.qid = sl.qid AND d0.doc_id = sl.doc_id),
        |w0 AS (SELECT ${js.map(j => s"0.0 AS w$j").mkString(", ")}),

@@ -102,36 +102,23 @@ object StreamingIndex {
       // batch or the complete new one, never a half-written mix. A
       // reader that lists the delta tree directly, outside that
       // protocol, gets no such isolation.
-      val fs = fileSystem(spark, dir)
-      val marker = new HPath(commitMarker(dir, batchId))
-      if (fs.exists(marker)) fs.delete(marker, false)
-      enc.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=$batchId")
-      cells.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=$batchId")
-      if (exists(spark, s"$dir/staleness")) {
-        Ivfadc
-          .driftCheck(index, dir, batch, idCol, embCol, ratioThreshold)
-          .write.mode("overwrite").parquet(s"$dir/delta/drift/batch_id=$batchId")
+      DeltaCommits.commit(spark, dir, batchId) {
+        enc.write.mode("overwrite").parquet(s"$dir/delta/enc/batch_id=$batchId")
+        cells.write.mode("overwrite").parquet(s"$dir/delta/cells/batch_id=$batchId")
+        if (exists(spark, s"$dir/staleness")) {
+          Ivfadc
+            .driftCheck(index, dir, batch, idCol, embCol, ratioThreshold)
+            .write.mode("overwrite").parquet(s"$dir/delta/drift/batch_id=$batchId")
+        }
       }
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
     } finally res.unpersist(blocking = false)
   }
 
-  private def commitMarker(dir: String, batchId: Long): String =
-    s"$dir/delta/commits/batch_$batchId"
-
   /** Batch ids whose commit marker exists — the only batches the
-    * served view admits.
+    * served view admits ([[DeltaCommits.committedIds]]).
     */
-  private def committedIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new HPath(s"$dir/delta/commits")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else
-      fs.listStatus(p).toSeq
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
-  }
+  private def committedIds(spark: SparkSession, dir: String): Seq[Long] =
+    DeltaCommits.committedIds(spark, dir)
 
   /** Byte fingerprint of the staged model files — the mid-stream
     * model-swap guard. Pure filesystem reads (the model JSON is one
@@ -242,32 +229,33 @@ object StreamingIndex {
     * ONCE and the rewrite reads exactly that snapshot (explicit batch
     * paths — a batch committing concurrently is neither listed nor
     * half-read), and the snapshot is recorded under
-    * `$outDir/folded_batches`. A caller swapping serving to the new
-    * dir diffs the live dir's commits against [[foldedBatches]] to
-    * find batches that landed after the snapshot and replays them into
-    * the new version. The target must be a FRESH dir: folding into an
-    * existing dir — above all the ingest dir itself — is refused,
-    * because rewriting a live dir would race its readers and its
-    * ingest (the caller-swaps versioning contract, now enforced).
+    * `$outDir/folded_batches` BEFORE the index write: a fold that
+    * crashes mid-way leaves a dir whose [[foldedBatches]] is complete
+    * but whose model is absent, so `Ivfadc.load` fails loudly — the
+    * reverse order would leave a loadable index with an EMPTY
+    * snapshot, silently reporting every committed batch as unfolded
+    * and inviting a duplicate-id replay. After the rewrite the
+    * snapshot's commit markers are re-verified: a crash-replay of an
+    * already-snapshotted batch drops its marker and overwrites its
+    * part files WHILE the fold reads them, so a vanished marker means
+    * the fold may hold a half-overwritten read — the partial target is
+    * deleted and the fold fails loudly (re-run it once the replay has
+    * re-committed). A caller swapping serving to the new dir uses
+    * [[unfoldedBatches]] to find batches that landed after the
+    * snapshot and replays them into the new version (or carries them
+    * with [[carryUnfolded]]). The target must be a FRESH dir: folding
+    * into an existing dir — above all the ingest dir itself — is
+    * refused, because rewriting a live dir would race its readers and
+    * its ingest (the caller-swaps versioning contract, now enforced).
     */
   def foldDeltas(spark: SparkSession, dir: String, outDir: String): Unit = {
-    val fs = fileSystem(spark, outDir)
-    val out = fs.makeQualified(new HPath(outDir))
-    val in = fileSystem(spark, dir).makeQualified(new HPath(dir))
-    require(out != in,
-      s"foldDeltas target equals the source dir ($in) — compaction writes a FRESH " +
-        "versioned dir and the caller swaps serving to it; an in-place rewrite would " +
-        "race the dir's own readers and ingest")
-    require(!fs.exists(out),
-      s"foldDeltas target $out already exists — refusing to compact into a live dir " +
-        "(fold writes a fresh version; swap serving to it, then drop the old)")
+    DeltaCommits.requireFreshTarget(spark, dir, outDir, "foldDeltas")
     val committed = committedIds(spark, dir).sorted
+    DeltaCommits.writeSnapshot(spark, outDir, committed)
     Ivfadc.save(loadWithDeltas(spark, dir, committed), outDir)
     if (exists(spark, s"$dir/staleness"))
       spark.read.parquet(s"$dir/staleness").write.mode("overwrite").parquet(s"$outDir/staleness")
-    import spark.implicits._
-    committed.toDF("batch_id").coalesce(1)
-      .write.mode("errorifexists").parquet(s"$outDir/folded_batches")
+    DeltaCommits.verifySnapshotStillCommitted(spark, dir, committed, outDir)
   }
 
   /** The committed-batch snapshot a [[foldDeltas]] run folded — diff
@@ -277,23 +265,44 @@ object StreamingIndex {
     * never produced by foldDeltas.
     */
   def foldedBatches(spark: SparkSession, dir: String): Seq[Long] =
-    if (!exists(spark, s"$dir/folded_batches")) Seq.empty
-    else
-      spark.read.parquet(s"$dir/folded_batches")
-        .collect().map(_.getLong(0)).toSeq.sorted
+    DeltaCommits.foldedBatches(spark, dir)
 
-  /** Batches committed in `dir` but absent from `newDir`'s folded
-    * snapshot — the replay set a caller must ingest into `newDir`
-    * before dropping `dir`.
+  /** Batches committed in `dir` but present in `newDir` neither via
+    * its folded snapshot nor as its own committed deltas — the replay
+    * set a caller must close out (re-ingest or [[carryUnfolded]]) into
+    * `newDir` before dropping `dir`. Empty means the close-out is
+    * done, so replay/carry loops driven by this are idempotent.
     */
   def unfoldedBatches(spark: SparkSession, dir: String, newDir: String): Seq[Long] =
-    (committedIds(spark, dir).toSet -- foldedBatches(spark, newDir).toSet).toSeq.sorted
+    DeltaCommits.unfoldedBatches(spark, dir, newDir)
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new HPath(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** Close out a fold WITHOUT raw data: copy each [[unfoldedBatches]]
+    * batch's committed, already-encoded delta partitions (and its
+    * drift report, when one exists) from the old dir into the new
+    * version, marker last — fold never changes the model (the stamp
+    * carries over), so the old dir's encodings are valid verbatim in
+    * the new one. This is the mechanical alternative to re-ingesting
+    * the raw vectors, for streams that no longer retain them. Both
+    * dirs' models are verified identical (by [[Ivfadc.modelId]], the
+    * semantic identity — not file bytes) before anything is copied:
+    * carrying encodings into a REFIT index would serve codes from the
+    * wrong quantizer. Per-batch the copy follows the ingest commit
+    * protocol (marker dropped first, re-created last), so a crash
+    * mid-carry leaves the batch invisible in the new dir and a re-run
+    * completes it. Returns the batch ids carried.
+    */
+  def carryUnfolded(spark: SparkSession, dir: String, newDir: String): Seq[Long] = {
+    val todo = unfoldedBatches(spark, dir, newDir)
+    if (todo.isEmpty) return todo
+    val oldId = Ivfadc.modelId(Ivfadc.load(spark, dir))
+    val newId = Ivfadc.modelId(Ivfadc.load(spark, newDir))
+    require(oldId == newId,
+      s"carryUnfolded: $newDir holds a DIFFERENT model than $dir ($newId vs $oldId) — " +
+        "delta encodings are only valid under the quantizer that produced them; a refit " +
+        "index needs the raw vectors re-ingested, not a carry")
+    DeltaCommits.carry(spark, dir, newDir, Seq("enc", "cells", "drift"), todo)
   }
 
-  private def fileSystem(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists(spark: SparkSession, path: String): Boolean =
+    DeltaCommits.exists(spark, path)
 }

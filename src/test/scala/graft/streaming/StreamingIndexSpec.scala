@@ -151,9 +151,68 @@ class StreamingIndexSpec extends SparkSpec {
     assert(
       counts(StreamingIndex.loadWithDeltas(spark, out)) ==
         counts(StreamingIndex.loadWithDeltas(spark, dir)))
-    // out's own commit set is now {2}, its folded snapshot {0,1}: the
-    // replayed batch reads as post-snapshot there too, by construction
-    assert(StreamingIndex.unfoldedBatches(spark, out, out) == Seq(2L))
+    // the replayed batch is committed in out's own delta tree, so the
+    // replay set reads empty — close-out loops driven by it terminate
+    assert(StreamingIndex.unfoldedBatches(spark, dir, out) == Seq.empty)
+    assert(StreamingIndex.unfoldedBatches(spark, out, out) == Seq.empty)
+  }
+
+  test("carryUnfolded closes out a fold without the raw vectors; idempotent; refit-guarded") {
+    val (dir, _) = freshIndexDir()
+    val b1 = emb.filter(col("id") >= 40 && col("id") < 45)
+    val b2 = emb.filter(col("id") >= 45 && col("id") < 50)
+    StreamingIndex.ingestBatch(b1, 0L, dir, "id", "e")
+    val out = Files.createTempDirectory("graft_sidx_carry").toString + "/idx2"
+    StreamingIndex.foldDeltas(spark, dir, out)
+    // batch 1 lands in the OLD dir after the fold; its raw vectors are
+    // then gone — the carry moves the committed encodings instead
+    StreamingIndex.ingestBatch(b2, 1L, dir, "id", "e")
+    assert(StreamingIndex.carryUnfolded(spark, dir, out) == Seq(1L))
+    assert(
+      counts(StreamingIndex.loadWithDeltas(spark, out)) ==
+        counts(StreamingIndex.loadWithDeltas(spark, dir)))
+    // the carried batch serves: a b2 vector finds itself in the new dir
+    val q = emb.filter(col("id") === 47).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val hit = Ivfadc.search(
+      StreamingIndex.loadWithDeltas(spark, out), q, nprobe = 8, k = 1, excludeSelf = false)
+      .select("nid").collect().map(_.getLong(0))
+    assert(hit.sameElements(Array(47L)), s"carried vector not served: ${hit.toSeq}")
+    // drift reports ride along (freshIndexDir stages a baseline)
+    val drifted = StreamingIndex.driftLog(spark, out).get
+      .select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(drifted.contains(1L), s"carried batch's drift report missing: $drifted")
+    // idempotent: nothing left to carry
+    assert(StreamingIndex.carryUnfolded(spark, dir, out) == Seq.empty)
+    assert(StreamingIndex.unfoldedBatches(spark, dir, out) == Seq.empty)
+    // refit guard: a target holding a DIFFERENT model refuses the carry
+    // (encodings are only valid under the quantizer that produced them)
+    val other = Files.createTempDirectory("graft_sidx_refit").toString + "/idx3"
+    val refit = Ivfadc.fit(
+      emb.filter(col("id") < 30), "id", "e", coarseK = 4, coarseIters = 1, m = 4, pqK = 4,
+      pqIters = 1)
+    Ivfadc.save(refit, other)
+    StreamingIndex.ingestBatch(b2, 7L, dir, "id", "e")
+    val err = intercept[IllegalArgumentException] {
+      StreamingIndex.carryUnfolded(spark, dir, other)
+    }
+    assert(err.getMessage.contains("DIFFERENT model"), err.getMessage)
+  }
+
+  test("a fold that crashes before the index write fails loudly at load, with the snapshot complete") {
+    val (dir, _) = freshIndexDir()
+    StreamingIndex.ingestBatch(emb.filter(col("id") >= 40 && col("id") < 45), 0L, dir, "id", "e")
+    // simulate the crash window foldDeltas' write order leaves: the
+    // folded_batches snapshot landed (written FIRST), the index did not
+    val partial = Files.createTempDirectory("graft_sidx_partial").toString + "/idx2"
+    import spark.implicits._
+    Seq(0L).toDF("batch_id").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$partial/folded_batches")
+    // the snapshot is visible and complete — never an empty replay set…
+    assert(StreamingIndex.foldedBatches(spark, partial) == Seq(0L))
+    assert(StreamingIndex.unfoldedBatches(spark, dir, partial) == Seq.empty)
+    // …and the dir is not silently servable: loading it fails loudly
+    intercept[Exception] { Ivfadc.load(spark, partial) }
   }
 
   test("a model swapped under a running ingest fails the query loudly") {
