@@ -1439,6 +1439,142 @@ object Documents {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q133: trained quality classifier (NBSVM-style, char trigrams) ---------
+  // Model-based quality filtering — the pipeline stage the rule-based
+  // filters (q103/q113/q93) feed: a seed RULE labels a train split, a
+  // classifier trained on those labels scores the rest of the corpus
+  // (the GPT-3/LLaMA "quality classifier" step, fastText-shaped).
+  //
+  // Design, and why each piece is the way it is:
+  //   - Features: per-doc DISTINCT character trigrams of trim(lower(text)).
+  //     Word-identity features were measured first and barely separate
+  //     (class means 0.588 vs 0.584 on this corpus — the synthetic
+  //     vocabulary is near-random w.r.t. the rule); char trigrams witness
+  //     the symbol/digit shapes the low-alpha class is made of, fastText-
+  //     style, and lift held-out accuracy to 0.80/0.81/0.83 at
+  //     sf0.001/0.01/0.1 vs 0.64/0.61/0.57 majority. array_distinct
+  //     binarizes per doc MAP-SIDE (NBSVM uses binarized counts), so the
+  //     groupBy's input is bounded by distinct-trigrams-per-doc, not text
+  //     length. The trigram vocabulary is intrinsically bounded (charset³),
+  //     so the weight table stays broadcastable at ANY corpus size —
+  //     df >= 3 only prunes the noise tail.
+  //   - Weights: rate-normalized rational count ratio
+  //     w = A/(A+B), A = (hq+1)·(n_lq+2), B = (lq+1)·(n_hq+2) — the
+  //     NBSVM log-count-ratio with the log dropped (ln/exp round
+  //     differently across engines; conventions in QUERIES.md). Rate
+  //     normalization (not raw (hq+1)/(hq+lq+2)) matters: the classes
+  //     are imbalanced and HQ docs are longer, so every trigram's raw
+  //     doc-frequency skews HQ and an uncentered score saturates above
+  //     any fixed threshold (measured: all-HQ predictions, accuracy ==
+  //     majority). The weight is quantized to the 4-decimal grid IN
+  //     INTEGER ARITHMETIC: wi = (20000·A + A+B) div (2·(A+B)) — the
+  //     round-half-up of 10000·A/(A+B) computed entirely in BIGINT, so
+  //     both engines hold the identical integer. round(A/(A+B), 4) on
+  //     the double was measured to diverge (sf0.01, 33 rows): Spark
+  //     rounds the exact binary expansion while DuckDB rounds x·10⁴,
+  //     and quotients landing near a 5-tie at the 5th decimal go
+  //     opposite ways — the same trap as the decimal-cast ties, closed
+  //     the same way (integer-scaled rounding, never round() on a
+  //     derived double in a hash-compared path).
+  //   - Score: per-doc mean of matched trigram weights. The weight sums
+  //     ride as exact BIGINT (Σwi), so score = double(Σwi)/10⁴/n_hits is
+  //     two correctly-rounded IEEE divisions of exact integers — no
+  //     decimal casts needed anywhere. Docs with no vocabulary hit score
+  //     the 0.5 prior.
+  //   - Threshold: calibrated on the TRAIN split — the midpoint of the
+  //     two class-mean scores, with each doc's score re-quantized to the
+  //     grid the same integer way ((2·Σwi + n) div (2n)) before the
+  //     class sums, keeping the calibration integer-exact too. A fixed
+  //     0.5 is wrong for the same reason rate normalization is needed:
+  //     the residual prior shift is corpus-dependent, so the model must
+  //     carry its own operating point.
+  //   - Split: doc_id % 5 (train ≠ 0, held-out = 0) — deterministic, no
+  //     RNG. Output is the held-out frame with per-doc score, prediction
+  //     and agreement vs the rule label, ORDER BY doc_id.
+  //
+  // Scale shape: tokenize+distinct is map-side per doc; the only wide ops
+  // are groupBy(term) over per-doc-distinct trigrams (vocabulary-bounded
+  // output), one term-keyed join of doc-trigrams against the weight table
+  // (broadcastable — see above), and doc-keyed aggregates. The (n_hq,n_lq)
+  // pair and the threshold ride 1-row broadcasts, the same shape as
+  // q104's corpus-stats row. Nothing is corpus-pairwise; every collect-
+  // free stage is linear in the data with vocabulary-bounded state.
+  // The building blocks live in operators.QualityClassifier so this
+  // query, the fit-and-persist path and the ingest-time
+  // QualityClassifierRule compose the SAME expressions.
+  def q133QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier._
+    val m = labeled(docs(s, dir), col("doc_id"), col("text"))
+      .pinned // referenced by tok, the train-count row and the held-out frame
+    val tok = tokenStream(m)
+      .pinned // referenced by the weight fit and the all-doc scoring join
+    val train = col("doc_id") % 5 =!= 0
+    val mTrain = m.filter(train)
+    val w = weights(tok.filter(train), classCounts(mTrain), minDf = 3)
+    val sc = scores(tok, w)
+      .pinned // referenced by the threshold calibration and the held-out output
+    val tau = calibrate(sc, mTrain)
+    val scored = coalesce(col("score"), lit(0.5))
+    m.filter(col("doc_id") % 5 === 0)
+      .join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(tau))
+      .select(
+        col("doc_id"),
+        col("label_hq"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        scored.as("score"),
+        (scored >= col("tau")).as("pred_hq"),
+        ((scored >= col("tau")) === col("label_hq")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val q133Sql: String =
+    """WITH d AS (SELECT doc_id, TRIM(LOWER(text)) AS tx,
+      |             list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+      |                         w -> w <> '') AS toks
+      |           FROM documents),
+      |m AS MATERIALIZED (SELECT doc_id, tx,
+      |        (LEN(toks) >= 30
+      |         AND CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      |               / LEN(toks) >= 0.8
+      |         AND LEN(list_filter(['the','a','of','and','to','in','is'],
+      |                             sw -> list_contains(toks, sw))) >= 2) AS label_hq
+      |      FROM d WHERE LEN(toks) > 0),
+      |tok AS MATERIALIZED (SELECT doc_id, label_hq,
+      |          unnest(list_distinct(list_transform(range(1, LENGTH(tx) - 1),
+      |                                              i -> tx[i:i+2]))) AS term
+      |        FROM m),
+      |n AS (SELECT SUM(CASE WHEN label_hq THEN 1 ELSE 0 END) AS nhq,
+      |             SUM(CASE WHEN label_hq THEN 0 ELSE 1 END) AS nlq
+      |      FROM m WHERE doc_id % 5 <> 0),
+      |w AS (SELECT term, (a * 20000 + (a + b)) // (2 * (a + b)) AS wi
+      |      FROM (SELECT term,
+      |              (SUM(CASE WHEN label_hq THEN 1 ELSE 0 END) + 1) * (n.nlq + 2) AS a,
+      |              (SUM(CASE WHEN label_hq THEN 0 ELSE 1 END) + 1) * (n.nhq + 2) AS b
+      |            FROM tok, n WHERE doc_id % 5 <> 0
+      |            GROUP BY term, n.nhq, n.nlq HAVING COUNT(*) >= 3)),
+      |sc AS MATERIALIZED (SELECT tok.doc_id,
+      |         CAST(COUNT(*) AS INTEGER) AS n_hits,
+      |         SUM(w.wi) AS ksum,
+      |         CAST(SUM(w.wi) AS DOUBLE) / 10000 / COUNT(*) AS score
+      |       FROM tok JOIN w ON tok.term = w.term
+      |       GROUP BY tok.doc_id),
+      |tau AS (SELECT (CAST(SUM(CASE WHEN m.label_hq
+      |                    THEN (2 * sc.ksum + sc.n_hits) // (2 * sc.n_hits) END) AS DOUBLE)
+      |                  / 10000 / SUM(CASE WHEN m.label_hq THEN 1 END)
+      |                + CAST(SUM(CASE WHEN NOT m.label_hq
+      |                    THEN (2 * sc.ksum + sc.n_hits) // (2 * sc.n_hits) END) AS DOUBLE)
+      |                  / 10000 / SUM(CASE WHEN NOT m.label_hq THEN 1 END)) / 2 AS t
+      |        FROM sc JOIN m ON sc.doc_id = m.doc_id WHERE sc.doc_id % 5 <> 0)
+      |SELECT m.doc_id, m.label_hq,
+      |  COALESCE(sc.n_hits, 0) AS n_hits,
+      |  COALESCE(sc.score, 0.5) AS score,
+      |  COALESCE(sc.score, 0.5) >= tau.t AS pred_hq,
+      |  (COALESCE(sc.score, 0.5) >= tau.t) = m.label_hq AS correct
+      |FROM m LEFT JOIN sc ON m.doc_id = sc.doc_id, tau
+      |WHERE m.doc_id % 5 = 0
+      |ORDER BY m.doc_id""".stripMargin
+
   // ---- q104: BM25 top-k keyword retrieval (Robertson et al., Okapi) ----------
   // Sparse retrieval over the corpus inverted index: a fixed query set
   // is broadcast, postings are filtered to query terms BEFORE any
@@ -2480,6 +2616,7 @@ object Documents {
     "q114_portable_cms" -> (q114PortableCms _),
     "q119_split_leakage" -> (q119SplitLeakage _),
     "q103_gopher_rules" -> (q103GopherRules _),
+    "q133_quality_classifier" -> (q133QualityClassifier _),
     "q93_adaptive_quality" -> (q93AdaptiveQuality _),
     "q95_length_batching" -> (q95LengthBatching _),
     "q89_dup_ngram_spans" -> (q89DupNgramSpans _),
@@ -2523,6 +2660,7 @@ object Documents {
     "q114_portable_cms" -> q114Sql,
     "q119_split_leakage" -> q119Sql,
     "q103_gopher_rules" -> q103Sql,
+    "q133_quality_classifier" -> q133Sql,
     "q93_adaptive_quality" -> q93Sql,
     "q95_length_batching" -> q95Sql,
     "q89_dup_ngram_spans" -> q89Sql,

@@ -492,7 +492,73 @@ object CorpusRules {
     }
   }
 
+  /** Trained-model quality filter: keep docs a PRE-FIT NBSVM-style
+    * classifier scores at or above its calibrated operating point —
+    * the ingest-time form of q133's scoring (the production flow for
+    * model-based quality filtering: fit offline with
+    * [[graft.operators.QualityClassifier.fit]], persist, filter every
+    * batch/stream against that snapshot, refit on drift — the same
+    * lifecycle as [[ImportanceFilterRule]]'s DSIR model).
+    *
+    * Entirely map-side and ZERO-state, like the DSIR twin: the weight
+    * table (vocabulary-bounded — charset³ at most, df-pruned in
+    * practice) loads once at compile time into a literal lookup map,
+    * and the per-doc score folds over the DISTINCT-trigram array
+    * inside the row — no explode, no shuffle, no groupBy, so the rule
+    * streams in append mode with no aggregation state. Weight sums are
+    * exact BIGINT; the score is the same two IEEE divisions the batch
+    * query performs, so rule decisions replay bit-identically against
+    * q133's predictions (QualityClassifierRuleSpec pins the parity).
+    *
+    * Conf (zero-arg plugin, like the sibling rules):
+    *   - `spark.graft.quality.model`    — required dir written by
+    *     QualityClassifier.fit (weights/ + tau/)
+    *   - `spark.graft.quality.minScore` — optional double overriding
+    *     the model's calibrated threshold (tighten for recall-critical
+    *     corpora, loosen for coverage)
+    *
+    * Adds `qc_hits` (long: matched trigram types) and `qc_score`
+    * (double: mean matched weight; 0.5 = the no-evidence prior) to
+    * surviving rows for downstream threshold audits.
+    */
+  object QualityClassifierRule extends Rule {
+    val name = "qualityClassifier"
+    def apply(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val path = spark.conf.getOption("spark.graft.quality.model").getOrElse(
+        throw new IllegalArgumentException(
+          s"$name needs spark.graft.quality.model = <dir written by QualityClassifier.fit>"))
+      val reserved = Seq("qc_hits", "qc_score", "_tx", "_wis")
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty, s"$name reserves column name(s) ${clash.mkString(", ")} — rename them upstream")
+      val entries = spark.read.parquet(s"$path/weights").select("term", "wi").collect()
+      require(entries.nonEmpty, s"$name: empty weight table at $path/weights")
+      require(entries.length <= 65536,
+        s"$name: weight table at $path/weights has ${entries.length} terms — beyond the " +
+          "literal-map form; raise the fit's minDf or join against the weight table instead")
+      val tau = spark.conf.getOption("spark.graft.quality.minScore").map(_.toDouble).getOrElse(
+        spark.read.parquet(s"$path/tau").head().getDouble(0))
+      val modelMap = map(entries.flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+      df.withColumn("_tx", trim(lower(col("text"))))
+        .withColumn(
+          "_wis",
+          filter(
+            transform(graft.operators.QualityClassifier.trigrams(col("_tx")),
+              t => element_at(modelMap, t)),
+            w => w.isNotNull))
+        .withColumn("qc_hits", size(col("_wis")).cast("long"))
+        .withColumn(
+          "qc_score",
+          when(col("qc_hits") > 0,
+            aggregate(col("_wis"), lit(0L), (acc, x) => acc + x).cast("double") / 10000 /
+              col("qc_hits"))
+            .otherwise(lit(0.5)))
+        .drop("_tx", "_wis")
+        .filter(col("qc_score") >= tau)
+    }
+  }
+
   val all: Seq[Rule] =
     Seq(new QualityFilterRule(), LangIdRule, ExactDedupRule, NearDupRule, CorpusMatchRule,
-      ImportanceFilterRule, GopherFilterRule, C4FilterRule)
+      ImportanceFilterRule, GopherFilterRule, C4FilterRule, QualityClassifierRule)
 }
