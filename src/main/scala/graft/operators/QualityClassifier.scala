@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
-  /** The seed-rule stopword set (a compact Gopher subset). */
-  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  /** The seed-rule stopword set — THE Gopher list (TextAnalysis),
+    * referenced rather than copied so the seed label, q103's metrics
+    * and q133's oracle (which interpolates the same val into its SQL)
+    * can never drift apart.
+    */
+  val stopwords: Seq[String] = TextAnalysis.gopherStopwords
 
   /** Non-empty whitespace tokens of an already trim(lower(...))'d text. */
   def toks(tx: Column): Column =
@@ -47,7 +51,7 @@ object QualityClassifier {
   def seedLabel(toksCol: Column): Column =
     size(toksCol) >= 30 &&
       size(filter(toksCol, w => w.rlike("[a-z]"))).cast("double") / size(toksCol) >= 0.8 &&
-      size(filter(array(stopwords.map(lit): _*), sw => array_contains(toksCol, sw))) >= 2
+      size(filter(typedLit(stopwords), sw => array_contains(toksCol, sw))) >= 2
 
   /** Per-doc DISTINCT character trigrams. The length guard keeps
     * sequence() ascending (Spark's sequence(1, L-2) DESCENDS for
@@ -81,9 +85,15 @@ object QualityClassifier {
 
   /** Weight table (term, wi): wi = round-half-up of 10⁴·A/(A+B) with
     * A = (hq+1)·(nlq+2), B = (lq+1)·(nhq+2), computed ENTIRELY in
-    * BIGINT ((20000·A + A+B) div (2·(A+B))) so both engines of a
-    * cross-engine gate hold the identical integer. df >= minDf prunes
-    * the noise tail; the table is vocabulary-bounded regardless.
+    * exact integer arithmetic ((20000·A + A+B) div (2·(A+B))) so both
+    * engines of a cross-engine gate hold the identical integer. The
+    * products ride DECIMAL(38,0), not BIGINT: around ~2·10⁷ train docs
+    * per class a BIGINT 20000·A silently wraps negative while DuckDB's
+    * SUM promotes to HUGEINT and stays correct — the same silent-wrap
+    * hazard ImportanceFilterRule's accumulator documents, closed the
+    * same way (`div` on decimals is still exact integral division, and
+    * wi ≤ 10⁴ always fits the long it returns). df >= minDf prunes the
+    * noise tail; the table is vocabulary-bounded regardless.
     */
   def weights(tokTrain: DataFrame, nrow: DataFrame, minDf: Int): DataFrame =
     tokTrain
@@ -93,8 +103,9 @@ object QualityClassifier {
       .crossJoin(broadcast(nrow))
       .select(
         col("term"),
-        ((col("hq") + 1) * (col("nlq") + 2)).as("a"),
-        ((col("cnt") - col("hq") + 1) * (col("nhq") + 2)).as("b"))
+        ((col("hq") + 1).cast("decimal(38,0)") * (col("nlq") + 2).cast("decimal(38,0)")).as("a"),
+        ((col("cnt") - col("hq") + 1).cast("decimal(38,0)") *
+          (col("nhq") + 2).cast("decimal(38,0)")).as("b"))
       .select(col("term"), expr("(a * 20000 + (a + b)) div (2 * (a + b))").as("wi"))
 
   /** Per-doc (doc_id, n_hits, ksum, score): exact BIGINT weight sums;

@@ -1528,16 +1528,19 @@ object Documents {
       .orderBy("doc_id")
   }
 
-  val q133Sql: String =
-    """WITH d AS (SELECT doc_id, TRIM(LOWER(text)) AS tx,
-      |             list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+  val q133Sql: String = {
+    val stop = graft.operators.QualityClassifier.stopwords
+      .map("'" + _ + "'")
+      .mkString("[", ",", "]")
+    s"""WITH d AS (SELECT doc_id, TRIM(LOWER(text)) AS tx,
+      |             list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
       |                         w -> w <> '') AS toks
       |           FROM documents),
       |m AS MATERIALIZED (SELECT doc_id, tx,
       |        (LEN(toks) >= 30
       |         AND CAST(LEN(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
       |               / LEN(toks) >= 0.8
-      |         AND LEN(list_filter(['the','a','of','and','to','in','is'],
+      |         AND LEN(list_filter($stop,
       |                             sw -> list_contains(toks, sw))) >= 2) AS label_hq
       |      FROM d WHERE LEN(toks) > 0),
       |tok AS MATERIALIZED (SELECT doc_id, label_hq,
@@ -1574,6 +1577,7 @@ object Documents {
       |FROM m LEFT JOIN sc ON m.doc_id = sc.doc_id, tau
       |WHERE m.doc_id % 5 = 0
       |ORDER BY m.doc_id""".stripMargin
+  }
 
   // ---- q104: BM25 top-k keyword retrieval (Robertson et al., Okapi) ----------
   // Sparse retrieval over the corpus inverted index: a fixed query set

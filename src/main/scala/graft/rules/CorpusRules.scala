@@ -540,6 +540,12 @@ object CorpusRules {
         spark.read.parquet(s"$path/tau").head().getDouble(0))
       val modelMap = map(entries.flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
       df.withColumn("_tx", trim(lower(col("text"))))
+        // token-less docs (empty/whitespace/null text) are OUTSIDE the
+        // model's population — the batch twin excludes them before
+        // scoring and the seed rule could never keep them, so a
+        // no-evidence 0.5 prior must not sneak them past a tau <= 0.5
+        // operating point
+        .filter(size(graft.operators.QualityClassifier.toks(col("_tx"))) > 0)
         .withColumn(
           "_wis",
           filter(

@@ -96,6 +96,21 @@ class QualityClassifierRuleSpec extends SparkSpec {
     }
   }
 
+  test("token-less docs never pass, even with a bar below the 0.5 prior") {
+    withModel {
+      // tau below 0.5 would keep a no-evidence doc on its prior alone —
+      // but empty/whitespace/null text is OUTSIDE the model's
+      // population (the batch twin excludes it before scoring), so the
+      // rule must drop it regardless of the operating point
+      spark.conf.set("spark.graft.quality.minScore", "-1.0")
+      val in = Seq(
+        (1L, "the quick brown fox jumps over a lazy dog of june and to in is"),
+        (2L, ""), (3L, "   "), (4L, null.asInstanceOf[String])
+      ).toDF("doc_id", "text")
+      QualityClassifierRule(in).select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+    }
+  }
+
   test("missing model conf fails loudly") {
     val e = intercept[IllegalArgumentException] {
       QualityClassifierRule(Seq((1L, "x")).toDF("doc_id", "text"))
