@@ -35,13 +35,17 @@ import graft.operators.Pinned.PinOps
   */
 object Bm25 {
 
-  /** Tokenized corpus projection: (doc_id, toks, dl). */
-  private def base(docs: DataFrame, idCol: String, textCol: Column): DataFrame = {
-    val toks = split(trim(lower(textCol)), "\\s+")
-    docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
+  /** Tokenized corpus projection: (doc_id, toks, dl). The tokenize +
+    * downstream explode is every BM25 path's per-row hot stage —
+    * floor the scan's parallelism (TextGroups.fanOut: identity at
+    * production scale, a one-time hash repartition when a small
+    * unsplittable scan would run it near-serially; round 15).
+    */
+  private def base(docs: DataFrame, idCol: String, textCol: Column): DataFrame =
+    TextGroups
+      .fanOut(docs.select(col(idCol).as("doc_id"), textCol.as("_tx")), col("doc_id"))
+      .select(col("doc_id"), split(trim(lower(col("_tx"))), "\\s+").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-  }
 
   private def validate(queries: Seq[(Int, Seq[String])]): Unit = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")

@@ -93,7 +93,11 @@ object Dedup {
     // minhashSignature composition — equality is property-tested.
     // Docs with no shingles have no signature (min of an empty set) and
     // must not bucket together — drop them before banding.
-    df.select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("_sh"))
+    // fanOut: the shingle+minhash kernels (one md5 per shingle) are the
+    // LSH family's per-row hot stage — floor the scan's parallelism
+    // (identity when the input is already parallel; round 15).
+    TextGroups.fanOut(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), graft.expressions.TextHashExprs.shingleSet(tokens(col(textCol)), k).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .select(
         col(idCol),

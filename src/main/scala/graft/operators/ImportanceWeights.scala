@@ -108,8 +108,12 @@ object ImportanceWeights {
       isTarget: Column,
       buckets: Int = 256
   ): DataFrame = {
-    val g = docs
-      .select(isTarget.as("_t"), split(trim(lower(textCol)), "\\s+").as("_toks"))
+    val g = TextGroups
+      // fanOut: the gram explode + md5 bucket is the per-row hot stage
+      // (round 15; identity when the scan is already parallel). Keyed
+      // by the text itself — the only high-cardinality column here.
+      .fanOut(docs.select(isTarget.as("_t"), textCol.as("_tx")), col("_tx"))
+      .select(col("_t"), split(trim(lower(col("_tx"))), "\\s+").as("_toks"))
       .select(col("_t"), explode(gramsOfToks(col("_toks"))).as("_gram"))
       .select(col("_t"), bucket(col("_gram")).as("bucket"))
     val perBucket = g
@@ -141,8 +145,9 @@ object ImportanceWeights {
       scores: DataFrame,
       defaultUnits: Option[Long] = None
   ): DataFrame = {
-    val counts = docs
-      .select(idCol.as("id"), split(trim(lower(textCol)), "\\s+").as("_toks"))
+    val counts = TextGroups
+      .fanOut(docs.select(idCol.as("id"), textCol.as("_tx")), col("id"))
+      .select(col("id"), split(trim(lower(col("_tx"))), "\\s+").as("_toks"))
       .select(col("id"), explode(gramsOfToks(col("_toks"))).as("_gram"))
       .select(col("id"), bucket(col("_gram")).as("bucket"))
       .groupBy(col("id"), col("bucket"))
@@ -180,8 +185,9 @@ object ImportanceWeights {
       isTarget: Column,
       buckets: Int = 256
   ): DataFrame = {
-    val dc = docs
-      .select(idCol.as("id"), isTarget.as("_t"), split(trim(lower(textCol)), "\\s+").as("_toks"))
+    val dc = TextGroups
+      .fanOut(docs.select(idCol.as("id"), isTarget.as("_t"), textCol.as("_tx")), col("id"))
+      .select(col("id"), col("_t"), split(trim(lower(col("_tx"))), "\\s+").as("_toks"))
       .select(col("id"), col("_t"), explode(gramsOfToks(col("_toks"))).as("_gram"))
       .select(col("id"), col("_t"), bucket(col("_gram")).as("bucket"))
       .groupBy(col("id"), col("_t"), col("bucket"))

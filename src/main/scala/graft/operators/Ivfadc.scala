@@ -439,7 +439,11 @@ object Ivfadc {
         zip_with(col("e"), element_at(centLit, col("cell") + 1), (a, b) => a - b).as("e"),
         col("cell"))
       .pinned
-    val dims = Similarity.embeddingDims(base, "e")
+    // dims from the coarse centroids already on the driver (init
+    // centroids ARE corpus rows, and KMeans.fit validated uniform
+    // lengths) — the previous embeddingDims() head() was one more
+    // scheduled job per fit for a value we already hold.
+    val dims = coarse.head.size
     val cbs = ProductQuant.fitCodebooks(
       res, idCol = "id", embCol = "e", dims = dims, m = m, k = pqK, iters = pqIters,
       dedupVectors = TextGroups.adaptiveStaging(res, xxhash64(col("e"))))

@@ -63,9 +63,17 @@ object QualityClassifier {
         transform(sequence(lit(1), length(tx) - 2), i => substr(tx, i, lit(3))))
         .otherwise(typedLit(Seq.empty[String])))
 
-  /** (doc_id, tx, label_hq) over docs with at least one token. */
+  /** (doc_id, tx, label_hq) over docs with at least one token. The
+    * trigram stream and seed-label kernels downstream are the
+    * pipeline's per-row hot path — floor the scan's parallelism
+    * (TextGroups.fanOut: identity at production scale, a one-time
+    * hash repartition when a small unsplittable scan would otherwise
+    * run the kernels near-serially; round-15, measured 3.4 s of
+    * single-task stages at sf0.1).
+    */
   def labeled(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), trim(lower(text)).as("tx"))
+    TextGroups
+      .fanOut(df.select(id.as("doc_id"), trim(lower(text)).as("tx")), col("doc_id"))
       .withColumn("toks", toks(col("tx")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("tx"), seedLabel(col("toks")).as("label_hq"))

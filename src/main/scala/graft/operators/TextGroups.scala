@@ -168,6 +168,33 @@ object TextGroups {
     }
   }
 
+  /** Parallelism floor for heavy per-row kernels over small
+    * unsplittable scans (round-15 optimization). Parquet cannot split
+    * below a row group, so a small corpus arrives as one-or-few scan
+    * partitions and every downstream map-side kernel (tokenize,
+    * n-gram explode, HOF folds) runs near-serially no matter how many
+    * cores the session has — guide §2.5's "one huge unsplittable
+    * file" case in miniature (measured: q133's trigram stream spent
+    * 3.4 s of single-task stages on a 32-core local session). When
+    * the input plans to fewer than half the session's default
+    * parallelism, hash-repartition it by the caller's key
+    * (deterministic under task retries — never rand()-derived); when
+    * the input is already parallel (production scale: thousands of
+    * row groups), this is the IDENTITY — no shuffle is added. The
+    * repartition moves the text bytes once, paid only at call sites
+    * whose per-row work dominates that copy by orders of magnitude.
+    *
+    * Batch inputs only (callers guard streaming frames): inspecting
+    * the planned partition count forces physical planning, which is
+    * driver-only work for the scan-shaped inputs this is applied to.
+    */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val planned = df.queryExecution.toRdd.getNumPartitions
+    if (planned * 2 <= target) df.repartition(target, key) else df
+  }
+
   /** Compute `perText` once per distinct text and expand per doc.
     *
     * @param df      source rows
@@ -211,7 +238,9 @@ object TextGroups {
     require(idCol != "t", "idCol 't' collides with the grouping-key alias")
     if (!shouldMemoize(df, textKey)) {
       val members = df.select(col(idCol).as("gid"), col(idCol))
-      val reps = df.select(col(idCol).as("gid"), textKey.as("t"))
+      // reps feeds the caller's heavy per-text kernels — floor its
+      // parallelism (identity when the scan is already parallel)
+      val reps = fanOut(df.select(col(idCol).as("gid"), textKey.as("t")), col("gid"))
       val sizes = df.select(col(idCol).as("gid"), lit(1L).as("gsz"))
       (members, reps, sizes)
     } else {
@@ -239,7 +268,9 @@ object TextGroups {
       perText: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(idCol != "t", "idCol 't' collides with the grouping-key alias")
     if (!shouldMemoize(df, textKey)) {
-      val reps = df.select(col(idCol).as("gid"), textKey.as("t"))
+      // reps feeds the caller's heavy per-text kernels — floor its
+      // parallelism (identity when the scan is already parallel)
+      val reps = fanOut(df.select(col(idCol).as("gid"), textKey.as("t")), col("gid"))
       val sizes = df.select(col(idCol).as("gid"), lit(1L).as("gsz"))
       val out = perText(reps, sizes)
       val rest = out.columns.filterNot(_ == "gid").map(col)

@@ -2506,58 +2506,54 @@ object Documents {
         (col("n_chars").cast("double") / lit(1000.0)).as("y"))
       .pinned
     val js = 0 to 3
-    def zOf = js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _)
-    var wPrev = s.range(1).select(js.map(j => lit(0.0).as(s"w$j")): _*)
-    var parts = List.empty[DataFrame]
+    // GD rounds with the weights as DRIVER LITERALS (round-15
+    // optimization, same rewrite as q131): each round is ONE
+    // aggregation job over the pinned features — the previous 1-row-
+    // weight-frame chain scheduled a broadcast-build plus a checkpoint
+    // job per round and re-optimized a crossJoin plan each time. The
+    // d+2 sums crossing the driver are a bounded sufficient statistic
+    // (the KMeans per-iteration means-collect pattern), and the update
+    // below is the exact IEEE op sequence of the old frame expression,
+    // so weights, losses — and the oracle hash — are bit-identical.
+    //
+    // The residual is quantized to 4 decimals the same way the ratio
+    // features are (integer-scaled round, identical half-away-from-
+    // zero ties in both engines): a RAW double residual entering the
+    // DECIMAL(18,4) cast would rest its cross-engine stability on no
+    // residual ever having a shortest-string form terminating on a
+    // .00005 boundary — true for this corpus but data-dependent.
+    // Quantizing first makes the cast exact BY CONSTRUCTION.
+    // dsumProduct, NOT dsum of the double product: the factors are
+    // exactly representable at 4 decimals by construction, but their
+    // DOUBLE product can land exactly on a .00005 tie, where Spark
+    // (shortest-string BigDecimal) and DuckDB (binary-value) round
+    // differently. Quantizing the factors and multiplying in decimal
+    // keeps the whole sum exact.
+    def zOf(ws: IndexedSeq[Double]) =
+      js.map(j => lit(ws(j)) * col(s"x$j")).reduce(_ + _)
+    var w: IndexedSeq[Double] = IndexedSeq.fill(js.size)(0.0)
+    var trace = List.empty[(Int, String, Double)]
     for (t <- 1 to gdRounds) {
-      // The residual is quantized to 4 decimals the same way the ratio
-      // features are (integer-scaled round, identical half-away-from-
-      // zero ties in both engines): a RAW double residual entering the
-      // DECIMAL(18,4) cast would rest its cross-engine stability on no
-      // residual ever having a shortest-string form terminating on a
-      // .00005 boundary — true for this corpus but data-dependent
-      // (round 1's r = -y is a short 3-decimal value, exactly the
-      // class where ties occur). Quantizing first makes the cast exact
-      // BY CONSTRUCTION; both engines apply the identical perturbation
-      // (≤5e-5 per residual), so the trajectory stays hash-comparable.
-      val joined = feats.crossJoin(broadcast(wPrev))
-        .withColumn("r", round((zOf - col("y")) * lit(10000.0)) / lit(10000.0))
-      // dsumProduct, NOT dsum of the double product: the factors are
-      // exactly representable at 4 decimals by construction (r and the
-      // ratio features quantized above; x1/y terminate at ≤4 decimals'
-      // scale or sit far from boundaries), but their DOUBLE product
-      // can land exactly on a .00005 tie, where Spark (shortest-string
-      // BigDecimal) and DuckDB (binary-value) round differently.
-      // Quantizing the factors and multiplying in decimal keeps the
-      // whole sum exact.
       val aggCols =
-        js.map(j => max(col(s"w$j")).as(s"pw$j")) ++
-          js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
+        js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
           Num.dsumProduct(col("r"), col("r")).as("ssq") :+ count(lit(1)).as("n")
-      val agg = joined.agg(aggCols.head, aggCols.tail: _*)
-      val wNext = agg
-        .select(
-          js.map(j =>
-            (col(s"pw$j") - lit(gdLr) * (lit(2.0) * (col(s"g$j") / col("n")))).as(s"w$j")) :+
-            (col("ssq") / col("n")).as("mse_prev"): _*)
-        .pinned
-      val weightRows = wNext.select(explode(array(
-        js.map(j =>
-          struct(lit(t).as("round"), lit(s"w$j").as("item"), col(s"w$j").as("value"))): _*)).as("kv"))
-        .select(col("kv.round"), col("kv.item"), col("kv.value"))
-      val mseRow = wNext.select(
-        lit(t - 1).as("round"), lit("mse").as("item"), col("mse_prev").as("value"))
-      parts :+= weightRows
-      parts :+= mseRow
-      wPrev = wNext.select(js.map(j => col(s"w$j")): _*)
+      val row = feats
+        .withColumn("r", round((zOf(w) - col("y")) * lit(10000.0)) / lit(10000.0))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .head()
+      val n = row.getLong(js.size + 1)
+      trace :+= ((t - 1, "mse", row.getDouble(js.size) / n))
+      w = js.map(j => w(j) - gdLr * (2.0 * (row.getDouble(j) / n)))
+      trace ++= js.map(j => (t, s"w$j", w(j)))
     }
+    import s.implicits._
+    val traced = trace.toDF("round", "item", "value")
     // the trained model's own loss: one more corpus pass under w_T
     val finalMse = feats
-      .crossJoin(broadcast(wPrev))
-      .withColumn("r", round((zOf - col("y")) * lit(10000.0)) / lit(10000.0))
+      .withColumn("r", round((zOf(w) - col("y")) * lit(10000.0)) / lit(10000.0))
       .agg((Num.dsumProduct(col("r"), col("r")) / count(lit(1))).as("v"))
       .select(lit(gdRounds).as("round"), lit("mse").as("item"), col("v").as("value"))
-    (parts :+ finalMse).reduce(_.unionByName(_)).orderBy("round", "item")
+    traced.unionByName(finalMse).orderBy("round", "item")
   }
 
   val q129Sql: String = {

@@ -1450,19 +1450,19 @@ object Vectors {
   // λ = 0.7, k = 5.
   //
   // Scale shape: after the shortlist, EVERYTHING is keyed by qid with
-  // bounded per-qid group sizes — 20 candidates, 20·19 pairwise sims,
-  // and k−1 greedy steps each a bounded join + windowed argmax,
-  // shuffle-partitioned on qid. One million concurrent queries
-  // distribute across executors; no step moves data to the driver.
-  // The brute-force shortlist here is the correctness baseline (q40's
-  // posture) — at corpus scale the same greedy consumes any ANN
-  // shortlist (q42 IVF / q102 IVFADC) unchanged. cands/sims and each
-  // step's selection are pinned: every greedy step re-reads them, and
-  // without the pin the plan re-derives the whole shortlist per step
-  // (3^k subtree blowup). The oracle unrolls the k−1 steps as CTEs
-  // (the q111/q118 unrolled-rounds pattern); scores stay bit-exact
-  // across engines because cosine uses the sequential fold both
-  // engines share and the MMR combine is plain IEEE arithmetic.
+  // bounded per-qid group sizes (20 candidates), so the whole greedy
+  // is a per-group pure function — one MmrGreedyAgg aggregation
+  // (round-15 optimization; previously k−1 rounds of checkpointed
+  // join + windowed argmax, ~3 scheduled jobs per step). One million
+  // concurrent queries distribute across executors; no step moves
+  // data to the driver. The brute-force shortlist here is the
+  // correctness baseline (q40's posture) — at corpus scale the same
+  // greedy consumes any ANN shortlist (q42 IVF / q102 IVFADC)
+  // unchanged. The oracle unrolls the k−1 steps as CTEs (the
+  // q111/q118 unrolled-rounds pattern); scores stay bit-exact across
+  // engines because cosine uses the sequential fold both engines
+  // share and the MMR combine is plain IEEE arithmetic
+  // (MmrGreedySpec pins byte equality with the frame-form chain).
   private val mmrPool = 20
   private val mmrK = 5
 
@@ -1482,8 +1482,8 @@ object Vectors {
     val cands = rel
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= mmrPool)
+      // no pin: the aggregate-form greedy consumes the shortlist once
       .select("qid", "nid", "nemb", "rel")
-      .pinned
     mmrGreedy(cands, mmrK).orderBy("qid", "step")
   }
 
@@ -1494,49 +1494,29 @@ object Vectors {
     * k−1 steps of bounded join + windowed argmax per qid. Returns
     * (qid, nid, rel, score, step), unordered.
     */
-  private def mmrGreedy(cands: DataFrame, k: Int): DataFrame = {
-    val aSide = cands.select(col("qid"), col("nid").as("a"), col("nemb").as("aemb"))
-    val bSide = cands.select(col("qid"), col("nid").as("b"), col("nemb").as("bemb"))
-    val sims = aSide
-      .join(bSide, Seq("qid"))
-      .filter(col("a") =!= col("b"))
+  private def mmrGreedy(cands: DataFrame, k: Int): DataFrame =
+    // ONE aggregation job: per-qid pools are bounded (the retrieval
+    // shortlist), so the whole greedy is a per-group pure function —
+    // graft.expressions.MmrGreedyAgg runs it in the aggregate's eval
+    // with the frame chain's exact arithmetic (sequential-fold
+    // cosines, double-ordering argmax, ties to the lower nid;
+    // byte-equality vs the old k-round join/window chain is pinned by
+    // MmrGreedySpec). The previous form scheduled ~3 jobs per
+    // selection step (checkpointed step results so the next step's
+    // three reads didn't re-derive the plan) — the round-15
+    // optimization replaces the loop, not the math. Scale shape is
+    // unchanged: selection distributes by qid, nothing on the driver.
+    cands
+      .groupBy(col("qid"))
+      .agg(graft.expressions.MmrGreedyAgg
+        .mmr(col("nid"), col("nemb"), col("rel"), k, 0.7, 0.3).as("_sel"))
+      .select(col("qid"), explode(col("_sel")).as("_s"))
       .select(
         col("qid"),
-        col("a"),
-        col("b"),
-        (dot(col("aemb"), col("bemb")) /
-          (sqrt(dot(col("aemb"), col("aemb"))) * sqrt(dot(col("bemb"), col("bemb"))))).as("sim"))
-      .pinned
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
-    val base = cands.select(col("qid"), col("nid"), col("rel"))
-    var selected = base
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("nid"), col("rel"), col("rel").as("score"), lit(1).as("step"))
-      .pinned
-    for (t <- 2 to k) {
-      val ms = sims
-        .join(selected.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
-        .groupBy(col("qid"), col("a"))
-        .agg(max(col("sim")).as("maxsim"))
-        .withColumnRenamed("a", "nid")
-      val wPick = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      val pick = base
-        .join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-        .join(ms, Seq("qid", "nid"))
-        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("nid"), col("rel"), col("score"), lit(t).as("step"))
-      // steps 1..k-1 are re-read 3× by the NEXT step (ms join, anti-
-      // join, union) → pinned; the final union is consumed exactly once
-      // by the output sort and stays UNpinned so the last greedy step's
-      // join/agg/window shape remains visible to the plan audit.
-      val u = selected.unionByName(pick)
-      selected = if (t < k) u.pinned else u
-    }
-    selected
-  }
+        col("_s.nid").as("nid"),
+        col("_s.rel").as("rel"),
+        col("_s.score").as("score"),
+        col("_s.step").as("step"))
 
   private def cosineSql(x: String, y: String): String =
     s"""list_reduce(list_transform(list_zip($x, $y), p -> p[1] * p[2]), (u, v) -> u + v)
@@ -1615,8 +1595,8 @@ object Vectors {
     val cands = shortlist
       .select(col("qid"), col("nid"), (lit(1.0) / col("rank")).as("rel"))
       .join(e.select(col("vec_id").as("nid"), col("e").as("nemb")), Seq("nid"))
+      // no pin: the aggregate-form greedy consumes the shortlist once
       .select("qid", "nid", "nemb", "rel")
-      .pinned
     mmrGreedy(cands, mmrK).orderBy("qid", "step")
   }
 
@@ -1667,8 +1647,8 @@ object Vectors {
     val cands = shortlist
       .select(col("qid"), col("nid"), (lit(1.0) / col("rank")).as("rel"))
       .join(e.select(col("vec_id").as("nid"), col("e").as("nemb")), Seq("nid"))
+      // no pin: the aggregate-form greedy consumes the shortlist once
       .select("qid", "nid", "nemb", "rel")
-      .pinned
     mmrGreedy(cands, mmrK).orderBy("qid", "step")
   }
 
@@ -1769,27 +1749,47 @@ object Vectors {
         (col("n_tok").cast("double") / lit(100.0) - lit(0.55)).as("x4"),
         (edot(col("qe"), col("de")) /
           (sqrt(edot(col("qe"), col("qe"))) * sqrt(edot(col("de"), col("de"))))).as("y"))
+      // ONE partition BY THIS QUERY'S CONTRACT: the pair table is
+      // ≤ |hybridQueries|·10 rows (3 queries × the RRF top-10), so a
+      // single-partition pin makes every GD round's aggregate
+      // exchange-free — head() is then one single-stage job instead
+      // of an AQE-materialized shuffle + take (measured 2 jobs/round
+      // → 1). A large-|Q| deployment of this rescorer drops the
+      // coalesce and keeps the distributed partial-agg shape (q129's
+      // corpus-sized GD does exactly that). Values are unaffected:
+      // the gradient sums are exact decimals, order-independent.
+      .coalesce(1)
       .pinned
     val js = 0 to 4
-    def zOf = js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _)
-    var wPrev = s.range(1).select(js.map(j => lit(0.0).as(s"w$j")): _*)
+    // GD rounds with the weights as DRIVER LITERALS (round-15
+    // optimization): each round is ONE aggregation job over the pinned
+    // pair rows, and the k+1 gradient sums — a bounded sufficient
+    // statistic, the same class as KMeans' per-iteration means collect
+    // — cross the driver as plain doubles. The previous 1-row-frame
+    // chain paid two scheduled jobs per round (broadcast build +
+    // checkpoint materialization) plus a crossJoin plan to optimize
+    // each time; the update arithmetic below is the exact IEEE op
+    // sequence of the old frame expression (w − lr·(2·(g/n)) on
+    // identical double operands), so the trajectory — and the oracle
+    // hash — is bit-identical.
+    var w: IndexedSeq[Double] = IndexedSeq.fill(js.size)(0.0)
+    def zOf(ws: IndexedSeq[Double]) =
+      js.map(j => lit(ws(j)) * col(s"x$j")).reduce(_ + _)
     for (_ <- 1 to rescoreRounds) {
-      val joined = feats.crossJoin(broadcast(wPrev))
-        .withColumn("r", round((zOf - col("y")) * lit(10000.0)) / lit(10000.0))
       val aggCols =
-        js.map(j => max(col(s"w$j")).as(s"pw$j")) ++
-          js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
+        js.map(j => Num.dsumProduct(col("r"), col(s"x$j")).as(s"g$j")) :+
           count(lit(1)).as("n")
-      val agg = joined.agg(aggCols.head, aggCols.tail: _*)
-      wPrev = agg
-        .select(js.map(j =>
-          (col(s"pw$j") - lit(rescoreLr) * (lit(2.0) * (col(s"g$j") / col("n")))).as(s"w$j")): _*)
-        .pinned
+      val row = feats
+        .withColumn("r", round((zOf(w) - col("y")) * lit(10000.0)) / lit(10000.0))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .head()
+      val n = row.getLong(js.size)
+      w = js.map(j => w(j) - rescoreLr * (2.0 * (row.getDouble(j) / n)))
     }
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    feats.crossJoin(broadcast(wPrev))
-      .select(col("qid"), col("doc_id"), zOf.as("score"), col("y").as("teacher"))
-      .withColumn("rank", row_number().over(w))
+    val wWin = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    feats
+      .select(col("qid"), col("doc_id"), zOf(w).as("score"), col("y").as("teacher"))
+      .withColumn("rank", row_number().over(wWin))
       .select(col("qid"), col("rank"), col("doc_id"), col("score"), col("teacher"))
       .orderBy("qid", "rank")
   }

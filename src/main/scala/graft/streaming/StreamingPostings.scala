@@ -153,7 +153,14 @@ object StreamingPostings {
     DeltaCommits.writeSnapshot(spark, outDir, committed)
     val served = load(spark, dir, committed)
     served.postings
-      .repartition(col("term")).sortWithinPartitions(col("term"), col("doc_id"))
+      // REBALANCE, not repartition(col): same term-clustered layout,
+      // but AQE sizes the partition count from the data (advisory
+      // partition bytes) instead of pinning it to
+      // spark.sql.shuffle.partitions — a tiny fold writes one file, a
+      // 100 TB fold writes ~advisory-sized term-range files (guide
+      // §6: coalesce on write), with row-group pruning unchanged.
+      .hint("rebalance", col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("errorifexists").parquet(s"$outDir/base/postings")
     served.doclens
       .write.mode("errorifexists").parquet(s"$outDir/base/doclens")

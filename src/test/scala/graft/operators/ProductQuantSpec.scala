@@ -21,6 +21,31 @@ class ProductQuantSpec extends SparkSpec {
     e.getMessage should include("subspaces")
   }
 
+  test("fused fit equals per-subspace KMeans.fit bit-for-bit (both dedup modes)") {
+    // the round-15 fused Lloyd loop must reproduce the split fits'
+    // codebooks EXACTLY — decimal means, lowest-id init, empty-cell
+    // carry — on a corpus with duplicate slices and an empty-ish cell
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { id =>
+      val base = if (id % 3 == 0) Seq(1.0, 2.0, -1.0, 0.5, 9.0, 9.0) // repeated slice values
+      else Seq.fill(6)(rnd.nextDouble() * 4 - 2)
+      (id, base)
+    }
+    val df = rows.toDF("id", "emb")
+    for (dedup <- Seq(false, true)) {
+      val fused = ProductQuant.fitCodebooks(
+        df, "id", "emb", dims = 6, m = 3, k = 4, iters = 3, dedupVectors = dedup)
+      val split = (0 until 3).map { s =>
+        val sl = df.select(
+          col("id").as("_pqid"),
+          slice(col("emb"), lit(s * 2 + 1), lit(2)).as("_pqes"))
+        KMeans.fit(sl, "_pqid", "_pqes", k = 4, iters = 3, dedupVectors = dedup)
+      }
+      fused.map(_.map(_.map(java.lang.Double.doubleToLongBits))) shouldBe
+        split.map(_.map(_.map(java.lang.Double.doubleToLongBits)))
+    }
+  }
+
   test("m=1 reduces to plain k-means: codes match assign, sq_err is the true distance") {
     val cbs = ProductQuant.fitCodebooks(vecs, "id", "emb", dims = 4, m = 1, k = 2, iters = 2)
     cbs.size shouldBe 1
