@@ -208,8 +208,15 @@ object TextGroups {
     * @return one row per surviving doc: `idCol` plus `perText`'s
     *         non-gid columns
     */
-  def perDoc(df: DataFrame, idCol: String, textKey: Column)(perText: DataFrame => DataFrame): DataFrame =
-    perDocWithSizes(df, idCol, textKey)((reps, _) => perText(reps))
+  /** @param fanOutReps apply the [[fanOut]] parallelism floor to the
+    *        representatives (default). Callers whose `perText` kernel
+    *        is CHEAP (one array pass, a few scalar ops) opt out: for
+    *        them the repartition costs more than the kernel saves —
+    *        measured on q38/q93 (+0.2–0.35 s each at sf0.1).
+    */
+  def perDoc(df: DataFrame, idCol: String, textKey: Column, fanOutReps: Boolean = true)(
+      perText: DataFrame => DataFrame): DataFrame =
+    perDocWithSizes(df, idCol, textKey, fanOutReps)((reps, _) => perText(reps))
 
   /** The grouping prelude alone — for callers whose EXPANSION is not
     * [[perDoc]]'s plain inner join (novelty's rep-only ownership, pair
@@ -219,8 +226,12 @@ object TextGroups {
     * direct mode both are projections of `df` (singleton groups).
     * `idCol` must not itself be named `t` (the key alias).
     */
-  def prelude(df: DataFrame, idCol: String, textKey: Column): (DataFrame, DataFrame) = {
-    val (members, reps, _) = preludeWithSizes(df, idCol, textKey)
+  def prelude(
+      df: DataFrame,
+      idCol: String,
+      textKey: Column,
+      fanOutReps: Boolean = true): (DataFrame, DataFrame) = {
+    val (members, reps, _) = preludeWithSizes(df, idCol, textKey, fanOutReps)
     (members, reps)
   }
 
@@ -233,14 +244,16 @@ object TextGroups {
   def preludeWithSizes(
       df: DataFrame,
       idCol: String,
-      textKey: Column
+      textKey: Column,
+      fanOutReps: Boolean = true
   ): (DataFrame, DataFrame, DataFrame) = {
     require(idCol != "t", "idCol 't' collides with the grouping-key alias")
     if (!shouldMemoize(df, textKey)) {
       val members = df.select(col(idCol).as("gid"), col(idCol))
       // reps feeds the caller's heavy per-text kernels — floor its
       // parallelism (identity when the scan is already parallel)
-      val reps = fanOut(df.select(col(idCol).as("gid"), textKey.as("t")), col("gid"))
+      val reps0 = df.select(col(idCol).as("gid"), textKey.as("t"))
+      val reps = if (fanOutReps) fanOut(reps0, col("gid")) else reps0
       val sizes = df.select(col(idCol).as("gid"), lit(1L).as("gsz"))
       (members, reps, sizes)
     } else {
@@ -264,19 +277,24 @@ object TextGroups {
     * group is a singleton (gsz = 1) and the expansion join disappears
     * entirely — the result is `perText` applied per document.
     */
-  def perDocWithSizes(df: DataFrame, idCol: String, textKey: Column)(
+  def perDocWithSizes(
+      df: DataFrame,
+      idCol: String,
+      textKey: Column,
+      fanOutReps: Boolean = true)(
       perText: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(idCol != "t", "idCol 't' collides with the grouping-key alias")
     if (!shouldMemoize(df, textKey)) {
       // reps feeds the caller's heavy per-text kernels — floor its
       // parallelism (identity when the scan is already parallel)
-      val reps = fanOut(df.select(col(idCol).as("gid"), textKey.as("t")), col("gid"))
+      val reps0 = df.select(col(idCol).as("gid"), textKey.as("t"))
+      val reps = if (fanOutReps) fanOut(reps0, col("gid")) else reps0
       val sizes = df.select(col(idCol).as("gid"), lit(1L).as("gsz"))
       val out = perText(reps, sizes)
       val rest = out.columns.filterNot(_ == "gid").map(col)
       out.select(col("gid").as(idCol) +: rest: _*)
     } else {
-      val (members0, reps, sizes) = preludeWithSizes(df, idCol, textKey)
+      val (members0, reps, sizes) = preludeWithSizes(df, idCol, textKey, fanOutReps)
       val members = members0.withColumnRenamed(idCol, "_mid")
       val perRep = perText(reps, sizes)
       members

@@ -268,7 +268,10 @@ object TextPipeline {
     // Scores memoized by distinct raw text (TextGroups); lang is a doc
     // attribute and joins back per doc.
     val scored = graft.operators.TextGroups
-      .perDoc(docs(s, dir), "doc_id", col("text")) { reps =>
+      // fanOutReps = false: one single-pass kernel per row — the
+      // parallelism-floor repartition costs more than it saves here
+      // (measured +0.2 s at sf0.1, round 15)
+      .perDoc(docs(s, dir), "doc_id", col("text"), fanOutReps = false) { reps =>
         reps.select(
           col("gid"),
           graft.expressions.TextHashExprs.langScores(Dedup.tokens(col("t"))).as("scores"))
