@@ -25,21 +25,18 @@ object ProductQuant {
   /** One codebook per subspace: codebooks(s)(c) is centroid c of
     * subspace s. `dims` must divide evenly into `m` subspaces.
     *
-    * FUSED Lloyd loop (round 15): the m per-subspace fits share every
-    * pass — one (id, sub, slice) projection persisted once, one init
-    * collect (the k lowest-id vectors, sliced on the driver — the
-    * same rows each per-subspace fit would read), and per iteration
-    * ONE job whose assignment picks the subspace's centroid set with
-    * a branch on `sub` and whose aggregation groups by (sub, cell,
-    * dim). The previous form ran m independent KMeans.fit loops
-    * (threaded, but still m×(2+iters) scheduled jobs and m corpus
-    * scans per iteration); fused it is (2+iters) jobs and ONE scan
-    * per iteration regardless of m — at 100 TB that is the difference
-    * between reading the embedding column m times and once per Lloyd
-    * round. Codebooks are bit-identical to the per-subspace form
-    * (decimal means are order-independent, the init rows and the
-    * assignment kernel arithmetic are unchanged — ProductQuantSpec
-    * pins equality against per-subspace KMeans.fit).
+    * Round-15 optimization note: a FUSED single-loop variant (one
+    * (id, sub, slice) projection, one job per Lloyd round branching on
+    * `sub`) was implemented, spec-pinned bit-identical, measured — and
+    * REVERTED. A Lloyd round's job has a fixed scheduling/AQE cost that
+    * dominates its work at any corpus size that fits a cell budget
+    * (~250 ms measured with the kernel replaced by a constant; the
+    * kernel itself is noise), so m·(2+iters) small CONCURRENT jobs
+    * (this form — the pool below overlaps them, guide §2.6) beat
+    * (2+iters) strictly sequential fused jobs in wall time: q100
+    * 0.73 s threaded vs 1.22 s fused, q127 3.53 s vs 4.61 s at sf0.1.
+    * Total bytes read per round are the same either way (each split
+    * fit scans its own 1/m-sized persisted slice projection).
     */
   def fitCodebooks(
       df: DataFrame,
@@ -54,96 +51,30 @@ object ProductQuant {
         scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.MINUTES)
   ): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
-    val _ = fitTimeout // kept for source compatibility; the fused loop is driver-sequential
     val sub = dims / m
-    val base = df.select(col(idCol).as("_id"), col(embCol).as("_emb"))
-
-    // (id, sub, slice) rows — the union of every subspace's projection,
-    // produced map-side in one pass. In dedup mode each SUBSPACE
-    // collapses by its own slice value (slice equality is weaker than
-    // full-vector equality, so this collapses at least as much as the
-    // caller's full-vector duplication estimate suggested), exactly
-    // like the per-subspace KMeans.fit dedup did.
-    val subsArr = array((0 until m).map(s => slice(col("_emb"), s * sub + 1, sub)): _*)
-    val exploded = base.select(col("_id"), posexplode(subsArr).as(Seq("_sub", "_es")))
-    val corpus = (if (dedupVectors)
-                    exploded
-                      .groupBy(col("_sub"), col("_es"))
-                      .agg(min(col("_id")).as("_id"), count(lit(1)).as("_w"))
-                      .select(col("_sub"), col("_id"), col("_es"), col("_w"))
-                  else exploded.withColumn("_w", lit(1L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
+    // The m fits are independent driver-blocking Lloyd loops over
+    // disjoint slice projections — run them as concurrent Spark job
+    // groups instead of serially (each iteration is a small job whose
+    // fixed scheduling cost would otherwise add up m-fold). Results
+    // are deterministic per subspace, so concurrency cannot change
+    // the codebooks. The pool is capped (each thread drives
+    // cluster-wide jobs, so m=64 threads buys nothing past scheduler
+    // saturation) and the await is bounded: a hung job surfaces as a
+    // TimeoutException instead of blocking the caller forever.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
-      // Uniform-dimensionality and (dedup mode) multiplicity guards —
-      // the same loud failures KMeans.fit raises per subspace, checked
-      // once over the fused frame.
-      val chk = corpus
-        .agg(
-          min(size(col("_es"))).as("lo"),
-          max(size(col("_es"))).as("hi"),
-          max(col("_w")).as("w"))
-        .head
-      require(!chk.isNullAt(0), "PQ fit needs a non-empty corpus with non-null embeddings")
-      require(
-        chk.getInt(0) == sub && chk.getInt(1) == sub,
-        s"ragged embedding lengths: subspace slices span ${chk.getInt(0)}..${chk.getInt(1)}, " +
-          s"expected $sub — PQ needs uniform dims")
-      require(
-        chk.getLong(2) < 1000000000L,
-        s"dedupVectors: a single subspace slice repeats ${chk.getLong(2)} times (>= 1e9) — " +
-          "beyond the weighted mean's exact-decimal range")
-
-      // Init: the k lowest-id ORIGINAL rows (not the deduped slices),
-      // sliced per subspace on the driver — identical to each
-      // per-subspace fit's `orderBy(_id).limit(k)` collect.
-      val initRows = base
-        .orderBy("_id")
-        .limit(k)
-        .select("_emb")
-        .collect()
-        .map(_.getSeq[Double](0).toSeq)
-        .toSeq
-      require(initRows.size == k, s"k=$k but corpus has only ${initRows.size} rows")
-      var centroids: IndexedSeq[Seq[Seq[Double]]] =
-        (0 until m).map(s => initRows.map(_.slice(s * sub, (s + 1) * sub)))
-
-      val dec28 = "decimal(28,12)"
-      for (_ <- 1 to iters) {
-        // per-subspace assignment: branch on _sub over the m codegen
-        // kernels — each row evaluates exactly its own subspace's
-        // nearest-cell fold, the same arithmetic as the split fits
-        val cellExpr = (1 until m).foldLeft(
-          KMeans.nearestCell(col("_es"), centroids(0))) { (acc, s) =>
-          when(col("_sub") === s, KMeans.nearestCell(col("_es"), centroids(s))).otherwise(acc)
-        }
-        val rows = corpus.select(
-          col("_sub"),
-          cellExpr.as("_cell"),
-          col("_w"),
-          posexplode(col("_es")).as(Seq("_dim", "_v")))
-        val agged =
-          if (dedupVectors)
-            rows
-              .groupBy(col("_sub"), col("_cell"), col("_dim"))
-              .agg((sum(col("_v").cast(dec28) * col("_w").cast("decimal(9,0)")) /
-                sum(col("_w"))).cast("double").as("_mean"))
-          else
-            rows
-              .groupBy(col("_sub"), col("_cell"), col("_dim"))
-              .agg((sum(col("_v").cast(dec28)) / count(lit(1))).cast("double").as("_mean"))
-        val means = agged
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
-          .toMap
-        centroids = (0 until m).map { s =>
-          centroids(s).zipWithIndex.map { case (old, c) =>
-            if (means.contains((s, c, 0))) old.indices.map(d => means((s, c, d))) else old
-          }
+      val fits = (0 until m).map { s =>
+        Future {
+          val sl = df.select(
+            col(idCol).as("_pqid"),
+            slice(col(embCol), lit(s * sub + 1), lit(sub)).as("_pqes"))
+          KMeans.fit(sl, "_pqid", "_pqes", k, iters, dedupVectors)
         }
       }
-      centroids
-    } finally { corpus.unpersist(); () }
+      Await.result(Future.sequence(fits), fitTimeout)
+    } finally pool.shutdownNow()
   }
 
   /** Sequential squared-L2 fold between an array column and its

@@ -28,7 +28,8 @@ object JobProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
-    val stages = new ConcurrentLinkedQueue[(Int, Int, Long)]() // (stageId, numTasks, runMs)
+    // (stageId, numTasks, wallMs, execRunMs, execCpuMs, deserMs)
+    val stages = new ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long)]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -42,7 +43,12 @@ object JobProfile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val ms = (for { a <- i.completionTime; b <- i.submissionTime } yield a - b).getOrElse(-1L)
-        stages.add((i.stageId, i.numTasks, ms))
+        // executorRunTime = sum of task run time; the gap between the
+        // stage wall and run/launch times is scheduling + codegen/plan
+        val run = i.taskMetrics.executorRunTime
+        val cpu = i.taskMetrics.executorCpuTime / 1000000L
+        val deser = i.taskMetrics.executorDeserializeTime
+        stages.add((i.stageId, i.numTasks, ms, run, cpu, deser))
       }
     }
 
@@ -87,7 +93,10 @@ object JobProfile {
         println(f"  job ${r.id}%3d +${r.start - t0}%6dms ${math.max(0L, r.end - r.start)}%6dms  ${r.desc}")
       }
       val heavy = st.sortBy(-_._3).take(8)
-      heavy.foreach { case (sid, nt, ms) => println(f"  stage $sid%4d tasks=$nt%4d ${ms}%6dms") }
+      heavy.foreach { case (sid, nt, ms, run, cpu, deser) =>
+        println(f"  stage $sid%4d tasks=$nt%4d wall=${ms}%5dms taskRun=${run}%5dms " +
+          f"taskCpu=${cpu}%5dms deser=${deser}%4dms")
+      }
     }
     spark.stop()
   }

@@ -21,10 +21,13 @@ class ProductQuantSpec extends SparkSpec {
     e.getMessage should include("subspaces")
   }
 
-  test("fused fit equals per-subspace KMeans.fit bit-for-bit (both dedup modes)") {
-    // the round-15 fused Lloyd loop must reproduce the split fits'
-    // codebooks EXACTLY — decimal means, lowest-id init, empty-cell
-    // carry — on a corpus with duplicate slices and an empty-ish cell
+  test("fitCodebooks equals per-subspace KMeans.fit bit-for-bit (both dedup modes)") {
+    // fitCodebooks must reproduce the split fits' codebooks EXACTLY —
+    // decimal means, lowest-id init, empty-cell carry — on a corpus
+    // with duplicate slices and an empty-ish cell. (Round 15 tried a
+    // fused single-loop variant behind this invariant and reverted it
+    // on measurement; the pin stays so any future rewrite is held to
+    // the same bit-equality bar.)
     val rnd = new scala.util.Random(11)
     val rows = (0L until 40L).map { id =>
       val base = if (id % 3 == 0) Seq(1.0, 2.0, -1.0, 0.5, 9.0, 9.0) // repeated slice values
@@ -33,7 +36,7 @@ class ProductQuantSpec extends SparkSpec {
     }
     val df = rows.toDF("id", "emb")
     for (dedup <- Seq(false, true)) {
-      val fused = ProductQuant.fitCodebooks(
+      val got = ProductQuant.fitCodebooks(
         df, "id", "emb", dims = 6, m = 3, k = 4, iters = 3, dedupVectors = dedup)
       val split = (0 until 3).map { s =>
         val sl = df.select(
@@ -41,7 +44,7 @@ class ProductQuantSpec extends SparkSpec {
           slice(col("emb"), lit(s * 2 + 1), lit(2)).as("_pqes"))
         KMeans.fit(sl, "_pqid", "_pqes", k = 4, iters = 3, dedupVectors = dedup)
       }
-      fused.map(_.map(_.map(java.lang.Double.doubleToLongBits))) shouldBe
+      got.map(_.map(_.map(java.lang.Double.doubleToLongBits))) shouldBe
         split.map(_.map(_.map(java.lang.Double.doubleToLongBits)))
     }
   }
