@@ -22,6 +22,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE re-plan (in particular: coalesce post-shuffle
+      // partitions) under a persisted lineage too — off by default in
+      // Spark only to keep a cached plan's output partitioning stable
+      // for consumers that re-use it, which no graft operator does
+      // (persists here are single-batch barriers: StreamingPostings/
+      // StreamingIndex ingest, Dedup staged corpora, KMeans fit
+      // projections). Without it every persist+write path freezes at
+      // spark.sql.shuffle.partitions — e.g. each tiny postings delta
+      // batch wrote 32 files and the fold re-read 6×32 of them
+      // (round-15 measurement: q132 −4..−22%, q126/q127 −8..−22%,
+      // q64 −14% paired A/B; no sampled regression). At scale the
+      // same knob sizes delta/index files by AQE's advisory bytes
+      // instead of the shuffle-partition constant (guide §6).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB state store by default: streaming state on executor
