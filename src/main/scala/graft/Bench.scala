@@ -61,10 +61,23 @@ object Bench {
       }
     }
 
+    // Hypervisor steal ticks accumulated across the whole measured
+    // window (/proc/stat col 9): this host carries an episodic noisy
+    // neighbor (BASELINE.md), and a contended recording must
+    // self-identify without anyone re-running it. -1 where the proc
+    // counter is unavailable.
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().trim.split("\\s+")(8).toLong
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+
     // BASELINE.md protocol: warm JVM, median of 3 runs per query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOne(names.head) // warmup, discarded
+    val steal0 = stealTicks()
 
     val results = names.map { n =>
       val times = (1 to runs).map(_ => runOne(n)).sorted
@@ -79,8 +92,10 @@ object Bench {
     val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
+    val steal1 = stealTicks()
+    val steal = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"steal_ticks":$steal,"sf":"$sfDir"}"""
     println(json)
     // Stdout tails get truncated by log capture (round 6 lost q01-q37's
     // per-query map that way) — always persist the full artifact too.

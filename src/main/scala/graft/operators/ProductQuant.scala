@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuant {
 
+  /** Distinguishes concurrent [[fitCodebooks]] calls' job groups so a
+    * timeout cancel never reaches another fit's in-flight jobs.
+    */
+  private val fitGroupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One codebook per subspace: codebooks(s)(c) is centroid c of
     * subspace s. `dims` must divide evenly into `m` subspaces.
     *
@@ -64,16 +69,32 @@ object ProductQuant {
     import scala.concurrent.{Await, ExecutionContext, Future}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    // Each subspace fit runs under its own job group so that on a
+    // fitTimeout the in-flight Spark jobs are actually cancelled —
+    // shutdownNow() only interrupts the driver threads, and the jobs
+    // they launched would otherwise keep consuming the cluster as
+    // orphans (round-15 advice). interruptOnCancel reaches a task
+    // blocked inside a kernel, not just one between records.
+    val sc = df.sparkSession.sparkContext
+    val groupId = s"pq-fit-${fitGroupSeq.incrementAndGet()}"
     try {
       val fits = (0 until m).map { s =>
         Future {
-          val sl = df.select(
-            col(idCol).as("_pqid"),
-            slice(col(embCol), lit(s * sub + 1), lit(sub)).as("_pqes"))
-          KMeans.fit(sl, "_pqid", "_pqes", k, iters, dedupVectors)
+          sc.setJobGroup(groupId, s"PQ codebook fit subspace $s", interruptOnCancel = true)
+          try {
+            val sl = df.select(
+              col(idCol).as("_pqid"),
+              slice(col(embCol), lit(s * sub + 1), lit(sub)).as("_pqes"))
+            KMeans.fit(sl, "_pqid", "_pqes", k, iters, dedupVectors)
+          } finally sc.clearJobGroup()
         }
       }
-      Await.result(Future.sequence(fits), fitTimeout)
+      try Await.result(Future.sequence(fits), fitTimeout)
+      catch {
+        case e: Throwable =>
+          sc.cancelJobGroup(groupId)
+          throw e
+      }
     } finally pool.shutdownNow()
   }
 

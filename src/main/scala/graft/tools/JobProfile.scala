@@ -44,10 +44,14 @@ object JobProfile {
         val i = e.stageInfo
         val ms = (for { a <- i.completionTime; b <- i.submissionTime } yield a - b).getOrElse(-1L)
         // executorRunTime = sum of task run time; the gap between the
-        // stage wall and run/launch times is scheduling + codegen/plan
-        val run = i.taskMetrics.executorRunTime
-        val cpu = i.taskMetrics.executorCpuTime / 1000000L
-        val deser = i.taskMetrics.executorDeserializeTime
+        // stage wall and run/launch times is scheduling + codegen/plan.
+        // taskMetrics is null for a stage aborted before any task
+        // attempt ran — an unguarded dereference would NPE inside the
+        // listener and silently drop every later stage row.
+        val tm = Option(i.taskMetrics)
+        val run = tm.map(_.executorRunTime).getOrElse(-1L)
+        val cpu = tm.map(_.executorCpuTime / 1000000L).getOrElse(-1L)
+        val deser = tm.map(_.executorDeserializeTime).getOrElse(-1L)
         stages.add((i.stageId, i.numTasks, ms, run, cpu, deser))
       }
     }

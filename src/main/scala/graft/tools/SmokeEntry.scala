@@ -1,17 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev mirror of the driver's flagship smoke: SparkEntry.entry on
   * sf0.001 must return rows. */
 object SmokeEntry {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Same session config as the production entry points (GraftSession)
+    // so the smoke exercises the engine under the benched planner
+    // behavior, not a hand-rolled variant (round-15 advice).
+    val spark = graft.GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = graft.SparkEntry.entry(spark).count()
     println(s"FLAGSHIP_ROWS=$n")
