@@ -422,7 +422,14 @@ object Ivfadc {
       pqK: Int,
       pqIters: Int
   ): Index = {
-    val base = e.select(col(idCol).as("id"), col(embCol).as("e"))
+    // Floor the scan's parallelism once at fit entry (identity at
+    // production scale): every per-row kernel downstream — the coarse
+    // assignment, the residual subtraction, the PQ encode — otherwise
+    // runs near-serially over a small unsplittable corpus scan
+    // (guide §2.5; the coarse KMeans.fit floors its own persisted
+    // projection, but `cells`/`res`/`enc` read THIS frame).
+    val base = TextGroups.fanOut(
+      e.select(col(idCol).as("id"), col(embCol).as("e")), col("id"))
     val adaptive = TextGroups.adaptiveStaging(base, xxhash64(col("e")))
     val coarse = KMeans.fit(base, idCol = "id", embCol = "e", k = coarseK, iters = coarseIters,
       dedupVectors = adaptive)

@@ -85,14 +85,26 @@ object KMeans {
   ): Seq[Seq[Double]] = {
     // Every iteration and the init scan the corpus — cache it for the
     // duration of the fit (spill-safe) instead of re-reading parquet
-    // iters+1 times.
+    // iters+1 times. The cached projection inherits the SCAN's
+    // partitioning, and a small unsplittable corpus arrives as one
+    // parquet row group — every Lloyd iteration's assignment kernel
+    // (nearestCell over k centroids × dims) would then run on ONE task
+    // regardless of session cores (measured: 250 ms/iteration serial
+    // at sf0.1, ×(iters+1) per fit, ×every fit in the IVFADC family) —
+    // so floor the parallelism before persisting (TextGroups.fanOut:
+    // identity at production scale, guide §2.5). Safe on values: the
+    // per-dimension means are exact decimal sums (order-independent)
+    // and init is an explicit orderBy(_id).
     val corpusAll = df.select(col(idCol).as("_id"), col(embCol).as("_emb"))
-    val corpus = (if (dedupVectors)
-                    corpusAll
-                      .groupBy(col("_emb"))
-                      .agg(min(col("_id")).as("_id"), count(lit(1)).as("_w"))
-                      .select(col("_id"), col("_emb"), col("_w"))
-                  else corpusAll.withColumn("_w", lit(1L)))
+    val corpus = TextGroups
+      .fanOut(
+        if (dedupVectors)
+          corpusAll
+            .groupBy(col("_emb"))
+            .agg(min(col("_id")).as("_id"), count(lit(1)).as("_w"))
+            .select(col("_id"), col("_emb"), col("_w"))
+        else corpusAll.withColumn("_w", lit(1L)),
+        col("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Ragged embeddings would otherwise fail deep inside an iteration

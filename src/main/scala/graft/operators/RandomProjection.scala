@@ -30,9 +30,33 @@ object RandomProjection {
   }
 
   /** Column for projected dimension `j`: Σ_i x_i·sign(i,j) / √k,
-    * folded in ascending-i literal order.
+    * folded in ascending-i order.
+    *
+    * HOF form (zip_with the literal sign row, then a sequential
+    * aggregate fold — the [[Similarity.dot]] posture) rather than a
+    * d-term unrolled expression: the unrolled fold built a ~2,000-node
+    * tree across the k projected dimensions whose optimize+codegen
+    * cost dominated q116's wall clock (~0.8 s of driver gap measured
+    * at sf0.1 against ~0.2 s of job time). The fold ORDER and the
+    * per-element ops (cast to double, multiply by the ±1 literal, add
+    * in ascending-i sequence from 0.0) are identical, so projected
+    * values are bit-for-bit unchanged (spec-pinned against the
+    * unrolled form).
     */
   def projectDim(emb: Column, d: Int, k: Int, j: Int): Column = {
+    val signs = typedLit((0 until d).map(i => sign(i, j).toDouble))
+    val s = aggregate(
+      zip_with(slice(emb, 1, d), signs, (x, sg) => x.cast("double") * sg),
+      lit(0.0),
+      (acc, v) => acc + v)
+    s / sqrt(lit(k.toDouble))
+  }
+
+  /** The pre-round-16 unrolled-fold form of [[projectDim]] — kept as
+    * the bit-equality test anchor (RandomProjectionSpec pins the HOF
+    * form against it).
+    */
+  private[graft] def projectDimUnrolled(emb: Column, d: Int, k: Int, j: Int): Column = {
     val s = (0 until d).foldLeft(lit(0.0)) { (acc, i) =>
       acc + element_at(emb, i + 1).cast("double") * lit(sign(i, j).toDouble)
     }

@@ -1000,7 +1000,25 @@ object Relational {
   // without scanning twice": k rows of state per group, mergeable.
   def q109PrioritySample(s: SparkSession, dir: String): DataFrame = {
     val k = 64
-    val d = t(s, dir, "lineitem")
+    // Parallelism floor BEFORE the per-row md5+conv priority kernel
+    // (guide §2.5): lineitem is a single row group at bench scale, so
+    // the kernel (measured ~1.6 s of task CPU at sf0.1) otherwise runs
+    // on the scan's one-to-three tasks no matter the session cores.
+    // fanOut is the identity at production scale; the deterministic
+    // key keeps retries exact. Both branches (sample + exact total)
+    // read the same exchange, so the scan runs once. Values are
+    // unaffected: u/p/w are per-row arithmetic, the window order is a
+    // total order, and every aggregate is exact decimal or count.
+    val d = graft.operators.TextGroups
+      .fanOut(
+        t(s, dir, "lineitem")
+          .select(
+            col("l_returnflag"),
+            col("l_extendedprice"),
+            col("l_discount"),
+            col("l_orderkey"),
+            col("l_linenumber")),
+        col("l_orderkey"))
       .select(
         col("l_returnflag"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("w"),

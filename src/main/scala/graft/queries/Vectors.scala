@@ -890,15 +890,22 @@ object Vectors {
       col("vec_id").as("id2"),
       col("embedding").as("e2"),
       col("proj").as("p2"))
-    val dOrig = (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
-      val d = element_at(col("e1"), i + 1).cast("double") -
-        element_at(col("e2"), i + 1).cast("double")
-      acc + d * d
-    }
-    val dProj = (0 until jlK).foldLeft(lit(0.0)) { (acc, j) =>
-      val d = element_at(col("p1"), j + 1) - element_at(col("p2"), j + 1)
-      acc + d * d
-    }
+    // HOF folds, not jlD-term unrolled trees — same op sequence per
+    // element ((a−b)·(a−b) added in ascending order from 0.0), so the
+    // distances are bit-identical, but the plan is a handful of nodes
+    // instead of ~150 per distance: q116's wall clock was ~80% driver
+    // gap (optimize+codegen of the unrolled trees), not execution.
+    val dOrig = aggregate(
+      zip_with(
+        col("e1"),
+        col("e2"),
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val dProj = aggregate(
+      zip_with(col("p1"), col("p2"), (a, b) => (a - b) * (a - b)),
+      lit(0.0),
+      (acc, x) => acc + x)
     a.join(b, "id1")
       .withColumn("d_orig_sq", dOrig)
       .withColumn("d_proj_sq", dProj)
@@ -975,10 +982,16 @@ object Vectors {
         .toDF("qid", "qvid")
         .join(emb(s, dir).select(col("vec_id").as("qvid"), col("embedding").as("qe")), "qvid")
         .select(col("qid"), col("qe")))
+    // HOF dot (the Similarity.dot posture) instead of a jlD-term
+    // unrolled tree: three of these per dense-leg row made the plan's
+    // optimize+codegen the query's biggest single cost (profiled
+    // ~0.9 s driver gap at sf0.1). Same per-element casts and the same
+    // ascending-order add from 0.0 — values bit-identical.
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
-      acc + element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
-    }
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x)
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("doc_id"))
@@ -1720,10 +1733,14 @@ object Vectors {
       hybridQueries.map(q => (q._1, q._3, q._2.size)).toDF("qid", "qvid", "n_terms")
         .join(emb(s, dir).select(col("vec_id").as("qvid"), col("embedding").as("qe")), "qvid")
         .select(col("qid"), col("qe"), col("n_terms")))
+    // Same HOF-dot rewrite as q117's dense leg (see the note there):
+    // identical element ops and fold order, bit-identical cosines,
+    // ~150× smaller expression tree to optimize and compile.
     def edot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      (0 until jlD).foldLeft(lit(0.0)) { (acc, i) =>
-        acc + element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
-      }
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x)
     val sc = coalesce(col("score"), lit(0.0))
     val feats = shortlist
       .join(pairBm, Seq("qid", "doc_id"), "left")
